@@ -1,0 +1,80 @@
+"""ml/ domain — model inference.
+
+Reference: onnx_inference wraps an ONNX Runtime session
+(/root/reference/include/jetstream/domains/ml/onnx_inference/module.hh:9-17).
+TPU-native inference runs models as JAX callables; ONNX graphs are
+imported via ``onnxruntime`` when present (not in this image, so that
+path is gated) and a ``jax:`` model URI executes a user-registered JAX
+model function — the idiomatic TPU route.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cyberether_tpu.core.block import simple_block
+from cyberether_tpu.core.module import Module
+from cyberether_tpu.core.params import Field, Schema
+from cyberether_tpu.core.registry import register_block, register_module
+from cyberether_tpu.core.tensor import TensorSpec
+from cyberether_tpu.core.types import DataType, Taint, ValidationError
+
+#: user-registered JAX models: name -> (fn, output_spec_fn)
+_JAX_MODELS: Dict[str, Tuple[Callable, Callable]] = {}
+
+
+def register_jax_model(name: str, fn: Callable,
+                       output_spec: Callable) -> None:
+    """Register a JAX model for the inference module.
+
+    ``fn(inputs: dict[str, Array]) -> dict[str, Array]``;
+    ``output_spec(input_specs) -> dict[str, TensorSpec]``.
+    """
+    _JAX_MODELS[name] = (fn, output_spec)
+
+
+@register_module
+class InferenceModule(Module):
+    module_type = "onnx_inference"
+    taints = Taint.STATELESS
+    schema = Schema(
+        Field("modelPath", "str", ""),
+        Field("inputNames", "list[str]", ["input"]),
+        Field("outputNames", "list[str]", ["output"]))
+
+    def define(self) -> None:
+        self.input_ports = tuple(self.config["inputNames"])
+        self.output_ports = tuple(self.config["outputNames"])
+
+    def validate(self) -> None:
+        path = self.config["modelPath"]
+        if path.startswith("jax:"):
+            name = path[4:]
+            if name not in _JAX_MODELS:
+                raise ValidationError(f"no registered JAX model '{name}'")
+            self._fn, spec_fn = _JAX_MODELS[name]
+            self._out_specs = spec_fn(self.input_specs)
+        elif path.endswith(".onnx"):
+            try:
+                import onnxruntime  # noqa: F401
+            except ImportError:
+                raise ValidationError(
+                    "onnxruntime is not available in this environment; "
+                    "use a 'jax:<name>' model registered via "
+                    "register_jax_model")
+            raise ValidationError("onnx session path not implemented yet")
+        else:
+            raise ValidationError(f"unsupported model path '{path}'")
+
+    def create(self) -> Dict[str, TensorSpec]:
+        return dict(self._out_specs)
+
+    def apply(self, inputs, state):
+        return dict(self._fn(inputs)), state
+
+
+register_block(simple_block("onnx_inference"))

@@ -1,0 +1,285 @@
+"""visualization/ domain — SURFACE modules.
+
+Reference: /root/reference/src/domains/visualization/ (lineplot,
+waterfall, spectrogram, constellation, frame, note).  The reference
+renders into GPU framebuffers via compute/draw shaders; the TPU-native
+split is: the *reduction* (averaging, scrolling history, heat decay)
+runs on-device as module state inside the fused program, and
+``present_data`` converts the reduced array to an RGBA frame host-side
+(:mod:`cyberether_tpu.viz`), which the web UI / remote stream consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyberether_tpu.blocks.dsp import resolve_signal_axes
+from cyberether_tpu.core.block import Block, BlockContext, simple_block
+from cyberether_tpu.core.module import Module
+from cyberether_tpu.core.params import Field, Schema
+from cyberether_tpu.core.registry import register_block, register_module
+from cyberether_tpu.core.tensor import SignalAxes, TensorSpec
+from cyberether_tpu.core.types import DataType, Taint, ValidationError
+from cyberether_tpu.viz.colormaps import apply_colormap
+
+
+def _last_axis_view(spec: TensorSpec):
+    """Collapse to (frames, width): width = sample axis, everything else
+    is treated as stacked frames averaged/scrolled."""
+    axes = resolve_signal_axes(spec)
+    sample = axes.sample if axes.sample is not None else spec.rank - 1
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# lineplot (visualization/lineplot)
+# ---------------------------------------------------------------------------
+@register_module
+class LineplotModule(Module):
+    module_type = "lineplot"
+    taints = Taint.SURFACE
+    input_ports = ("signal",)
+    output_ports = ("surface",)
+    schema = Schema(
+        Field("averaging", "int", 1),
+        Field("decimation", "int", 1),
+        Field("numberOfVerticalLines", "int", 11),
+        Field("numberOfHorizontalLines", "int", 5),
+        Field("thickness", "float", 1.0))
+
+    def validate(self) -> None:
+        spec = self.input_specs["signal"]
+        if spec.dtype != DataType.F32:
+            raise ValidationError("lineplot input must be F32")
+        self._axis = _last_axis_view(spec)
+        dec = max(int(self.config["decimation"]), 1)
+        self._width = spec.shape[self._axis] // dec
+
+    def create(self) -> Dict[str, TensorSpec]:
+        return {"surface": TensorSpec((self._width,), DataType.F32,
+                                      self.device)}
+
+    def init_state(self):
+        if int(self.config["averaging"]) > 1:
+            return {"avg": jnp.zeros((self._width,), jnp.float32),
+                    "count": jnp.zeros((), jnp.int32)}
+        return None
+
+    def apply(self, inputs, state):
+        x = inputs["signal"]
+        dec = max(int(self.config["decimation"]), 1)
+        # average all lanes down to one line along the sample axis
+        line = jnp.moveaxis(x, self._axis, -1).reshape((-1, x.shape[self._axis]))
+        line = jnp.mean(line, axis=0)
+        if dec > 1:
+            line = line[:self._width * dec].reshape(self._width, dec)
+            line = jnp.mean(line, axis=-1)
+        n_avg = int(self.config["averaging"])
+        if n_avg > 1 and state is not None:
+            count = jnp.minimum(state["count"] + 1, n_avg)
+            avg = state["avg"] + (line - state["avg"]) / count.astype(
+                jnp.float32)
+            return {"surface": avg}, {"avg": avg, "count": count}
+        return {"surface": line}, state
+
+    def present_data(self, outputs, state):
+        line = np.asarray(outputs["surface"])
+        return {"line": line, "kind": "lineplot",
+                "grid": (int(self.config["numberOfVerticalLines"]),
+                         int(self.config["numberOfHorizontalLines"]))}
+
+
+# ---------------------------------------------------------------------------
+# waterfall (visualization/waterfall) — scrolling history
+# ---------------------------------------------------------------------------
+@register_module
+class WaterfallModule(Module):
+    module_type = "waterfall"
+    taints = Taint.SURFACE
+    input_ports = ("signal",)
+    output_ports = ("surface",)
+    schema = Schema(Field("height", "int", 512),
+                    Field("interpolate", "bool", True),
+                    Field("zoom", "float", 1.0),
+                    Field("offset", "int", 0))
+
+    def validate(self) -> None:
+        spec = self.input_specs["signal"]
+        if spec.dtype != DataType.F32:
+            raise ValidationError("waterfall input must be F32")
+        self._axis = _last_axis_view(spec)
+        self._width = spec.shape[self._axis]
+        self._rows = spec.size // self._width
+
+    def create(self) -> Dict[str, TensorSpec]:
+        h = int(self.config["height"])
+        return {"surface": TensorSpec((h, self._width), DataType.F32,
+                                      self.device)}
+
+    def init_state(self):
+        h = int(self.config["height"])
+        return {"buf": jnp.zeros((h, self._width), jnp.float32)}
+
+    def apply(self, inputs, state):
+        x = inputs["signal"]
+        rows = jnp.moveaxis(x, self._axis, -1).reshape((-1, self._width))
+        nr = rows.shape[0]
+        h = int(self.config["height"])
+        buf = jnp.roll(state["buf"], -nr, axis=0)
+        buf = jax.lax.dynamic_update_slice(buf, rows.astype(jnp.float32),
+                                           (h - nr, 0))
+        return {"surface": buf}, {"buf": buf}
+
+    def present_data(self, outputs, state):
+        buf = np.asarray(outputs["surface"])
+        zoom = max(float(self.config["zoom"]), 1.0)
+        off = int(self.config["offset"])
+        if zoom > 1.0:
+            w = buf.shape[1]
+            span = max(int(w / zoom), 1)
+            off = min(max(off, 0), w - span)
+            buf = buf[:, off:off + span]
+        return {"frame": apply_colormap(buf), "kind": "waterfall"}
+
+
+# ---------------------------------------------------------------------------
+# spectrogram (visualization/spectrogram) — scrolling heat w/ falloff
+# ---------------------------------------------------------------------------
+@register_module
+class SpectrogramModule(Module):
+    module_type = "spectrogram"
+    taints = Taint.SURFACE
+    input_ports = ("signal",)
+    output_ports = ("surface",)
+    schema = Schema(Field("height", "int", 256))
+
+    def validate(self) -> None:
+        spec = self.input_specs["signal"]
+        if spec.dtype != DataType.F32:
+            raise ValidationError("spectrogram input must be F32")
+        self._axis = _last_axis_view(spec)
+        self._width = spec.shape[self._axis]
+
+    def create(self) -> Dict[str, TensorSpec]:
+        h = int(self.config["height"])
+        return {"surface": TensorSpec((h, self._width), DataType.F32,
+                                      self.device)}
+
+    def init_state(self):
+        h = int(self.config["height"])
+        return {"heat": jnp.zeros((h, self._width), jnp.float32)}
+
+    def apply(self, inputs, state):
+        x = inputs["signal"]
+        h = int(self.config["height"])
+        line = jnp.moveaxis(x, self._axis, -1).reshape((-1, self._width))
+        line = jnp.mean(line, axis=0)
+        # vertical heat: map value [0,1] to row bucket, splat with decay
+        heat = state["heat"] * 0.95
+        row = jnp.clip(((1.0 - line) * (h - 1)).astype(jnp.int32), 0, h - 1)
+        heat = heat.at[row, jnp.arange(self._width)].add(1.0)
+        return {"surface": heat}, {"heat": heat}
+
+    def present_data(self, outputs, state):
+        heat = np.asarray(outputs["surface"])
+        mx = heat.max() or 1.0
+        return {"frame": apply_colormap(heat / mx), "kind": "spectrogram"}
+
+
+# ---------------------------------------------------------------------------
+# constellation (visualization/constellation) — IQ scatter heat
+# ---------------------------------------------------------------------------
+@register_module
+class ConstellationModule(Module):
+    module_type = "constellation"
+    taints = Taint.SURFACE
+    input_ports = ("signal",)
+    output_ports = ("surface",)
+    schema = Schema(Field("size", "int", 256))
+
+    def validate(self) -> None:
+        spec = self.input_specs["signal"]
+        if spec.dtype != DataType.CF32:
+            raise ValidationError("constellation input must be CF32")
+
+    def create(self) -> Dict[str, TensorSpec]:
+        s = int(self.config["size"])
+        return {"surface": TensorSpec((s, s), DataType.F32, self.device)}
+
+    def init_state(self):
+        s = int(self.config["size"])
+        return {"heat": jnp.zeros((s, s), jnp.float32)}
+
+    def apply(self, inputs, state):
+        x = inputs["signal"].reshape(-1)
+        s = int(self.config["size"])
+        heat = state["heat"] * 0.9
+        # normalize to [-1.5, 1.5] view box
+        xi = jnp.clip(((jnp.real(x) / 3.0 + 0.5) * (s - 1)).astype(
+            jnp.int32), 0, s - 1)
+        yi = jnp.clip(((jnp.imag(x) / 3.0 + 0.5) * (s - 1)).astype(
+            jnp.int32), 0, s - 1)
+        heat = heat.at[yi, xi].add(1.0)
+        return {"surface": heat}, {"heat": heat}
+
+    def present_data(self, outputs, state):
+        heat = np.asarray(outputs["surface"])
+        mx = heat.max() or 1.0
+        return {"frame": apply_colormap(heat / mx), "kind": "constellation"}
+
+
+# ---------------------------------------------------------------------------
+# frame (visualization/frame) — video frame display
+# ---------------------------------------------------------------------------
+@register_module
+class FrameModule(Module):
+    module_type = "frame"
+    taints = Taint.SURFACE
+    input_ports = ("frame",)
+    output_ports = ("surface",)
+    schema = Schema(Field("lut", "bool", False))
+
+    def validate(self) -> None:
+        spec = self.input_specs["frame"]
+        if spec.rank < 2:
+            raise ValidationError("frame input must be at least rank 2")
+
+    def create(self) -> Dict[str, TensorSpec]:
+        return {"surface": self.input_specs["frame"]}
+
+    def apply(self, inputs, state):
+        return {"surface": inputs["frame"]}, state
+
+    def present_data(self, outputs, state):
+        img = np.asarray(outputs["surface"])
+        if self.config["lut"]:
+            rng = img.max() - img.min() or 1.0
+            return {"frame": apply_colormap((img - img.min()) / rng),
+                    "kind": "frame"}
+        return {"frame": img, "kind": "frame"}
+
+
+# ---------------------------------------------------------------------------
+# note (visualization/note) — markdown annotation, no compute
+# ---------------------------------------------------------------------------
+class NoteBlock(Block):
+    block_type = "note"
+    label = "Note"
+    summary = "Displays formatted markdown text inside a node."
+    schema = Schema(Field("content", "str",
+                          "# Note\nWrite your **markdown** here."))
+
+    def build(self, ctx: BlockContext) -> None:
+        pass   # no modules, no ports — annotation only
+
+
+register_block(NoteBlock)
+
+for _type in ("lineplot", "waterfall", "spectrogram", "constellation",
+              "frame"):
+    register_block(simple_block(_type))

@@ -1,0 +1,143 @@
+"""Instance — application root.
+
+Reference: /root/reference/src/instance.cc (owns viewport + render +
+compositor + remote + flowgraph map; compute:415 / present:456 /
+poll:578) and the two-thread model of src/run_native.cc:808-871 (compute
+thread loops ``instance->compute()``, present thread loops
+``instance->present()``).
+
+Here the Instance owns a map of flowgraphs and the compute/present
+threads; "render" is the host-side visualization service
+(:mod:`cyberether_tpu.viz`), attached on demand.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from cyberether_tpu.core.flowgraph import Flowgraph
+from cyberether_tpu.core.types import Device, GraphError
+from cyberether_tpu.utils.logging import get_logger
+
+log = get_logger("instance")
+
+
+class Instance:
+    def __init__(self, headless: bool = True,
+                 default_device: Device = Device.TPU):
+        self.headless = headless
+        self.default_device = default_device
+        self.flowgraphs: Dict[str, Flowgraph] = {}
+        self._computing = False
+        self._presenting = False
+        self._compute_thread: Optional[threading.Thread] = None
+        self._present_thread: Optional[threading.Thread] = None
+        self._present_cb: Optional[Callable[[Dict[str, Any]], None]] = None
+        self._lock = threading.RLock()
+        self._errors: List[BaseException] = []
+
+    # -- flowgraph management ----------------------------------------------
+    def flowgraph_create(self, name: str = "main") -> Flowgraph:
+        with self._lock:
+            if name in self.flowgraphs:
+                raise GraphError(f"flowgraph '{name}' already exists")
+            fg = Flowgraph(name=name, default_device=self.default_device)
+            self.flowgraphs[name] = fg
+            return fg
+
+    def flowgraph_import(self, path_or_yaml: str,
+                         name: str = "main") -> Flowgraph:
+        with self._lock:
+            if path_or_yaml.lstrip().startswith(("---", "version:", "graph:",
+                                                 "title:", "protocolVersion"
+                                                 )) or "\n" in path_or_yaml:
+                fg = Flowgraph.from_yaml(path_or_yaml, name=name,
+                                         default_device=self.default_device)
+            else:
+                fg = Flowgraph.from_file(path_or_yaml, name=name,
+                                         default_device=self.default_device)
+            self.flowgraphs[name] = fg
+            return fg
+
+    def flowgraph_destroy(self, name: str) -> None:
+        with self._lock:
+            fg = self.flowgraphs.pop(name, None)
+            if fg is not None:
+                fg.stop()
+
+    # -- one-shot cycles ----------------------------------------------------
+    def compute(self, timeout: Optional[float] = None) -> bool:
+        worked = False
+        for fg in list(self.flowgraphs.values()):
+            worked |= fg.compute(timeout=timeout)
+        return worked
+
+    def present(self) -> Dict[str, Dict[str, Any]]:
+        out: Dict[str, Dict[str, Any]] = {}
+        for name, fg in list(self.flowgraphs.items()):
+            data = fg.present()
+            if data:
+                out[name] = data
+        return out
+
+    # -- threaded loop (run_native.cc:808-871) ------------------------------
+    def start(self, present_hz: float = 60.0,
+              present_cb: Optional[Callable[[Dict[str, Any]], None]] = None
+              ) -> None:
+        if self._computing:
+            return
+        self._present_cb = present_cb
+        self._computing = True
+        self._presenting = True
+
+        def compute_loop() -> None:
+            while self._computing:
+                try:
+                    if not self.compute(timeout=0.1):
+                        time.sleep(0.001)
+                except Exception as e:  # stop cleanly on compute errors
+                    log.exception("compute loop error")
+                    self._errors.append(e)
+                    self._computing = False
+
+        def present_loop() -> None:
+            period = 1.0 / present_hz
+            while self._presenting:
+                t0 = time.monotonic()
+                try:
+                    frames = self.present()
+                    if self._present_cb is not None and frames:
+                        self._present_cb(frames)
+                except Exception:  # present must never kill compute
+                    log.exception("present loop error")
+                dt = time.monotonic() - t0
+                if dt < period:
+                    time.sleep(period - dt)
+
+        self._compute_thread = threading.Thread(
+            target=compute_loop, name="ce-compute", daemon=True)
+        self._present_thread = threading.Thread(
+            target=present_loop, name="ce-present", daemon=True)
+        self._compute_thread.start()
+        self._present_thread.start()
+
+    def stop(self) -> None:
+        self._computing = False
+        self._presenting = False
+        for t in (self._compute_thread, self._present_thread):
+            if t is not None and t.is_alive():
+                t.join(timeout=5.0)
+        self._compute_thread = None
+        self._present_thread = None
+        for fg in self.flowgraphs.values():
+            fg.stop()
+
+    @property
+    def running(self) -> bool:
+        return self._computing
+
+    def destroy(self) -> None:
+        self.stop()
+        self.flowgraphs.clear()

@@ -1,0 +1,637 @@
+"""Scheduler — the flowgraph *compiler* and step runner.
+
+Reference: the synchronous scheduler
+(/root/reference/src/scheduler_synchronous.cc) performs Kahn topo-sort
+(:574-655), partitions modules into segments by (device, runtime)
+(:698-748), polls sources, settles static branches (:659-693), and
+interprets each module's ``computeSubmit`` per cycle.
+
+TPU-first redesign: the graph is *compiled*, not interpreted.
+
+- Kahn topo-sort + cycle rejection (same semantics).
+- Modules are assigned *stages*: host modules (sources/sinks/python) are
+  singleton segments; maximal contiguous runs of JAX/Pallas modules fuse
+  into ONE jitted program per stage (convex partition, so the condensed
+  segment DAG stays acyclic).
+- STATIC_OUTPUT modules whose inputs are static are evaluated once at
+  build time and folded into the jitted programs as constants — the
+  "static settlement" of the reference, performed by the tracer.
+- Streaming state (FM/AGC/OLA history, …) is an explicit pytree threaded
+  through the compiled step with buffer donation, so steady-state steps
+  are allocation-free.
+- Skip semantics (squelch) compile to validity flags: a module may emit a
+  scalar bool ``PASS_FLAG``; downstream validity is AND-ed, stateful
+  modules freeze their state on invalid cycles (``jnp.where``), and host
+  sinks observe the flag.  This keeps control flow out of XLA while
+  preserving the reference's SKIP propagation
+  (scheduler_synchronous.cc:389-450).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyberether_tpu.core.block import PortRef
+from cyberether_tpu.core.module import Module, PASS_FLAG
+from cyberether_tpu.core.types import GraphError, Runtime, Taint
+from cyberether_tpu.utils.logging import get_logger
+
+log = get_logger("scheduler")
+
+METRIC_PREFIX = "metric:"
+
+
+def _key(ref: PortRef) -> str:
+    return f"{ref.module}:{ref.port}"
+
+
+@dataclass
+class Timing:
+    """Per-segment timing snapshot (the reference's Module::Timing,
+    include/jetstream/module.hh:25-31)."""
+
+    cycles: int = 0
+    last_ms: float = 0.0
+    avg_ms: float = 0.0
+
+    def record(self, ms: float) -> None:
+        self.cycles += 1
+        self.last_ms = ms
+        self.avg_ms += (ms - self.avg_ms) / min(self.cycles, 100)
+
+
+@dataclass
+class DeviceSegment:
+    index: int
+    modules: List[str]
+    ext_inputs: List[str]            # keys "module:port" produced elsewhere
+    gates: List[str]                 # module names needing host gate flags
+    out_keys: List[str]              # boundary outputs (consumed outside)
+    state_modules: List[str]
+    fn: Any = None                   # compiled step
+    timing: Timing = field(default_factory=Timing)
+
+
+@dataclass
+class HostSegment:
+    index: int
+    module: str
+    timing: Timing = field(default_factory=Timing)
+
+
+class Scheduler:
+    def __init__(self, flowgraph, mesh=None, out_shardings=None):
+        self.fg = flowgraph
+        self.mesh = mesh
+        self._dirty = True
+        self._built_generation = -1
+        # build products
+        self._modules: Dict[str, Module] = {}
+        self._inputs: Dict[str, Dict[str, PortRef]] = {}
+        self._topo: List[str] = []
+        self._segments: List[Any] = []
+        self._static_values: Dict[str, Any] = {}   # "module:port" -> const
+        self._settled: Set[str] = set()
+        self._state: Dict[str, Any] = {}
+        self._latest: Dict[str, Any] = {}          # boundary outputs
+        self._valid: Dict[str, Any] = {}           # per-link validity
+        self._metrics: Dict[str, Dict[str, Any]] = {}
+        self._sources: List[str] = []
+        self._sinks: List[str] = []
+        self._surfaces: List[str] = []
+        self._throttled: List[str] = []
+        self._gate_last_fire: Dict[str, float] = {}
+        self._watched: Set[str] = set()
+        self._started = False
+        self._cycle = 0
+
+    # ------------------------------------------------------------------
+    def invalidate(self) -> None:
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # build: topo sort -> settle -> partition -> compile
+    # ------------------------------------------------------------------
+    def _ensure_built(self) -> None:
+        if not self._dirty:
+            return
+        self.stop_sources()
+        self._modules, self._inputs = self.fg.flattened()
+        self._topo = self._topo_sort()
+        self._classify()
+        self._settle_static()
+        self._partition_and_compile()
+        self._init_states()
+        self._dirty = False
+        if self._started:
+            self.start_sources()
+
+    def _topo_sort(self) -> List[str]:
+        """Kahn topo sort; raises on cycles
+        (scheduler_synchronous.cc:574-655)."""
+        indeg: Dict[str, int] = {m: 0 for m in self._modules}
+        consumers: Dict[str, List[str]] = {m: [] for m in self._modules}
+        for mname, ins in self._inputs.items():
+            for ref in ins.values():
+                if ref.module not in self._modules:
+                    raise GraphError(
+                        f"module '{mname}' links to missing '{ref.module}'")
+                indeg[mname] += 1
+                consumers[ref.module].append(mname)
+        # stable order: flowgraph insertion order among ready nodes
+        order_index = {m: i for i, m in enumerate(self._modules)}
+        ready = sorted([m for m, d in indeg.items() if d == 0],
+                       key=order_index.get)
+        topo: List[str] = []
+        while ready:
+            cur = ready.pop(0)
+            topo.append(cur)
+            for nxt in consumers[cur]:
+                indeg[nxt] -= 1
+                if indeg[nxt] == 0:
+                    ready.append(nxt)
+            ready.sort(key=order_index.get)
+        if len(topo) != len(self._modules):
+            cyclic = sorted(set(self._modules) - set(topo))
+            raise GraphError(f"flowgraph contains a cycle through {cyclic}")
+        return topo
+
+    def _classify(self) -> None:
+        self._sources = [m for m in self._topo
+                         if self._modules[m].is_source]
+        self._sinks = [m for m in self._topo if self._modules[m].is_sink]
+        self._surfaces = [m for m in self._topo
+                          if self._modules[m].is_surface]
+        self._throttled = [m for m in self._topo
+                           if self._modules[m].taints & Taint.THROTTLED]
+
+    def _settle_static(self) -> None:
+        """Evaluate STATIC_OUTPUT modules with static inputs once; their
+        outputs become trace-time constants
+        (scheduler_synchronous.cc:659-693 static settlement)."""
+        self._settled = set()
+        self._static_values = {}
+        for name in self._topo:
+            mod = self._modules[name]
+            ins = self._inputs.get(name, {})
+            if mod.runtime is Runtime.HOST:
+                continue
+            # settle if STATIC_OUTPUT, or a stateless function of only
+            # settled inputs (the reference's STATELESS derivation)
+            stateless = bool(mod.taints & Taint.STATELESS) and \
+                mod.init_state() is None and not mod.is_surface
+            if not (mod.is_static or (stateless and ins)):
+                continue
+            if not all(r.module in self._settled for r in ins.values()):
+                continue
+            inputs = {p: self._static_values[_key(r)]
+                      for p, r in ins.items()}
+            outputs, _ = mod.apply(inputs, mod.init_state())
+            for port, val in outputs.items():
+                if port == PASS_FLAG or port.startswith(METRIC_PREFIX):
+                    continue
+                self._static_values[f"{name}:{port}"] = jnp.asarray(val)
+            self._settled.add(name)
+
+    def _stage_of(self) -> Dict[str, int]:
+        """Convex stage assignment: device modules merge into the same
+        stage unless separated by a host module."""
+        stage: Dict[str, int] = {}
+        for name in self._topo:
+            if name in self._settled:
+                stage[name] = 0
+                continue
+            mod = self._modules[name]
+            is_host = mod.runtime is Runtime.HOST
+            s = 1
+            for ref in self._inputs.get(name, {}).values():
+                p = ref.module
+                if p in self._settled:
+                    continue
+                pmod = self._modules[p]
+                p_host = pmod.runtime is Runtime.HOST
+                if p_host or is_host:
+                    s = max(s, stage[p] + 1)
+                else:
+                    s = max(s, stage[p])
+            stage[name] = s
+        return stage
+
+    def _partition_and_compile(self) -> None:
+        stage = self._stage_of()
+        self._segments = []
+        # group device modules by stage
+        by_stage: Dict[int, List[str]] = {}
+        host_mods: List[Tuple[int, str]] = []
+        for name in self._topo:
+            if name in self._settled:
+                continue
+            mod = self._modules[name]
+            if mod.runtime is Runtime.HOST:
+                host_mods.append((stage[name], name))
+            else:
+                by_stage.setdefault(stage[name], []).append(name)
+        items: List[Tuple[int, Any]] = []
+        for s, mods in by_stage.items():
+            items.append((s, ("device", mods)))
+        for s, name in host_mods:
+            items.append((s, ("host", name)))
+        items.sort(key=lambda t: (t[0], 0 if t[1][0] == "device" else 1))
+
+        # which keys are consumed where
+        consumed_outside: Dict[str, Set[str]] = {}
+        seg_of_module: Dict[str, int] = {}
+        idx = 0
+        built: List[Any] = []
+        for s, (kind, payload) in items:
+            if kind == "device":
+                for m in payload:
+                    seg_of_module[m] = idx
+            else:
+                seg_of_module[payload] = idx
+            idx += 1
+        # boundary keys: a module output consumed by a different segment,
+        # a sink, a surface/present path, a terminal (unconsumed) output,
+        # or an explicitly watched probe
+        consumed: Set[str] = set()
+        needed: Set[str] = set()
+        for mname, ins in self._inputs.items():
+            for ref in ins.values():
+                consumed.add(_key(ref))
+                if ref.module in self._settled:
+                    continue
+                if seg_of_module.get(mname) != seg_of_module.get(ref.module):
+                    needed.add(_key(ref))
+        for name in self._surfaces:
+            mod = self._modules[name]
+            for port in mod.output_specs:
+                needed.add(f"{name}:{port}")
+        for name, mod in self._modules.items():
+            if name in self._settled or mod.runtime is Runtime.HOST:
+                continue
+            for port in mod.output_specs:
+                k = f"{name}:{port}"
+                if k not in consumed:
+                    needed.add(k)      # terminal output: keep observable
+        needed.update(self._watched)
+
+        idx = 0
+        for s, (kind, payload) in items:
+            if kind == "device":
+                seg = self._build_device_segment(idx, payload, needed)
+            else:
+                seg = HostSegment(index=idx, module=payload)
+            built.append(seg)
+            idx += 1
+        self._segments = built
+
+    def _build_device_segment(self, index: int, mods: List[str],
+                              needed: Set[str]) -> DeviceSegment:
+        mod_set = set(mods)
+        ext: List[str] = []
+        gates: List[str] = []
+        for name in mods:
+            for ref in self._inputs.get(name, {}).values():
+                if ref.module in self._settled:
+                    continue
+                if ref.module not in mod_set:
+                    k = _key(ref)
+                    if k not in ext:
+                        ext.append(k)
+            if self._modules[name].taints & Taint.THROTTLED:
+                gates.append(name)
+        out_keys = sorted(k for k in needed
+                          if k.split(":", 1)[0] in mod_set)
+        state_modules = [m for m in mods
+                         if self._modules[m].init_state() is not None]
+
+        statics = dict(self._static_values)
+        inputs_of = {m: dict(self._inputs.get(m, {})) for m in mods}
+        modules = {m: self._modules[m] for m in mods}
+        topo_local = [m for m in self._topo if m in mod_set]
+
+        def segment_fn(state: Dict[str, Any],
+                       ext_vals: Dict[str, Any],
+                       ext_valid: Dict[str, Any],
+                       gate_flags: Dict[str, Any]):
+            produced: Dict[str, Any] = dict(statics)
+            produced.update(ext_vals)
+            valid: Dict[str, Any] = {k: jnp.asarray(True)
+                                     for k in statics}
+            valid.update({k: jnp.asarray(v) for k, v in ext_valid.items()})
+            new_state: Dict[str, Any] = {}
+            metrics: Dict[str, Dict[str, Any]] = {}
+            for name in topo_local:
+                mod = modules[name]
+                ins = {p: produced[_key(r)]
+                       for p, r in inputs_of[name].items()}
+                v_in = jnp.asarray(True)
+                for r in inputs_of[name].values():
+                    v_in = jnp.logical_and(v_in, valid[_key(r)])
+                if name in gate_flags:
+                    v_in = jnp.logical_and(v_in, gate_flags[name])
+                st = state.get(name)
+                outs, st_new = mod.apply(ins, st)
+                if st is not None:
+                    # freeze state on skipped cycles
+                    new_state[name] = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(v_in, n, o), st_new, st)
+                v_out = v_in
+                if PASS_FLAG in outs:
+                    v_out = jnp.logical_and(
+                        v_in, jnp.asarray(outs.pop(PASS_FLAG)))
+                mmet = {}
+                for port in list(outs):
+                    if port.startswith(METRIC_PREFIX):
+                        mmet[port[len(METRIC_PREFIX):]] = outs.pop(port)
+                if mmet:
+                    metrics[name] = mmet
+                for port, val in outs.items():
+                    produced[f"{name}:{port}"] = val
+                    valid[f"{name}:{port}"] = v_out
+            out_vals = {k: produced[k] for k in out_keys}
+            out_valid = {k: valid[k] for k in out_keys}
+            return out_vals, out_valid, new_state, metrics
+
+        fn = jax.jit(segment_fn, donate_argnums=(0,))
+        return DeviceSegment(index=index, modules=mods, ext_inputs=ext,
+                             gates=gates, out_keys=out_keys,
+                             state_modules=state_modules, fn=fn)
+
+    def _init_states(self) -> None:
+        new_state: Dict[str, Any] = {}
+        for name in self._topo:
+            if name in self._settled:
+                continue
+            mod = self._modules[name]
+            if mod.runtime is Runtime.HOST:
+                continue
+            if name in self._state and \
+                    self._state_compatible(self._state[name], mod):
+                new_state[name] = self._state[name]   # preserve across
+                continue                              # rebuilds
+            st = mod.init_state()
+            if st is not None:
+                new_state[name] = jax.tree_util.tree_map(jnp.asarray, st)
+        self._state = new_state
+
+    @staticmethod
+    def _state_compatible(old: Any, mod: Module) -> bool:
+        try:
+            tmpl = mod.init_state()
+            ol, od = jax.tree_util.tree_flatten(old)
+            tl, td = jax.tree_util.tree_flatten(
+                jax.tree_util.tree_map(jnp.asarray, tmpl))
+            return od == td and all(
+                a.shape == b.shape and a.dtype == b.dtype
+                for a, b in zip(ol, tl))
+        except Exception:
+            return False
+
+    # ------------------------------------------------------------------
+    # runtime loop
+    # ------------------------------------------------------------------
+    def start_sources(self) -> None:
+        self._ensure_built()
+        self._started = True
+        for name in self._sources + self._sinks:
+            self._modules[name].host_start()
+
+    def stop_sources(self) -> None:
+        if not self._started:
+            return
+        for name in list(self._modules):
+            mod = self._modules[name]
+            if mod.is_source or mod.is_sink:
+                try:
+                    mod.host_stop()
+                except Exception:   # pragma: no cover
+                    log.exception("host_stop failed for %s", name)
+        self._started = False
+
+    def _poll_sources(self, timeout: Optional[float]
+                      ) -> Optional[Dict[str, Dict[str, Any]]]:
+        """Wait for all host sources to have data (the Phase-2 source
+        pacing of the reference).  Returns name -> outputs or None."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        pending = {name: None for name in self._sources}
+        while True:
+            all_ready = True
+            for name in self._sources:
+                if pending[name] is None:
+                    out = self._modules[name].host_poll()
+                    if out is None:
+                        all_ready = False
+                    else:
+                        pending[name] = out
+            if all_ready:
+                return {k: v for k, v in pending.items()}
+            if deadline is not None and time.monotonic() >= deadline:
+                return None
+            time.sleep(0.0005)
+
+    def _gate_flags_for(self, seg: DeviceSegment) -> Dict[str, Any]:
+        flags = {}
+        now = time.monotonic()
+        for name in seg.gates:
+            mod = self._modules[name]
+            period = float(mod.config.get("periodMs", 100.0)) / 1000.0
+            last = self._gate_last_fire.get(name, 0.0)
+            fire = (now - last) >= period
+            if fire:
+                self._gate_last_fire[name] = now
+            flags[name] = np.asarray(fire)
+        return flags
+
+    def compute(self, timeout: Optional[float] = None) -> bool:
+        """Run one full graph cycle (all segments in order).  Returns True
+        if a cycle ran (Instance::compute analog)."""
+        self._ensure_built()
+        if not self._topo:
+            return False
+        if not self._started:
+            self.start_sources()
+
+        src_out = self._poll_sources(timeout)
+        if src_out is None:
+            return False
+
+        # feed source outputs as boundary values
+        for name, outs in src_out.items():
+            mod = self._modules[name]
+            for port, val in outs.items():
+                self._latest[f"{name}:{port}"] = val
+                self._valid[f"{name}:{port}"] = True
+            self._metrics.setdefault(name, {})
+
+        for seg in self._segments:
+            t0 = time.perf_counter()
+            if isinstance(seg, DeviceSegment):
+                if any(k not in self._latest for k in seg.ext_inputs):
+                    # an upstream host stage produced nothing yet this
+                    # session: segment cannot run; mark outputs invalid
+                    for k in seg.out_keys:
+                        self._valid[k] = False
+                    continue
+                ext_vals = {}
+                ext_valid = {}
+                for k in seg.ext_inputs:
+                    ext_vals[k] = self._latest[k]
+                    ext_valid[k] = bool(np.asarray(self._valid.get(k, True)))
+                gate_flags = self._gate_flags_for(seg)
+                state_sub = {m: self._state[m] for m in seg.state_modules
+                             if m in self._state}
+                out_vals, out_valid, new_state, metrics = seg.fn(
+                    state_sub, ext_vals, ext_valid, gate_flags)
+                self._latest.update(out_vals)
+                self._valid.update(out_valid)
+                self._state.update(new_state)
+                for mname, met in metrics.items():
+                    self._metrics[mname] = met
+            else:
+                name = seg.module
+                mod = self._modules[name]
+                if mod.is_source:
+                    pass  # already polled
+                else:
+                    ins = {}
+                    v = True
+                    for p, r in self._inputs.get(name, {}).items():
+                        k = _key(r)
+                        val = self._static_values.get(k,
+                                                      self._latest.get(k))
+                        if val is None:
+                            v = False
+                        ins[p] = val
+                        v = v and bool(np.asarray(self._valid.get(k, True)))
+                    if mod.is_sink:
+                        if all(x is not None for x in ins.values()):
+                            host_ins = {p: np.asarray(x)
+                                        for p, x in ins.items()}
+                            mod.host_consume(host_ins, v)
+                    elif hasattr(mod, "host_execute"):
+                        # host compute module (e.g. the python block)
+                        if v:
+                            host_ins = {p: np.asarray(x)
+                                        for p, x in ins.items()}
+                            outs = mod.host_execute(host_ins) or {}
+                            for port, val in outs.items():
+                                self._latest[f"{name}:{port}"] = val
+                                self._valid[f"{name}:{port}"] = True
+                            met = getattr(mod, "metrics", None)
+                            if met:
+                                self._metrics[name] = dict(met)
+                        else:
+                            for port in mod.output_specs:
+                                self._valid[f"{name}:{port}"] = False
+                    else:
+                        if v:
+                            outs = mod.host_poll() or {}
+                            for port, val in outs.items():
+                                self._latest[f"{name}:{port}"] = val
+                                self._valid[f"{name}:{port}"] = True
+            seg.timing.record((time.perf_counter() - t0) * 1e3)
+        self._cycle += 1
+        return True
+
+    def synchronize(self) -> None:
+        """Block until all dispatched device work is complete."""
+        for v in self._latest.values():
+            if hasattr(v, "block_until_ready"):
+                v.block_until_ready()
+        for st in self._state.values():
+            jax.tree_util.tree_map(
+                lambda a: a.block_until_ready()
+                if hasattr(a, "block_until_ready") else a, st)
+
+    # ------------------------------------------------------------------
+    # present (SURFACE modules -> display data)
+    # ------------------------------------------------------------------
+    def present(self) -> Dict[str, Any]:
+        """Fetch display data from surface modules without blocking the
+        compute path (the reference's present never blocks compute)."""
+        out: Dict[str, Any] = {}
+        if self._dirty:
+            return out
+        for name in self._surfaces:
+            mod = self._modules[name]
+            outs = {}
+            for port in mod.output_specs:
+                k = f"{name}:{port}"
+                if k in self._latest:
+                    outs[port] = self._latest[k]
+            if not outs:
+                continue
+            data = mod.present_data(outs, self._state.get(name))
+            if data is not None:
+                out[name] = data
+        return out
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
+    def metrics(self) -> Dict[str, Dict[str, Any]]:
+        return {m: {k: np.asarray(v).item()
+                    if np.asarray(v).ndim == 0 else np.asarray(v)
+                    for k, v in met.items()}
+                for m, met in self._metrics.items()}
+
+    def timings(self) -> Dict[str, Timing]:
+        self._ensure_built()
+        out: Dict[str, Timing] = {}
+        for seg in self._segments:
+            key = (f"segment{seg.index}:" +
+                   (seg.module if isinstance(seg, HostSegment)
+                    else "+".join(seg.modules)))
+            out[key] = seg.timing
+        return out
+
+    def watch(self, block_port: str) -> None:
+        """Keep 'block.port' observable even when consumed inside a fused
+        segment (testing/benchmark probe)."""
+        self._ensure_built()
+        block, port = block_port.split(".", 1)
+        rec = self.fg.records.get(block)
+        if rec is None or rec.build is None:
+            raise GraphError(f"unknown block '{block}'")
+        ref = rec.build.exposed.get(port)
+        if ref is None:
+            raise GraphError(f"block '{block}' has no output '{port}'")
+        k = _key(ref)
+        if k not in self._watched:
+            self._watched.add(k)
+            self._dirty = True
+
+    def output(self, block_port: str) -> Optional[np.ndarray]:
+        """Fetch the latest value of 'block.port' (testing/CLI aid)."""
+        self._ensure_built()
+        block, port = block_port.split(".", 1)
+        rec = self.fg.records.get(block)
+        if rec is None or rec.build is None:
+            return None
+        ref = rec.build.exposed.get(port)
+        if ref is None:
+            return None
+        k = _key(ref)
+        if k in self._static_values:
+            return np.asarray(self._static_values[k])
+        if k in self._latest:
+            return np.asarray(self._latest[k])
+        return None
+
+    def output_valid(self, block_port: str) -> bool:
+        block, port = block_port.split(".", 1)
+        rec = self.fg.records.get(block)
+        if rec is None or rec.build is None:
+            return False
+        ref = rec.build.exposed.get(port)
+        if ref is None:
+            return False
+        return bool(np.asarray(self._valid.get(_key(ref), False)))

@@ -1,0 +1,174 @@
+"""Flowgraph graph-semantics tests.
+
+Mirrors the reference suites tests/core/flowgraph/{api,execution,
+mutation,state}.cc and tests/core/runtime/scheduler.cc: lifecycle,
+error isolation, incomplete retry, downstream propagation, rollback,
+topo order, diamond execution, cycle rejection, skip propagation.
+"""
+
+import numpy as np
+import pytest
+
+from cyberether_tpu.core.types import BlockState, GraphError
+from tests.support import synthetic
+
+synthetic.register()
+
+
+@pytest.fixture(autouse=True)
+def _reset_faults():
+    synthetic.reset()
+    yield
+    synthetic.reset()
+
+
+def _sink_mod(fg, name):
+    rec = fg.records[name]
+    return rec.build.modules[f"{name}/m"]
+
+
+def test_linear_chain_runs(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("p1", "synth_pass", {}, {"in": "${graph.src.output.out}"})
+    fg.block_create("sink", "synth_sink", {}, {"in": "${graph.p1.output.out}"})
+    assert fg.compute(timeout=5.0)
+    sink = _sink_mod(fg, "sink")
+    assert len(sink.received) == 1
+    np.testing.assert_allclose(sink.received[0], np.full(4, 2.0))
+
+
+def test_diamond_executes_once_per_cycle(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("a", "synth_pass", {}, {"in": "${graph.src.output.out}"})
+    fg.block_create("b", "synth_pass", {}, {"in": "${graph.src.output.out}"})
+    fg.block_create("m", "synth_merge", {}, {"a": "${graph.a.output.out}",
+                                             "b": "${graph.b.output.out}"})
+    fg.block_create("sink", "synth_sink", {}, {"in": "${graph.m.output.out}"})
+    assert fg.compute(timeout=5.0)
+    sink = _sink_mod(fg, "sink")
+    # src produced 1.0; each pass adds 1 -> 2; merge sums -> 4
+    np.testing.assert_allclose(sink.received[0], np.full(4, 4.0))
+    assert synthetic.COUNTS["src/m"] == 1
+
+
+def test_cycle_rejected(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("p1", "synth_pass", {}, {"in": "${graph.src.output.out}"})
+    # create a cycle by reconnecting p1's input to its own downstream
+    fg.block_create("p2", "synth_pass", {}, {"in": "${graph.p1.output.out}"})
+    with pytest.raises(GraphError):
+        fg.block_connect("p1", "in", "${graph.p2.output.out}")
+        fg.compute(timeout=1.0)
+
+
+def test_unresolved_input_is_incomplete(flowgraph):
+    fg = flowgraph
+    fg.block_create("p1", "synth_pass", {},
+                    {"in": "${graph.missing.output.out}"})
+    assert fg.block_state("p1") == BlockState.INCOMPLETE
+
+
+def test_incomplete_retry_on_producer_arrival(flowgraph):
+    fg = flowgraph
+    fg.block_create("p1", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    assert fg.block_state("p1") == BlockState.INCOMPLETE
+    fg.block_create("src", "synth_source", {"size": 4})
+    assert fg.block_state("p1") == BlockState.COMPLETE
+
+
+def test_fault_isolates_block_and_downstream(flowgraph):
+    fg = flowgraph
+    synthetic.FAULTS["bad/m"] = "create"
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("bad", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    fg.block_create("down", "synth_pass", {},
+                    {"in": "${graph.bad.output.out}"})
+    fg.block_create("ok", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    assert fg.block_state("bad") == BlockState.ERRORED
+    assert "injected fault" in fg.block_error("bad")
+    assert fg.block_state("down") == BlockState.INCOMPLETE
+    assert fg.block_state("ok") == BlockState.COMPLETE
+    # healthy branch still computes
+    assert fg.compute(timeout=5.0)
+
+
+def test_fault_recovery_via_retry(flowgraph):
+    fg = flowgraph
+    synthetic.FAULTS["bad/m"] = "create"
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("bad", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    assert fg.block_state("bad") == BlockState.ERRORED
+    synthetic.reset()
+    fg.block_reconfigure("bad", {})
+    assert fg.block_state("bad") == BlockState.COMPLETE
+
+
+def test_reconfigure_rollback_on_failure(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    assert fg.block_state("src") == BlockState.COMPLETE
+    with pytest.raises(Exception):
+        fg.block_reconfigure("src", {"size": "not-a-number"})
+    assert fg.block_state("src") == BlockState.COMPLETE
+    assert fg.records["src"].raw_config == {"size": 4}
+
+
+def test_destroy_propagates_downstream(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("p1", "synth_pass", {}, {"in": "${graph.src.output.out}"})
+    fg.block_destroy("src")
+    assert fg.block_state("p1") == BlockState.INCOMPLETE
+    assert "src" not in fg.records
+
+
+def test_stateful_state_advances(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("st", "synth_stateful", {},
+                    {"in": "${graph.src.output.out}"})
+    fg.block_create("sink", "synth_sink", {}, {"in": "${graph.st.output.out}"})
+    for _ in range(3):
+        assert fg.compute(timeout=5.0)
+    sink = _sink_mod(fg, "sink")
+    # cycle k: src produces k, stateful adds its count k -> 2k
+    np.testing.assert_allclose(sink.received[2], np.full(4, 6.0))
+
+
+def test_duplicate_name_rejected(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    with pytest.raises(GraphError):
+        fg.block_create("src", "synth_source", {"size": 4})
+
+
+def test_unknown_block_type_rejected(flowgraph):
+    with pytest.raises(GraphError):
+        flowgraph.block_create("x", "does_not_exist")
+
+
+def test_view_snapshot(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    v = fg.view()
+    assert v["blocks"]["src"]["state"] == "complete"
+    assert v["blocks"]["src"]["outputs"]["out"]["shape"] == [4]
+
+
+def test_environment_kv_and_timestamps(flowgraph):
+    env = flowgraph.environment
+    env.set("freq", 100e6)
+    assert env.get("freq") == 100e6
+    assert env.timestamp("freq") is not None
+    assert "freq" in env.keys()
+    seen = []
+    env.subscribe(lambda k, v: seen.append((k, v)))
+    env.set("rate", 2e6)
+    assert seen == [("rate", 2e6)]
