@@ -20,3 +20,4 @@ def register_all() -> None:
     from cyberether_tpu.blocks import visualization  # noqa: F401
     from cyberether_tpu.blocks import ml  # noqa: F401
     from cyberether_tpu.blocks import composites  # noqa: F401
+    from cyberether_tpu.blocks import filter_engine  # noqa: F401

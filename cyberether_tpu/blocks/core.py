@@ -526,6 +526,34 @@ class SignalAxesModule(Module):
 
 
 # ---------------------------------------------------------------------------
+# attributes — internal metadata module: set/remove link attributes.
+# The reference mutates attributes directly on tensors inside composite
+# blocks (e.g. filter_engine setAttribute("channelOffsets", …)); with
+# immutable TensorSpecs this is an explicit no-op-compute module.
+# ---------------------------------------------------------------------------
+@register_module
+class AttributesModule(Module):
+    module_type = "attributes"
+    taints = Taint.STATELESS
+    input_ports = ("buffer",)
+    output_ports = ("buffer",)
+    schema = Schema(Field("set", "any", None),
+                    Field("remove", "list[str]", []))
+
+    def create(self) -> Dict[str, TensorSpec]:
+        spec = self.input_specs["buffer"]
+        attrs = dict(spec.attributes)
+        for k in self.config["remove"]:
+            attrs.pop(k, None)
+        attrs.update(self.config["set"] or {})
+        from dataclasses import replace
+        return {"buffer": replace(spec, attributes=attrs)}
+
+    def apply(self, inputs, state):
+        return {"buffer": inputs["buffer"]}, state
+
+
+# ---------------------------------------------------------------------------
 # slice — NumPy-style token slicing (core/slice, memory/token.hh)
 # ---------------------------------------------------------------------------
 def parse_slice_tokens(text: str, rank: int) -> Tuple[slice, ...]:

@@ -883,7 +883,6 @@ class PhaseCorrectionModule(Module):
             shape[self._channel] = nch
         if self._batch is not None:
             shape[self._batch] = nbatch
-        move = []
         corr_full = corr  # (nch, nbatch)
         if self._channel is None:
             corr_full = corr_full[0]
@@ -891,6 +890,8 @@ class PhaseCorrectionModule(Module):
                 corr_full = corr_full[0]
         elif self._batch is None:
             corr_full = corr_full[:, 0]
+        elif self._batch < self._channel:
+            corr_full = corr_full.T   # reshape order is (batch, channel)
         corr_b = corr_full.reshape(shape)
         out = x * corr_b
 

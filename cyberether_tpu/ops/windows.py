@@ -7,14 +7,20 @@ Reference: Blackman window in
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
 def blackman(size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Computed in float64 on host at trace time (it is a static
+    constant folded into the compiled program)."""
     if size == 1:
         return jnp.ones((1,), dtype)
-    n = jnp.arange(size, dtype=jnp.float64)
+    n = np.arange(size, dtype=np.float64)
     tap = (0.42
-           - 0.50 * jnp.cos(2.0 * jnp.pi * n / (size - 1))
-           + 0.08 * jnp.cos(4.0 * jnp.pi * n / (size - 1)))
-    return tap.astype(dtype)
+           - 0.50 * np.cos(2.0 * np.pi * n / (size - 1))
+           + 0.08 * np.cos(4.0 * np.pi * n / (size - 1)))
+    return jnp.asarray(tap.astype(np.dtype(dtype) if not
+                                  np.issubdtype(np.dtype(dtype),
+                                                np.complexfloating)
+                                  else np.float64)).astype(dtype)
