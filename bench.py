@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark driver: 64-channel FM channelizer+demod throughput on one
+chip.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: BASELINE.json north star — >1 Gsamp/s aggregate on v5e-16
+== 62.5 Msamp/s per chip.  vs_baseline = per-chip samples/s / 62.5e6.
+
+Extra configs (spectrum, WBFM) are reported on stderr for the record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# persistent compilation cache: tunnel compiles are ~100 s, cache makes
+# reruns instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+BASELINE_PER_CHIP = 62.5e6   # 1 Gsamp/s / 16 chips (v5e-16)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_steps(fn, make_args, steps: int, warmup: int = 3):
+    """Median-of-runs steady-state timing with donation-safe arg
+    regeneration."""
+    args = make_args()
+    for _ in range(warmup):
+        out = fn(*args)
+        args = regen(out, args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+        args = regen(out, args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def regen(out, args):
+    """If fn returns (y, state) thread state; else keep args."""
+    if isinstance(out, tuple) and len(out) == 2 and \
+            isinstance(out[1], dict):
+        return (out[1],) + tuple(args[1:])
+    return args
+
+
+def bench_channelizer() -> float:
+    from cyberether_tpu.models.channelizer import Channelizer
+
+    model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
+    frames = 1 << 17                       # 8.4 Msamp per step
+    iq = jax.device_put(model.make_input(frames))
+    step = model.jitted_step()
+
+    state = model.init_state()
+    t0 = time.perf_counter()
+    audio, state = step(state, iq)
+    jax.block_until_ready(audio)
+    log(f"channelizer first-step (compile) {time.perf_counter()-t0:.1f}s")
+
+    def fn(state, iq):
+        return step(state, iq)
+
+    dt = time_steps(fn, lambda: (model.init_state(), iq), steps=10)
+    samples = frames * model.channels
+    rate = samples / dt
+    log(f"channelizer: {rate/1e6:.1f} Msamp/s/chip "
+        f"({dt*1e3:.2f} ms / {samples/1e6:.1f} Msamp)")
+    return rate
+
+
+def bench_spectrum() -> float:
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=512)
+    iq = jax.device_put(pipe.make_input())
+    step = pipe.jitted_step()
+    out = step(iq)
+    jax.block_until_ready(out)
+    dt = time_steps(lambda iq: step(iq), lambda: (iq,), steps=10)
+    rate = pipe.batches * pipe.fft_size / dt
+    log(f"spectrum: {rate/1e6:.1f} Msamp/s/chip")
+    return rate
+
+
+def bench_wbfm() -> float:
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+
+    rx = WbfmReceiver()
+    n = 1 << 21
+    iq = jax.device_put(rx.make_input(n))
+    step = rx.jitted_step()
+    audio, st = step(rx.init_state(), iq)
+    jax.block_until_ready(audio)
+    dt = time_steps(lambda s, iq: step(s, iq),
+                    lambda: (rx.init_state(), iq), steps=10)
+    rate = n / dt
+    log(f"wbfm: {rate/1e6:.1f} Msamp/s/chip")
+    return rate
+
+
+def main() -> None:
+    log("devices:", jax.devices())
+    results = {}
+    try:
+        results["spectrum"] = bench_spectrum()
+    except Exception as e:
+        log("spectrum bench failed:", repr(e))
+    try:
+        results["wbfm"] = bench_wbfm()
+    except Exception as e:
+        log("wbfm bench failed:", repr(e))
+    rate = bench_channelizer()
+    results["channelizer"] = rate
+
+    print(json.dumps({
+        "metric": "channelizer64_fm_samples_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(rate / BASELINE_PER_CHIP, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

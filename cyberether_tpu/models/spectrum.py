@@ -1,0 +1,60 @@
+"""Single-channel spectrum pipeline (BASELINE.md measured config 1):
+window -> FFT -> |.| dB -> range scale, as one fused jitted step.
+
+Matches the spectrum-analyzer example flowgraph
+(/root/reference/examples/flowgraphs/spectrum-analyzer.yml) — the
+flowgraph compiler produces the same program; this module is the
+direct-callable form used by benchmarks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyberether_tpu.ops.windows import blackman
+
+
+@dataclass
+class SpectrumPipeline:
+    fft_size: int = 2048
+    batches: int = 8
+    range_min: float = -100.0
+    range_max: float = 0.0
+
+    def __post_init__(self):
+        w = np.asarray(blackman(self.fft_size))
+        # fftshift via (-1)^n folded into the window (invert module)
+        sign = np.where(np.arange(self.fft_size) % 2 == 0, 1.0, -1.0)
+        self._win = jnp.asarray((w * sign).astype(np.float32))
+        self._coeff = np.float32(20.0 * np.log10(1.0 / self.fft_size))
+        lo, hi = min(self.range_min, self.range_max), \
+            max(self.range_min, self.range_max)
+        self._scale = np.float32(1.0 / (hi - lo))
+        self._offset = np.float32(-lo / (hi - lo))
+
+    def step(self, iq: jnp.ndarray) -> jnp.ndarray:
+        """iq: (batches, fft_size, 2) float32 re/im -> (batches,
+        fft_size) float32 normalized spectrum in [0, 1]."""
+        x = (iq[..., 0] + 1j * iq[..., 1]) * self._win
+        spec = jnp.fft.fft(x, axis=-1)
+        mag = jnp.abs(spec)
+        db = 20.0 * jnp.log10(jnp.maximum(mag, 1e-30)) + self._coeff
+        norm = db * self._scale + self._offset
+        return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+    def jitted_step(self):
+        return jax.jit(self.step)
+
+    def make_input(self, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        shape = (self.batches, self.fft_size)
+        x = np.exp(2j * np.pi * 0.1 * np.arange(self.fft_size))[None, :] \
+            + 0.01 * (rng.standard_normal(shape)
+                      + 1j * rng.standard_normal(shape))
+        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)

@@ -1,0 +1,81 @@
+"""WBFM broadcast receiver (BASELINE.md measured config 3):
+channel filter (FIR) -> FM discriminator -> polyphase audio decimator,
+as one fused jitted streaming step with explicit state.
+
+Reference cognate: the simple-fm / overlap-add example flowgraphs
+(soapy -> filter -> fm -> audio).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyberether_tpu.ops.firs import windowed_sinc_bandpass
+
+
+@dataclass
+class WbfmReceiver:
+    sample_rate: float = 2.0e6
+    channel_bw: float = 200e3
+    audio_decim: int = 40            # 2 MHz -> 50 kHz audio
+    taps: int = 129
+    deviation: float = 75e3
+
+    def __post_init__(self):
+        h = windowed_sinc_bandpass(self.taps, self.sample_rate,
+                                   self.channel_bw, [0.0])[0].real
+        self._taps = jnp.asarray(h.astype(np.float32))
+        kf = self.deviation / self.sample_rate
+        self._ref = np.float32(1.0 / (2.0 * np.pi * kf))
+        ad = self.audio_decim
+        self._audio_taps = jnp.asarray(np.ones(ad, np.float32) / ad)
+
+    def init_state(self):
+        return {
+            "fir_hist": jnp.zeros((2, self.taps - 1), jnp.float32),
+            "prev": jnp.zeros((2,), jnp.float32),
+        }
+
+    def step(self, state, iq: jnp.ndarray):
+        """iq: (n, 2) float32 re/im; n divisible by audio_decim.
+        Returns (audio (n // audio_decim,), new_state)."""
+        x = iq.T                                    # (2, n)
+        ext = jnp.concatenate([state["fir_hist"], x], axis=-1)
+        filt = jax.lax.conv_general_dilated(
+            ext[:, None, :], self._taps[None, None, ::-1],
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)[:, 0, :]   # (2, n)
+        yr, yi = filt[0], filt[1]
+        pr = jnp.concatenate([state["prev"][:1], yr[:-1]])
+        pi = jnp.concatenate([state["prev"][1:], yi[:-1]])
+        demod = jnp.arctan2(pr * yi - pi * yr,
+                            pr * yr + pi * yi) * self._ref
+        n = demod.shape[0]
+        audio = demod.reshape(n // self.audio_decim,
+                              self.audio_decim).mean(-1)
+        new_state = {
+            "fir_hist": ext[:, -(self.taps - 1):],
+            "prev": jnp.stack([yr[-1], yi[-1]]),
+        }
+        return audio, new_state
+
+    def jitted_step(self):
+        return jax.jit(self.step, donate_argnums=(0,))
+
+    def make_input(self, n: int, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.sample_rate
+        msg = np.sin(2 * np.pi * 1e3 * t)
+        phase = 2 * np.pi * self.deviation * np.cumsum(msg) \
+            / self.sample_rate
+        x = np.exp(1j * phase).astype(np.complex64)
+        x += 0.01 * (rng.standard_normal(n)
+                     + 1j * rng.standard_normal(n)).astype(np.complex64)
+        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
