@@ -1,0 +1,189 @@
+"""Per-component benchmark harness.
+
+Reference: nanobench-based harness with per-module cases registered via
+JST_BENCHMARKS (/root/reference/src/benchmark.cc:100-178,
+include/jetstream/benchmark.hh:19-66; cases e.g.
+src/domains/dsp/fft/module_benchmarks.cc: CF32-8192 / CF32-65536 /
+F32-8192 / F32-65536), run with minEpochTime(100 ms) and emitted as
+markdown/json/csv from ``cyberether benchmark [block] --format …``.
+
+Here each case times the module's jitted ``apply`` (state threaded,
+``block_until_ready``), with the same 100 ms minimum epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cyberether_tpu.core.registry import registry
+from cyberether_tpu.core.tensor import SignalAxes
+from cyberether_tpu.testing import TestContext, default_axes
+
+MIN_EPOCH_SECONDS = 0.1
+
+
+@dataclass
+class Case:
+    component: str
+    variant: str
+    config: Dict[str, Any]
+    inputs: Callable[[], Dict[str, np.ndarray]]
+    axes: Dict[str, SignalAxes] = field(default_factory=dict)
+    attrs: Dict[str, Dict[str, Any]] = field(default_factory=dict)
+
+
+@dataclass
+class Measurement:
+    component: str
+    variant: str
+    ops_per_sec: float
+    ms_per_op: float
+    samples_per_sec: float
+    error_pct: float
+
+
+_CASES: List[Case] = []
+
+
+def register_case(case: Case) -> None:
+    _CASES.append(case)
+
+
+def list_components() -> List[str]:
+    return sorted({c.component for c in _CASES})
+
+
+def run(component: Optional[str] = None,
+        min_epoch: float = MIN_EPOCH_SECONDS) -> List[Measurement]:
+    out: List[Measurement] = []
+    for case in _CASES:
+        if component and case.component != component:
+            continue
+        out.append(_run_case(case, min_epoch))
+    return out
+
+
+def _run_case(case: Case, min_epoch: float) -> Measurement:
+    ctx = TestContext(case.component, dict(case.config))
+    arrays = case.inputs()
+    for port, arr in arrays.items():
+        ctx.set_input(port, arr, axes=case.axes.get(port),
+                      attrs=case.attrs.get(port))
+    mod = ctx._build()
+    jitted = ctx._jitted
+    ins = {p: jnp.asarray(v) for p, v in arrays.items()}
+    state = ctx._state
+    # warmup/compile
+    outs, state = jitted(ins, state)
+    jax.block_until_ready(outs)
+
+    samples = sum(int(np.prod(a.shape)) for a in arrays.values()) or \
+        sum(int(np.prod(s.shape)) for s in mod.output_specs.values())
+
+    epochs: List[float] = []
+    total = 0.0
+    while total < min_epoch or len(epochs) < 3:
+        t0 = time.perf_counter()
+        outs, state = jitted(ins, state)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        epochs.append(dt)
+        total += dt
+        if len(epochs) > 10000:
+            break
+    med = float(np.median(epochs))
+    err = float(np.std(epochs) / (np.mean(epochs) or 1.0)) * 100.0
+    return Measurement(
+        component=case.component, variant=case.variant,
+        ops_per_sec=1.0 / med, ms_per_op=med * 1e3,
+        samples_per_sec=samples / med, error_pct=err)
+
+
+# ---------------------------------------------------------------------------
+# output formats (benchmark.cc:170-178)
+# ---------------------------------------------------------------------------
+def format_results(results: List[Measurement], fmt: str = "markdown"
+                   ) -> str:
+    if fmt == "json":
+        return json.dumps([m.__dict__ for m in results], indent=2)
+    if fmt == "csv":
+        lines = ["component,variant,ops_per_sec,ms_per_op,"
+                 "samples_per_sec,error_pct"]
+        for m in results:
+            lines.append(f"{m.component},{m.variant},{m.ops_per_sec:.2f},"
+                         f"{m.ms_per_op:.4f},{m.samples_per_sec:.0f},"
+                         f"{m.error_pct:.1f}")
+        return "\n".join(lines)
+    # markdown
+    lines = ["| component | variant | ops/s | ms/op | samples/s | err% |",
+             "|---|---|---|---|---|---|"]
+    for m in results:
+        lines.append(
+            f"| {m.component} | {m.variant} | {m.ops_per_sec:,.1f} "
+            f"| {m.ms_per_op:.3f} | {m.samples_per_sec:,.0f} "
+            f"| {m.error_pct:.1f} |")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# built-in cases (mirroring the reference's registered shapes)
+# ---------------------------------------------------------------------------
+def _cf32(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+
+
+def _f32(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(n) \
+        .astype(np.float32)
+
+
+def _register_builtin() -> None:
+    for n in (8192, 65536):
+        register_case(Case("fft", f"CF32-{n}", {"forward": True},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("fft", f"F32-{n}",
+                           {"forward": True, "complexOutput": True},
+                           lambda n=n: {"signal": _f32(n)}))
+        register_case(Case("amplitude", f"CF32-{n}", {},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("multiply", f"CF32-{n}", {},
+                           lambda n=n: {"a": _cf32(n), "b": _cf32(n, 1)}))
+        register_case(Case("agc", f"CF32-{n}", {},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("fm", f"CF32-{n}", {"sampleRate": 2e6},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("am", f"CF32-{n}", {},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("invert", f"CF32-{n}", {},
+                           lambda n=n: {"signal": _cf32(n)}))
+        register_case(Case("cast", f"F32-{n}", {"outputType": "CF32"},
+                           lambda n=n: {"buffer": _f32(n)}))
+        register_case(Case("fold", f"CF32-{n}", {"size": 1024},
+                           lambda n=n: {"buffer": _cf32(n)}))
+    register_case(Case("window", "CF32-2048", {"size": 2048}, dict))
+    register_case(Case("filter_taps", "101taps-8heads",
+                       {"sampleRate": 2e6, "bandwidth": 200e3,
+                        "center": [float(i * 1e5) for i in range(8)],
+                        "taps": 101}, dict))
+    register_case(Case("rrc_filter", "CF32-8192",
+                       {"taps": 101, "sampleRate": 4e6,
+                        "symbolRate": 1e6},
+                       lambda: {"buffer": _cf32(8192)}))
+    register_case(Case(
+        "overlap_add", "CF32-8x8192", {},
+        lambda: {"buffer": _cf32(8 * 8192).reshape(8, 8192),
+                 "overlap": _cf32(8 * 50, 1).reshape(8, 50)},
+    ))
+
+
+_register_builtin()

@@ -1,0 +1,177 @@
+"""Command-line entry — the `cyberether` analog.
+
+Reference CLI surface (/root/reference/src/run_native.cc:324-907):
+``cyberether [flowgraph.yml]`` runs a graph, ``cyberether benchmark
+[component] --format markdown|json|csv`` runs the measurement harness;
+flags for headless/verbose/plugins; Ctrl-C handling with double-^C
+force quit.
+
+Usage:
+    python -m cyberether_tpu run <flowgraph.yml> [--duration S]
+        [--serve PORT] [--print-output BLOCK.PORT]
+    python -m cyberether_tpu benchmark [component] [--format FMT]
+    python -m cyberether_tpu list [blocks|modules|examples]
+    python -m cyberether_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _cmd_run(args) -> int:
+    from cyberether_tpu import Instance
+    from cyberether_tpu.utils.logging import set_level
+
+    if args.verbose:
+        set_level("DEBUG" if args.verbose > 1 else "INFO")
+
+    inst = Instance(headless=True)
+    fg = inst.flowgraph_import(args.flowgraph)
+    bad = [n for n in fg.records
+           if fg.block_state(n).value == "errored"]
+    for n in bad:
+        print(f"[warn] block '{n}' errored: {fg.block_error(n)}",
+              file=sys.stderr)
+
+    server = None
+    if args.serve:
+        from cyberether_tpu.remote.server import RemoteServer
+
+        server = RemoteServer(inst, port=args.serve)
+        server.start()
+        print(f"serving flowgraph UI on http://0.0.0.0:{args.serve}",
+              file=sys.stderr)
+
+    stop = {"flag": False, "count": 0}
+
+    def on_int(sig, frame):
+        stop["count"] += 1
+        stop["flag"] = True
+        if stop["count"] >= 2:   # double Ctrl-C force-kills
+            sys.exit(130)
+
+    signal.signal(signal.SIGINT, on_int)
+    inst.start()
+    t0 = time.monotonic()
+    try:
+        while not stop["flag"]:
+            if args.duration and time.monotonic() - t0 >= args.duration:
+                break
+            time.sleep(0.05)
+    finally:
+        inst.stop()
+        if server is not None:
+            server.stop()
+    if args.print_output:
+        out = fg.scheduler.output(args.print_output)
+        if out is None:
+            print("null")
+        else:
+            np.set_printoptions(threshold=32)
+            print(out)
+    if args.export:
+        fg.to_file(args.export)
+    return 0
+
+
+def _cmd_benchmark(args) -> int:
+    from cyberether_tpu import benchmark
+
+    results = benchmark.run(args.component)
+    if not results:
+        print(f"no benchmark cases for '{args.component}'",
+              file=sys.stderr)
+        return 1
+    print(benchmark.format_results(results, args.format))
+    return 0
+
+
+def _cmd_list(args) -> int:
+    from cyberether_tpu import registry
+
+    kind = args.kind
+    if kind in ("blocks", "all"):
+        print("# blocks")
+        for b in registry.list_blocks():
+            e = registry.block_entry(b)
+            print(f"  {b:24s} {e.summary}")
+    if kind in ("modules", "all"):
+        print("# modules")
+        for k in registry.list_modules():
+            print(f"  {k.type:24s} [{k.device.canonical()}/"
+                  f"{k.runtime.value}/{k.provider}]")
+    if kind in ("examples", "all"):
+        print("# examples")
+        for name in registry.list_examples():
+            print(f"  {name}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    import jax
+
+    import cyberether_tpu
+    from cyberether_tpu import registry
+
+    print(f"cyberether-tpu {cyberether_tpu.__version__}")
+    print(f"jax {jax.__version__}")
+    try:
+        devs = jax.devices()
+        print(f"devices: {devs}")
+    except Exception as e:
+        print(f"devices: unavailable ({e})")
+    print(f"blocks: {len(registry.list_blocks())}, "
+          f"modules: {len(registry.list_modules())}")
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="cyberether-tpu")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    sub = p.add_subparsers(dest="cmd")
+
+    runp = sub.add_parser("run", help="run a flowgraph")
+    runp.add_argument("flowgraph")
+    runp.add_argument("--duration", type=float, default=0.0,
+                      help="seconds to run (0 = until Ctrl-C)")
+    runp.add_argument("--serve", type=int, default=0,
+                      help="serve the web UI on this port")
+    runp.add_argument("--print-output", default="",
+                      help="print BLOCK.PORT after the run")
+    runp.add_argument("--export", default="",
+                      help="re-export the flowgraph YAML on exit")
+
+    bp = sub.add_parser("benchmark", help="run component benchmarks")
+    bp.add_argument("component", nargs="?", default=None)
+    bp.add_argument("--format", default="markdown",
+                    choices=("markdown", "json", "csv"))
+
+    lp = sub.add_parser("list", help="list registered components")
+    lp.add_argument("kind", nargs="?", default="all",
+                    choices=("blocks", "modules", "examples", "all"))
+
+    sub.add_parser("info", help="environment info")
+
+    args = p.parse_args(argv)
+    if args.cmd == "run":
+        return _cmd_run(args)
+    if args.cmd == "benchmark":
+        return _cmd_benchmark(args)
+    if args.cmd == "list":
+        return _cmd_list(args)
+    if args.cmd == "info":
+        return _cmd_info(args)
+    p.print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,288 @@
+"""aiohttp server: flowgraph API + surface streaming WebSocket.
+
+Endpoints (the /api/v1 shape mirrors the reference's remote API
+surface, src/instance_remote_socket.cc:17-58):
+
+- GET  /                          single-page UI
+- GET  /api/v1/flowgraphs         all flowgraph views (JSON)
+- POST /api/v1/flowgraph/{fg}/block            {name,type,config,inputs}
+- PATCH /api/v1/flowgraph/{fg}/block/{name}    {config}
+- DELETE /api/v1/flowgraph/{fg}/block/{name}
+- POST /api/v1/flowgraph/{fg}/connect          {name,port,link}
+- GET  /api/v1/metrics            metrics + timings
+- WS   /api/v1/stream             pushes surface frames (PNG base64)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import io
+import json
+import threading
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from cyberether_tpu.utils.logging import get_logger
+
+log = get_logger("remote")
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>CyberEther-TPU</title><style>
+body{background:#111;color:#ddd;font-family:monospace;margin:16px}
+.surface{margin:8px;display:inline-block;vertical-align:top}
+canvas,img{border:1px solid #444;image-rendering:pixelated}
+h3{margin:4px 0} pre{color:#8c8}
+</style></head><body>
+<h2>CyberEther-TPU</h2>
+<div id="surfaces"></div>
+<h3>flowgraph</h3><pre id="view"></pre>
+<script>
+const ws = new WebSocket(`ws://${location.host}/api/v1/stream`);
+ws.onmessage = (ev) => {
+  const msg = JSON.parse(ev.data);
+  if (msg.type === "frames") {
+    for (const [name, f] of Object.entries(msg.frames)) {
+      let div = document.getElementById("s_" + name);
+      if (!div) {
+        div = document.createElement("div");
+        div.className = "surface"; div.id = "s_" + name;
+        div.innerHTML = `<h3>${name}</h3><img id="i_${name}">`;
+        document.getElementById("surfaces").appendChild(div);
+      }
+      if (f.png) document.getElementById("i_" + name).src =
+        "data:image/png;base64," + f.png;
+    }
+  } else if (msg.type === "view") {
+    document.getElementById("view").textContent =
+      JSON.stringify(msg.view, null, 1);
+  }
+};
+</script></body></html>"""
+
+
+def _frame_to_png_b64(data: Dict[str, Any]) -> Optional[str]:
+    """Convert present_data output to a base64 PNG."""
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        return None
+    arr = None
+    if "frame" in data:
+        arr = np.asarray(data["frame"])
+        if arr.ndim == 3 and arr.shape[-1] == 4:
+            img = Image.fromarray(arr, "RGBA")
+        elif arr.ndim == 2:
+            img = Image.fromarray(
+                (255 * (arr - arr.min())
+                 / max(arr.max() - arr.min(), 1e-9)).astype(np.uint8))
+        else:
+            return None
+    elif "line" in data:
+        from cyberether_tpu.viz.colormaps import apply_colormap
+
+        line = np.asarray(data["line"])
+        h, w = 160, len(line)
+        img_arr = np.zeros((h, w, 4), np.uint8)
+        img_arr[..., 3] = 255
+        norm = np.clip(np.nan_to_num(line, nan=0.0, posinf=1.0,
+                                     neginf=0.0), 0.0, 1.0)
+        rows = (h - 1 - norm * (h - 1)).astype(int)
+        img_arr[rows, np.arange(w)] = [0, 255, 160, 255]
+        img = Image.fromarray(img_arr, "RGBA")
+    else:
+        return None
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class RemoteServer:
+    def __init__(self, instance, host: str = "0.0.0.0",
+                 port: int = 8765, fps: float = 10.0):
+        self.instance = instance
+        self.host = host
+        self.port = port
+        self.fps = fps
+        self._thread: Optional[threading.Thread] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._stop = threading.Event()
+        self._clients: set = set()
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._serve,
+                                        name="ce-remote", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(lambda: None)
+        if self._thread is not None:
+            self._thread.join(timeout=3.0)
+
+    def _serve(self) -> None:
+        asyncio.run(self._amain())
+
+    async def _amain(self) -> None:
+        from aiohttp import web
+
+        self._loop = asyncio.get_running_loop()
+        app = web.Application()
+        app.router.add_get("/", self._index)
+        app.router.add_get("/api/v1/flowgraphs", self._flowgraphs)
+        app.router.add_get("/api/v1/metrics", self._metrics)
+        app.router.add_post("/api/v1/flowgraph/{fg}/block",
+                            self._block_create)
+        app.router.add_patch("/api/v1/flowgraph/{fg}/block/{name}",
+                             self._block_reconfigure)
+        app.router.add_delete("/api/v1/flowgraph/{fg}/block/{name}",
+                              self._block_destroy)
+        app.router.add_post("/api/v1/flowgraph/{fg}/connect",
+                            self._connect)
+        app.router.add_get("/api/v1/stream", self._stream)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, self.host, self.port)
+        await site.start()
+        try:
+            while not self._stop.is_set():
+                await asyncio.sleep(0.2)
+        finally:
+            await runner.cleanup()
+
+    # -- handlers -----------------------------------------------------------
+    async def _index(self, request):
+        from aiohttp import web
+
+        return web.Response(text=_PAGE, content_type="text/html")
+
+    async def _flowgraphs(self, request):
+        from aiohttp import web
+
+        views = {name: fg.view()
+                 for name, fg in self.instance.flowgraphs.items()}
+        return web.json_response(views)
+
+    async def _metrics(self, request):
+        from aiohttp import web
+
+        out: Dict[str, Any] = {}
+        for name, fg in self.instance.flowgraphs.items():
+            sched = fg.scheduler
+            out[name] = {
+                "metrics": _jsonable(sched.metrics()),
+                "timings": {k: {"cycles": t.cycles,
+                                "last_ms": t.last_ms,
+                                "avg_ms": t.avg_ms}
+                            for k, t in sched.timings().items()},
+            }
+        return web.json_response(out)
+
+    def _fg(self, request):
+        name = request.match_info["fg"]
+        return self.instance.flowgraphs.get(name)
+
+    async def _block_create(self, request):
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        body = await request.json()
+        try:
+            fg.block_create(
+                name=body["name"], type=body["type"],
+                config=body.get("config"), inputs=body.get("inputs"),
+                device=body.get("device"), runtime=body.get("runtime"),
+                provider=body.get("provider", "generic"))
+        except Exception as e:
+            raise web.HTTPBadRequest(text=str(e))
+        return web.json_response(fg.view()["blocks"][body["name"]])
+
+    async def _block_reconfigure(self, request):
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        name = request.match_info["name"]
+        body = await request.json()
+        try:
+            fg.block_reconfigure(name, body.get("config", {}))
+        except Exception as e:
+            raise web.HTTPBadRequest(text=str(e))
+        return web.json_response(fg.view()["blocks"][name])
+
+    async def _block_destroy(self, request):
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        try:
+            fg.block_destroy(request.match_info["name"])
+        except Exception as e:
+            raise web.HTTPBadRequest(text=str(e))
+        return web.json_response({"ok": True})
+
+    async def _connect(self, request):
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        body = await request.json()
+        try:
+            fg.block_connect(body["name"], body["port"],
+                             body.get("link", ""))
+        except Exception as e:
+            raise web.HTTPBadRequest(text=str(e))
+        return web.json_response({"ok": True})
+
+    async def _stream(self, request):
+        from aiohttp import web
+
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        self._clients.add(ws)
+        try:
+            period = 1.0 / self.fps
+            tick = 0
+            while not ws.closed and not self._stop.is_set():
+                frames: Dict[str, Any] = {}
+                for fg in list(self.instance.flowgraphs.values()):
+                    for name, data in fg.present().items():
+                        png = await asyncio.get_running_loop() \
+                            .run_in_executor(None, _frame_to_png_b64,
+                                             data)
+                        if png:
+                            frames[name] = {"png": png,
+                                            "kind": data.get("kind")}
+                if frames:
+                    await ws.send_str(json.dumps(
+                        {"type": "frames", "frames": frames}))
+                if tick % 10 == 0:
+                    views = {n: fg.view() for n, fg in
+                             self.instance.flowgraphs.items()}
+                    await ws.send_str(json.dumps(
+                        {"type": "view", "view": views}))
+                tick += 1
+                await asyncio.sleep(period)
+        finally:
+            self._clients.discard(ws)
+        return ws
+
+
+def _jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer, np.bool_)):
+        return obj.item()
+    return obj
