@@ -571,7 +571,12 @@ class Scheduler:
                 continue
             data = mod.present_data(outs, self._state.get(name))
             if data is not None:
-                out[name] = data
+                # display under the owning block's name (flat module
+                # names are '<block>/<local>')
+                display = name.split("/", 1)[0]
+                if display in out:
+                    display = name
+                out[display] = data
         return out
 
     # ------------------------------------------------------------------
