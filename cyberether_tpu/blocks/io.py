@@ -25,7 +25,7 @@ from cyberether_tpu.core.registry import register_block, register_module
 from cyberether_tpu.core.tensor import SignalAxes, TensorSpec
 from cyberether_tpu.core.types import DataType, Device, Runtime, Taint, \
     ValidationError
-from cyberether_tpu.io.ringbuffer import CircularBuffer
+from cyberether_tpu.io.ringbuffer import CircularBuffer, make_ring
 from cyberether_tpu.utils.logging import get_logger
 
 log = get_logger("io")
@@ -73,21 +73,47 @@ class FileReaderModule(Module):
             SignalAxes(sample=0), attrs)}
 
     def host_start(self, ctx: Any = None) -> None:
-        self._file = open(self.config["filepath"], "rb")
         self._np_dtype = DataType.parse(self.config["dataType"]).np_dtype
-        self._bytes_per_batch = (int(self.config["batchSize"])
-                                 * self._np_dtype.itemsize)
+        self._batch = int(self.config["batchSize"])
+        self._bytes_per_batch = self._batch * self._np_dtype.itemsize
         self.file_size = os.path.getsize(self.config["filepath"])
         self.position = 0
+        self._file = None
+        self._native = None
+        # prefer the native readahead reader (native/ceruntime.cc)
+        try:
+            from cyberether_tpu.io.native import NativeIqFile, available
+
+            if available():
+                self._native = NativeIqFile(
+                    self.config["filepath"], self._np_dtype,
+                    buffer_samples=max(self._batch * 8, 1 << 16),
+                    chunk_samples=max(self._batch, 1 << 14),
+                    loop=bool(self.config["loop"]))
+        except Exception:
+            self._native = None
+        if self._native is None:
+            self._file = open(self.config["filepath"], "rb")
 
     def host_stop(self) -> None:
+        if getattr(self, "_native", None) is not None:
+            self._native.close()
+            self._native = None
         f = getattr(self, "_file", None)
         if f is not None:
             f.close()
             self._file = None
 
     def host_poll(self) -> Optional[Dict[str, np.ndarray]]:
-        if not self.config["playing"] or self._file is None:
+        if not self.config["playing"]:
+            return None
+        if self._native is not None:
+            data = self._native.read(self._batch, timeout=0.05)
+            if data is None:
+                return None
+            self.position = self._native.position
+            return {"signal": data}
+        if self._file is None:
             return None
         raw = self._file.read(self._bytes_per_batch)
         if len(raw) < self._bytes_per_batch:
@@ -200,7 +226,7 @@ class SoapyModule(Module):
         ns = int(self.config["numberOfTimeSamples"])
         mult = max(int(self.config["bufferMultiplier"]), 2)
         self._block = nb * ns
-        self._ring = CircularBuffer(self._block * mult, np.complex64)
+        self._ring = make_ring(self._block * mult, np.complex64)
         self._stop = threading.Event()
         self._driver_error: Optional[str] = None
         self._thread = threading.Thread(
@@ -323,7 +349,7 @@ class WebsocketModule(Module):
         dt = DataType.parse(self.config["dataType"]).np_dtype
         self._np_dtype = dt
         mult = max(int(self.config["bufferMultiplier"]), 2)
-        self._ring = CircularBuffer(self._block * mult, dt)
+        self._ring = make_ring(self._block * mult, dt)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._ws_loop,
                                         name=f"ws-{self.name}", daemon=True)

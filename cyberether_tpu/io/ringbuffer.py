@@ -19,6 +19,19 @@ from typing import Optional
 import numpy as np
 
 
+def make_ring(capacity: int, dtype=np.complex64):
+    """Return the native lock-free ring when the toolchain built it,
+    else the pure-Python fallback (identical semantics)."""
+    try:
+        from cyberether_tpu.io import native
+
+        if native.available():
+            return native.NativeRing(capacity, dtype)
+    except Exception:
+        pass
+    return CircularBuffer(capacity, dtype)
+
+
 class CircularBuffer:
     """Thread-safe byte/sample ring over a numpy array.
 
