@@ -35,6 +35,7 @@ def _load_domains() -> None:
     from cyberether_tpu import blocks  # noqa: F401
 
     blocks.register_all()
+    from cyberether_tpu import examples  # noqa: F401
 
 
 _load_domains()

@@ -33,8 +33,21 @@ def _cmd_run(args) -> int:
     if args.verbose:
         set_level("DEBUG" if args.verbose > 1 else "INFO")
 
+    from cyberether_tpu.core import plugin as plugin_loader
+
+    for p in args.plugin or []:
+        info = plugin_loader.load(p)
+        print(f"loaded plugin '{info.name}' v{info.version}",
+              file=sys.stderr)
+
     inst = Instance(headless=True)
-    fg = inst.flowgraph_import(args.flowgraph)
+    from cyberether_tpu import registry as _registry
+
+    if args.flowgraph in _registry.list_examples():
+        fg = inst.flowgraph_import(
+            _registry.example(args.flowgraph).yaml_text)
+    else:
+        fg = inst.flowgraph_import(args.flowgraph)
     bad = [n for n in fg.records
            if fg.block_state(n).value == "errored"]
     for n in bad:
@@ -138,8 +151,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("-v", "--verbose", action="count", default=0)
     sub = p.add_subparsers(dest="cmd")
 
-    runp = sub.add_parser("run", help="run a flowgraph")
+    runp = sub.add_parser("run", help="run a flowgraph (file or "
+                                      "example name)")
     runp.add_argument("flowgraph")
+    runp.add_argument("--plugin", action="append", default=[],
+                      help="load a plugin bundle/directory (repeatable)")
     runp.add_argument("--duration", type=float, default=0.0,
                       help="seconds to run (0 = until Ctrl-C)")
     runp.add_argument("--serve", type=int, default=0,

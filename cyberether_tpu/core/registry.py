@@ -61,15 +61,33 @@ class Registry:
         self._blocks: Dict[str, BlockEntry] = {}
         self._examples: Dict[str, ExampleEntry] = {}
         self._benchmarks: Dict[str, BenchmarkEntry] = {}
+        self._current_origin = "builtin"
+
+    def origin(self, name: str):
+        """Context manager: registrations inside are tagged with
+        ``name`` (plugin load/unload bookkeeping, registry.cc)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            prev = self._current_origin
+            self._current_origin = name
+            try:
+                yield
+            finally:
+                self._current_origin = prev
+
+        return _ctx()
 
     # -- modules -----------------------------------------------------------
-    def register_module(self, cls: Type, origin: str = "builtin") -> Type:
+    def register_module(self, cls: Type,
+                        origin: Optional[str] = None) -> Type:
         key = ComponentKey(cls.module_type, cls.device, cls.runtime,
                            getattr(cls, "provider", "generic"))
         if key in self._modules:
             raise GraphError(f"module already registered: {key}")
         self._modules[key] = cls
-        cls._registry_origin = origin
+        cls._registry_origin = origin or self._current_origin
         return cls
 
     def build_module(self, type: str, device: Device | str = Device.TPU,
@@ -108,14 +126,16 @@ class Registry:
         return any(k.type == type for k in self._modules)
 
     # -- blocks ------------------------------------------------------------
-    def register_block(self, cls: Type, origin: str = "builtin") -> Type:
+    def register_block(self, cls: Type,
+                       origin: Optional[str] = None) -> Type:
         t = cls.block_type
         if t in self._blocks:
             raise GraphError(f"block already registered: '{t}'")
         self._blocks[t] = BlockEntry(
             type=t, cls=cls, label=getattr(cls, "label", t),
             summary=getattr(cls, "summary", ""),
-            requires=tuple(getattr(cls, "requires", ())), origin=origin)
+            requires=tuple(getattr(cls, "requires", ())),
+            origin=origin or self._current_origin)
         return cls
 
     def build_block(self, type: str) -> Type:
@@ -134,8 +154,9 @@ class Registry:
 
     # -- examples / benchmarks --------------------------------------------
     def register_example(self, name: str, title: str, yaml_text: str,
-                         origin: str = "builtin") -> None:
-        self._examples[name] = ExampleEntry(name, title, yaml_text, origin)
+                         origin: Optional[str] = None) -> None:
+        self._examples[name] = ExampleEntry(
+            name, title, yaml_text, origin or self._current_origin)
 
     def list_examples(self) -> List[str]:
         return sorted(self._examples)

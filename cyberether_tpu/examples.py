@@ -1,0 +1,130 @@
+"""Built-in example flowgraphs (JST_REGISTER_EXAMPLE analog).
+
+Fresh TPU-native examples covering the same scenarios as the
+reference's examples/flowgraphs/ set (spectrum analyzer, FM receiver,
+signal generator, overlap-save filtering).
+"""
+
+from cyberether_tpu.core.registry import registry
+
+SIGNAL_GENERATOR = """
+version: 2
+title: Signal Generator
+summary: Synthetic tone through a spectrum display.
+graph:
+  - name: gen
+    module: signal_generator
+    config:
+      signalType: cosine
+      signalDataType: CF32
+      sampleRate: 1000000
+      frequency: 125000
+      bufferSize: 2048
+  - name: spec
+    module: spectrum_engine
+    config: {enableScale: true, rangeMin: -100, rangeMax: 0}
+    input: {buffer: '${graph.gen.output.signal}'}
+  - name: plot
+    module: lineplot
+    input: {signal: '${graph.spec.output.buffer}'}
+  - name: wtf
+    module: waterfall
+    config: {height: 512}
+    input: {signal: '${graph.spec.output.buffer}'}
+"""
+
+SPECTRUM_ANALYZER = """
+version: 2
+title: Spectrum Analyzer
+summary: SDR console — waterfall and lineplot from a Soapy source.
+graph:
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      frequency: 94900000
+      numberOfTimeSamples: 2048
+      numberOfBatches: 8
+  - name: spec
+    module: spectrum_engine
+    config: {enableScale: true, rangeMin: -100, rangeMax: 0}
+    input: {buffer: '${graph.soapy.output.signal}'}
+  - name: plot
+    module: lineplot
+    input: {signal: '${graph.spec.output.buffer}'}
+  - name: wtf
+    module: waterfall
+    config: {height: 512}
+    input: {signal: '${graph.spec.output.buffer}'}
+"""
+
+FM_RECEIVER = """
+version: 2
+title: Simple FM Receiver
+summary: Narrowband FM demodulation to an audio sink.
+graph:
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 240000
+      frequency: 88900000
+      numberOfTimeSamples: 2048
+      numberOfBatches: 8
+  - name: fm
+    module: fm
+    config: {sampleRate: 240000}
+    input: {signal: '${graph.soapy.output.signal}'}
+  - name: audio
+    module: audio
+    config: {inSampleRate: 240000, outSampleRate: 48000}
+    input: {buffer: '${graph.fm.output.signal}'}
+"""
+
+OVERLAP_SAVE = """
+version: 2
+title: Overlap-Save Filter
+summary: Frequency-domain FIR with integer-ratio resampling.
+graph:
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      numberOfTimeSamples: 8000
+      numberOfBatches: 8
+  - name: taps
+    module: filter_taps
+    config:
+      sampleRate: 2000000
+      bandwidth: 500000
+      center: '[0]'
+      taps: 65
+  - name: engine
+    module: filter_engine
+    input:
+      signal: '${graph.soapy.output.signal}'
+      filter: '${graph.taps.output.coeffs}'
+  - name: spec
+    module: spectrum_engine
+    config: {enableAgc: true, enableScale: true}
+    input: {buffer: '${graph.engine.output.buffer}'}
+  - name: wtf
+    module: waterfall
+    input: {signal: '${graph.spec.output.buffer}'}
+"""
+
+
+def register_examples() -> None:
+    registry.register_example("signal-generator", "Signal Generator",
+                              SIGNAL_GENERATOR)
+    registry.register_example("spectrum-analyzer", "Spectrum Analyzer",
+                              SPECTRUM_ANALYZER)
+    registry.register_example("simple-fm", "Simple FM Receiver",
+                              FM_RECEIVER)
+    registry.register_example("overlap-save", "Overlap-Save Filter",
+                              OVERLAP_SAVE)
+
+
+register_examples()
