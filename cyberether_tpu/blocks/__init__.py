@@ -23,3 +23,4 @@ def register_all() -> None:
     from cyberether_tpu.blocks import filter_engine  # noqa: F401
     from cyberether_tpu.blocks import psk  # noqa: F401
     from cyberether_tpu.blocks import dti  # noqa: F401
+    from cyberether_tpu.blocks import adsb  # noqa: F401

@@ -567,8 +567,8 @@ class Scheduler:
                 k = f"{name}:{port}"
                 if k in self._latest:
                     outs[port] = self._latest[k]
-            if not outs:
-                continue
+            if not outs and mod.output_specs:
+                continue   # outputs exist but nothing computed yet
             data = mod.present_data(outs, self._state.get(name))
             if data is not None:
                 # display under the owning block's name (flat module
