@@ -136,6 +136,32 @@ class Channelizer:
         return audio, new_state
 
     # ------------------------------------------------------------------
+    def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, dict]:
+        """Same math as :meth:`step` through the fused Pallas kernel
+        (ops/pallas_kernels.py channelize_demod): FIR + DFT + demod stay
+        VMEM-resident instead of three XLA ops round-tripping HBM."""
+        from cyberether_tpu.ops.pallas_kernels import channelize_demod
+
+        C, Pt = self.channels, self.taps_per_branch
+        M = iq.shape[0]
+        x = jnp.transpose(iq, (2, 1, 0))
+        ext = jnp.concatenate([state["hist"], x], axis=-1)
+        hp_k = jnp.transpose(self._rhs[:, 0, :])   # (P, C), conv layout
+        demod, ylast = channelize_demod(
+            ext, hp_k, self._Wr, self._Wi, state["prev"],
+            float(self._fm_ref), tile_m=min(512, M),
+            interpret=interpret)
+        D = self.audio_decim
+        audio = demod.reshape(C, M // D, D).mean(-1).T
+        new_state = {"hist": ext[:, :, -(Pt - 1):], "prev": ylast}
+        return audio, new_state
+
+    def jitted_step_pallas(self, interpret: bool = False):
+        return jax.jit(lambda s, iq: self.step_pallas(s, iq,
+                                                      interpret))
+
+    # ------------------------------------------------------------------
     def sharded_step(self, mesh: Mesh):
         """jit the step over a mesh: frames sharded on 'time' during
         filtering, output resharded onto 'channels' for per-channel
