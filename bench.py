@@ -103,7 +103,7 @@ def bench_wbfm() -> float:
     from cyberether_tpu.models.wbfm import WbfmReceiver
 
     rx = WbfmReceiver()
-    n = 1 << 21
+    n = (1 << 21) // rx.audio_decim * rx.audio_decim
     iq = jax.device_put(rx.make_input(n))
     step = rx.jitted_step()
     audio, st = step(rx.init_state(), iq)
@@ -112,6 +112,22 @@ def bench_wbfm() -> float:
                     lambda: (rx.init_state(), iq), steps=10)
     rate = n / dt
     log(f"wbfm: {rate/1e6:.1f} Msamp/s/chip")
+    return rate
+
+
+def bench_channelizer_pallas() -> float:
+    from cyberether_tpu.models.channelizer import Channelizer
+
+    model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
+    frames = 1 << 17
+    iq = jax.device_put(model.make_input(frames))
+    step = model.jitted_step_pallas()
+    audio, st = step(model.init_state(), iq)
+    jax.block_until_ready(audio)
+    dt = time_steps(lambda s, iq: step(s, iq),
+                    lambda: (model.init_state(), iq), steps=10)
+    rate = frames * model.channels / dt
+    log(f"channelizer-pallas: {rate/1e6:.1f} Msamp/s/chip")
     return rate
 
 
@@ -128,6 +144,12 @@ def main() -> None:
         log("wbfm bench failed:", repr(e))
     rate = bench_channelizer()
     results["channelizer"] = rate
+    try:
+        pallas_rate = bench_channelizer_pallas()
+        results["channelizer_pallas"] = pallas_rate
+        rate = max(rate, pallas_rate)
+    except Exception as e:
+        log("pallas channelizer bench failed:", repr(e))
 
     print(json.dumps({
         "metric": "channelizer64_fm_samples_per_sec_per_chip",

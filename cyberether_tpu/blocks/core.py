@@ -715,6 +715,8 @@ class PythonModule(Module):
 
     def host_execute(self, inputs: Dict[str, np.ndarray]
                      ) -> Dict[str, np.ndarray]:
+        if not hasattr(self, "metrics"):
+            self.metrics = {}
         outputs = {name: np.zeros(s.shape, s.dtype.np_dtype)
                    for name, s in self._out_specs.items()}
         env = getattr(self, "environment", None)

@@ -65,6 +65,9 @@ class BlockContext:
     def has_input(self, port: str) -> bool:
         return port in self._external
 
+    def external_ports(self) -> Tuple[str, ...]:
+        return tuple(self._external)
+
     # -- moduleCreate (block_impl.hh:89) -----------------------------------
     def module(self, local_name: str, module_type: str,
                config: Optional[Dict[str, Any]] = None,
@@ -196,6 +199,10 @@ def simple_block(block_type: str, module_type: Optional[str] = None,
         cls = registry.build_module(mt, self.device, self.runtime,
                                     self.provider)
         in_ports = input_ports if input_ports is not None else cls.input_ports
+        if not in_ports:
+            # dynamic-port modules (comparator, python, …): wire every
+            # external input through verbatim
+            in_ports = ctx.external_ports()
         inputs = {p: ctx.input_ref(p) for p in in_ports if ctx.has_input(p)}
         handle = ctx.module("m", mt, self.raw_config, inputs)
         outs = (output_ports if output_ports is not None

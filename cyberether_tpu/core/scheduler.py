@@ -401,15 +401,16 @@ class Scheduler:
     def start_sources(self) -> None:
         self._ensure_built()
         self._started = True
-        for name in self._sources + self._sinks:
-            self._modules[name].host_start()
+        for name, mod in self._modules.items():
+            if mod.runtime is Runtime.HOST:
+                mod.host_start()
 
     def stop_sources(self) -> None:
         if not self._started:
             return
         for name in list(self._modules):
             mod = self._modules[name]
-            if mod.is_source or mod.is_sink:
+            if mod.runtime is Runtime.HOST:
                 try:
                     mod.host_stop()
                 except Exception:   # pragma: no cover
