@@ -27,6 +27,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """atan2 from basic VPU ops (Mosaic has no atan2 primitive).
+
+    Minimax odd polynomial for atan on [0, 1] with octant reduction;
+    max error ~1e-6 rad — far below the FM demod noise floor.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    # range-reduce t in (tan(pi/8), 1] via atan(t) = pi/4 +
+    # atan((t-1)/(t+1)), so the polynomial only sees |u| <= 0.4142
+    red = t > jnp.float32(0.41421356)
+    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    # minimax odd polynomial, err << 1e-7 for |u| <= 0.4142
+    p = jnp.float32(6.1687607318e-02)
+    p = p * z + jnp.float32(-1.0648017377e-01)
+    p = p * z + jnp.float32(1.4253635705e-01)
+    p = p * z + jnp.float32(-1.9999158382e-01)
+    p = p * z + jnp.float32(3.3333328366e-01)
+    a = u - u * z * p
+    a = jnp.where(red, jnp.float32(np.pi / 4) + a, a)
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _channelize_kernel(ext_ref, hp_ref, wr_ref, wi_ref, prev_ref,
                        out_ref, ylast_ref, win, carry, sem, *, P: int,
                        C: int, tile_m: int, ref_gain: float):
@@ -65,7 +94,7 @@ def _channelize_kernel(ext_ref, hp_ref, wr_ref, wi_ref, prev_ref,
     pi_ = jnp.concatenate([carry[1], yi[:, :-1]], axis=1)
     dr = pr * yr + pi_ * yi
     di = pr * yi - pi_ * yr
-    out_ref[:, :] = jnp.arctan2(di, dr) * ref_gain
+    out_ref[:, :] = _atan2(di, dr) * ref_gain
 
     carry[0, :, 0] = yr[:, -1]
     carry[1, :, 0] = yi[:, -1]
