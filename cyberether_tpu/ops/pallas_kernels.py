@@ -52,8 +52,10 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     a = u - u * z * p
     a = jnp.where(red, jnp.float32(np.pi / 4) + a, a)
     a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
-    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
-    return jnp.where(y < 0, -a, a)
+    # signbit (not <0) so atan2(+/-0, -0.0) = +/-pi per IEEE, matching
+    # XLA's arctan2 bit-for-bit on zero-crossing inputs
+    a = jnp.where(jnp.signbit(x), jnp.float32(np.pi) - a, a)
+    return jnp.where(jnp.signbit(y), -a, a)
 
 
 def _channelize_kernel(ext_ref, hp_ref, wr_ref, wi_ref, prev_ref,
