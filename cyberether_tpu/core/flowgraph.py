@@ -107,6 +107,15 @@ class Flowgraph:
         self._lock = threading.RLock()
         self._generation = 0                 # bumped on any mutation
         self._scheduler = None               # lazily built
+        # env-key visibility changes retry incomplete blocks — the
+        # reference's server-fed "elastic" pattern (flowgraph.cc:1177,
+        # docs/metadata.md:33-49)
+        self.environment.subscribe(self._on_env_change)
+
+    def _on_env_change(self, key: str, value: Any) -> None:
+        if any(rec.state == BlockState.INCOMPLETE
+               for rec in self.records.values()):
+            self.retry_incomplete_blocks()
 
     # ------------------------------------------------------------------
     # block lifecycle

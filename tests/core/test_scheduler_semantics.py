@@ -1,0 +1,173 @@
+"""Scheduler-semantics tests mirroring the reference suite
+(/root/reference/tests/core/runtime/scheduler.cc:308-869): static
+settlement, skip propagation with state freezing, segment partition,
+timing, and settings/env plumbing.
+"""
+
+import numpy as np
+import pytest
+
+from cyberether_tpu.core.scheduler import DeviceSegment, HostSegment
+from cyberether_tpu.core.types import BlockState
+from tests.support import synthetic
+
+synthetic.register()
+
+
+@pytest.fixture(autouse=True)
+def _reset_synthetic():
+    synthetic.reset()
+    yield
+    synthetic.reset()
+
+
+def test_static_branch_settles(flowgraph):
+    """window -> invert is fully static: evaluated once at build, not
+    per cycle ("Scheduler settles fully static branches")."""
+    fg = flowgraph
+    fg.block_create("win", "window", {"size": 64})
+    fg.block_create("inv", "invert", {},
+                    {"signal": "${graph.win.output.window}"})
+    sched = fg.scheduler
+    sched._ensure_built()
+    assert "win/m" in sched._settled
+    assert "inv/m" in sched._settled
+    # settled graphs have no runnable segments
+    assert sched._segments == []
+    out = sched.output("inv.signal")
+    assert out is not None and out.shape == (64,)
+
+
+def test_stateful_consumer_of_static_not_settled(flowgraph):
+    fg = flowgraph
+    fg.block_create("win", "window", {"size": 16})
+    fg.block_create("st", "synth_stateful", {},
+                    {"in": "${graph.win.output.window}"})
+    sched = fg.scheduler
+    sched._ensure_built()
+    assert "win/m" in sched._settled
+    assert "st/m" not in sched._settled
+
+
+def test_segment_partition_host_device_host(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 8})
+    fg.block_create("p", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    fg.block_create("sink", "synth_sink", {},
+                    {"in": "${graph.p.output.out}"})
+    sched = fg.scheduler
+    sched._ensure_built()
+    kinds = [type(s).__name__ for s in sched._segments]
+    assert kinds == ["HostSegment", "DeviceSegment", "HostSegment"]
+
+
+def test_device_modules_fuse_into_one_segment(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 8})
+    for i in range(5):
+        prev = "src.out" if i == 0 else f"p{i-1}.out"
+        fg.block_create(f"p{i}", "synth_pass", {},
+                        {"in": f"${{graph.{prev.split('.')[0]}.output."
+                               f"{prev.split('.')[1]}}}"})
+    sched = fg.scheduler
+    sched._ensure_built()
+    dev = [s for s in sched._segments if isinstance(s, DeviceSegment)]
+    assert len(dev) == 1
+    assert len(dev[0].modules) == 5
+
+
+def test_skip_freezes_downstream_state(flowgraph):
+    """A failing squelch must freeze downstream stateful modules —
+    the compiled-graph analog of SKIP propagation."""
+    fg = flowgraph
+    fg.block_create("gen", "signal_generator", {
+        "signalType": "dc", "amplitude": 0.01, "bufferSize": 16})
+    fg.block_create("sq", "squelch", {"threshold": 0.5},
+                    {"signal": "${graph.gen.output.signal}"})
+    fg.block_create("st", "synth_stateful", {},
+                    {"in": "${graph.sq.output.signal}"})
+    sched = fg.scheduler
+    for _ in range(3):
+        assert fg.compute(timeout=5.0)
+    count = float(np.asarray(sched._state["st/m"]["count"]))
+    assert count == 0.0           # never advanced
+    assert not sched.output_valid("st.out")
+    # open the squelch: state starts advancing
+    fg.block_reconfigure("sq", {"threshold": 0.001})
+    for _ in range(2):
+        assert fg.compute(timeout=5.0)
+    count = float(np.asarray(sched._state["st/m"]["count"]))
+    assert count == 2.0
+    assert sched.output_valid("st.out")
+
+
+def test_state_preserved_across_unrelated_mutation(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 8})
+    fg.block_create("st", "synth_stateful", {},
+                    {"in": "${graph.src.output.out}"})
+    for _ in range(3):
+        assert fg.compute(timeout=5.0)
+    sched = fg.scheduler
+    assert float(np.asarray(sched._state["st/m"]["count"])) == 3.0
+    # adding an unrelated block rebuilds the schedule but keeps state
+    fg.block_create("other", "synth_source", {"size": 4})
+    assert fg.compute(timeout=5.0)
+    assert float(np.asarray(sched._state["st/m"]["count"])) == 4.0
+
+
+def test_timings_recorded(flowgraph):
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 8})
+    fg.block_create("p", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    assert fg.compute(timeout=5.0)
+    timings = fg.scheduler.timings()
+    assert any(t.cycles >= 1 for t in timings.values())
+
+
+def test_env_key_triggers_incomplete_retry(flowgraph):
+    """Environment-key visibility changes retry incomplete blocks (the
+    reference's docs/metadata.md elastic pattern)."""
+    fg = flowgraph
+    fg.block_create("p", "synth_pass", {},
+                    {"in": "${graph.missing.output.out}"})
+    assert fg.block_state("p") == BlockState.INCOMPLETE
+    fg.block_create("missing", "synth_source", {"size": 8})
+    assert fg.block_state("p") == BlockState.COMPLETE
+
+
+def test_settings_roundtrip(tmp_path):
+    from cyberether_tpu.core.settings import Settings
+
+    s = Settings(path=str(tmp_path / "settings.yaml"))
+    assert s["remotePort"] == 8765
+    s.set("remotePort", 9000)
+    s2 = Settings(path=str(tmp_path / "settings.yaml"))
+    assert s2["remotePort"] == 9000
+    s2.set("logLevel", "DEBUG", persist=False)
+    assert s2["logLevel"] == "DEBUG"
+
+
+def test_inference_jax_model(flowgraph):
+    from cyberether_tpu.blocks.ml import register_jax_model
+    from cyberether_tpu.core.tensor import TensorSpec
+    from cyberether_tpu.core.types import DataType
+
+    import jax.numpy as jnp
+
+    register_jax_model(
+        "double",
+        lambda ins: {"output": ins["input"] * 2.0},
+        lambda specs: {"output": specs["input"]})
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 8})
+    fg.block_create("ml", "onnx_inference",
+                    {"modelPath": "jax:double"},
+                    {"input": "${graph.src.output.out}"})
+    assert fg.block_state("ml") == BlockState.COMPLETE, \
+        fg.block_error("ml")
+    assert fg.compute(timeout=5.0)
+    out = fg.scheduler.output("ml.output")
+    np.testing.assert_allclose(out, np.full(8, 2.0))
