@@ -347,6 +347,11 @@ class Flowgraph:
             self._scheduler = Scheduler(self)
         return self._scheduler
 
+    def set_mesh(self, mesh) -> None:
+        """Execute this flowgraph's compiled segments over a device
+        mesh (multi-chip; see cyberether_tpu.parallel)."""
+        self.scheduler.set_mesh(mesh)
+
     def compute(self, timeout: Optional[float] = None) -> bool:
         """Run one compute cycle.  Returns True if work was done."""
         return self.scheduler.compute(timeout=timeout)

@@ -91,6 +91,7 @@ class Scheduler:
         self.fg = flowgraph
         self.mesh = mesh
         self._dirty = True
+        self._spec_of_key: Dict[str, Any] = {}
         self._built_generation = -1
         # build products
         self._modules: Dict[str, Module] = {}
@@ -116,6 +117,30 @@ class Scheduler:
     def invalidate(self) -> None:
         self._dirty = True
 
+    def set_mesh(self, mesh) -> None:
+        """Enable multi-chip execution: segment programs are jitted with
+        shardings derived from each link's signal axes (batchAxis ->
+        'time', channelAxis -> 'channels'); GSPMD inserts the
+        collectives.  Pass None to return to single-device."""
+        self.mesh = mesh
+        self._dirty = True
+
+    def _sharding_for_key(self, key: str):
+        if self.mesh is None:
+            return None
+        spec = self._spec_of_key.get(key)
+        if spec is None:
+            return None
+        from cyberether_tpu.parallel.mesh import spec_sharding
+
+        return spec_sharding(self.mesh, spec)
+
+    def _constrain(self, key: str, value):
+        s = self._sharding_for_key(key)
+        if s is None:
+            return value
+        return jax.lax.with_sharding_constraint(value, s)
+
     # ------------------------------------------------------------------
     # build: topo sort -> settle -> partition -> compile
     # ------------------------------------------------------------------
@@ -124,6 +149,10 @@ class Scheduler:
             return
         self.stop_sources()
         self._modules, self._inputs = self.fg.flattened()
+        self._spec_of_key = {
+            f"{name}:{port}": spec
+            for name, mod in self._modules.items()
+            for port, spec in mod.output_specs.items()}
         self._topo = self._topo_sort()
         self._classify()
         self._settle_static()
@@ -354,8 +383,9 @@ class Scheduler:
                 if mmet:
                     metrics[name] = mmet
                 for port, val in outs.items():
-                    produced[f"{name}:{port}"] = val
-                    valid[f"{name}:{port}"] = v_out
+                    k = f"{name}:{port}"
+                    produced[k] = self._constrain(k, val)
+                    valid[k] = v_out
             out_vals = {k: produced[k] for k in out_keys}
             out_valid = {k: valid[k] for k in out_keys}
             return out_vals, out_valid, new_state, metrics

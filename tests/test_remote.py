@@ -1,0 +1,113 @@
+"""Remote web server tests: flowgraph API + surface streaming."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cyberether_tpu.core.instance import Instance
+from cyberether_tpu.remote.server import RemoteServer
+
+PORT = 8877
+
+
+@pytest.fixture
+def served_instance():
+    inst = Instance(headless=True)
+    fg = inst.flowgraph_create("main")
+    fg.block_create("gen", "signal_generator", {
+        "signalType": "cosine", "signalDataType": "CF32",
+        "sampleRate": 1e6, "frequency": 125e3, "bufferSize": 1024})
+    fg.block_create("spec", "spectrum_engine",
+                    {"enableScale": True},
+                    {"buffer": "${graph.gen.output.signal}"})
+    fg.block_create("wtf", "waterfall", {"height": 32},
+                    {"signal": "${graph.spec.output.buffer}"})
+    server = RemoteServer(inst, port=PORT, fps=20)
+    server.start()
+    inst.start()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT}/", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield inst
+    inst.stop()
+    server.stop()
+
+
+def _get(path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{PORT}{path}",
+                                timeout=5) as r:
+        return json.loads(r.read())
+
+
+def _post(path, body, method="POST"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method=method)
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read())
+
+
+def test_flowgraph_view_api(served_instance):
+    views = _get("/api/v1/flowgraphs")
+    assert "main" in views
+    blocks = views["main"]["blocks"]
+    assert blocks["gen"]["state"] == "complete"
+    assert blocks["wtf"]["type"] == "waterfall"
+
+
+def test_metrics_api(served_instance):
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        m = _get("/api/v1/metrics")
+        if any(t["cycles"] > 0
+               for t in m["main"]["timings"].values()):
+            return
+        time.sleep(0.1)
+    pytest.fail("no cycles recorded")
+
+
+def test_remote_block_create_and_destroy(served_instance):
+    out = _post("/api/v1/flowgraph/main/block", {
+        "name": "amp2", "type": "amplitude",
+        "inputs": {"signal": "${graph.gen.output.signal}"}})
+    assert out["state"] == "complete"
+    _post("/api/v1/flowgraph/main/block/amp2", {}, method="DELETE")
+    views = _get("/api/v1/flowgraphs")
+    assert "amp2" not in views["main"]["blocks"]
+
+
+def test_remote_reconfigure(served_instance):
+    out = _post("/api/v1/flowgraph/main/block/wtf",
+                {"config": {"height": 64}}, method="PATCH")
+    assert out["config"]["height"] == 64
+
+
+def test_stream_delivers_frames(served_instance):
+    import asyncio
+
+    import websockets
+
+    async def grab():
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            for _ in range(20):
+                msg = json.loads(await asyncio.wait_for(ws.recv(),
+                                                        timeout=5))
+                if msg["type"] == "frames" and msg["frames"]:
+                    return msg
+        return None
+
+    msg = asyncio.run(grab())
+    assert msg is not None
+    assert "wtf" in msg["frames"]
+    assert msg["frames"]["wtf"]["png"]
