@@ -83,6 +83,11 @@ def _cmd_run(args) -> int:
         inst.stop()
         if server is not None:
             server.stop()
+    if args.profile:
+        prof = fg.scheduler.profile()
+        print("\n# per-module compute time (ms)", file=sys.stderr)
+        for name, ms in sorted(prof.items(), key=lambda kv: -kv[1]):
+            print(f"  {name:32s} {ms:8.3f}", file=sys.stderr)
     if args.print_output:
         out = fg.scheduler.output(args.print_output)
         if out is None:
@@ -164,6 +169,8 @@ def main(argv: Optional[list] = None) -> int:
                       help="print BLOCK.PORT after the run")
     runp.add_argument("--export", default="",
                       help="re-export the flowgraph YAML on exit")
+    runp.add_argument("--profile", action="store_true",
+                      help="print per-module compute times on exit")
 
     bp = sub.add_parser("benchmark", help="run component benchmarks")
     bp.add_argument("component", nargs="?", default=None)

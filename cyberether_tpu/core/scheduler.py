@@ -645,6 +645,57 @@ class Scheduler:
             self._watched.add(k)
             self._dirty = True
 
+    def profile(self, iters: int = 5) -> Dict[str, float]:
+        """Per-module compute time attribution (ms).
+
+        The fused segments hide per-module cost; this re-runs each
+        device module's ``apply`` as its own jitted program against the
+        graph's latest values — the analog of the reference's per-node
+        ms/cycle display (runtime/native/cpu/impl.cc:117-134).  Run at
+        least one ``compute`` first so inputs exist.
+        """
+        self._ensure_built()
+        out: Dict[str, float] = {}
+        # interpret the graph module-by-module so every intermediate
+        # link has a value, regardless of segment fusion
+        vals: Dict[str, Any] = dict(self._static_values)
+        vals.update(self._latest)
+        for name in self._topo:
+            mod = self._modules[name]
+            if name in self._settled or mod.runtime is Runtime.HOST:
+                continue
+            ins = {}
+            missing = False
+            for port, ref in self._inputs.get(name, {}).items():
+                v = vals.get(_key(ref))
+                if v is None:
+                    missing = True
+                    break
+                ins[port] = jnp.asarray(v)
+            if missing:
+                continue
+            st = self._state.get(name)
+            fn = jax.jit(mod.apply)
+            try:
+                res = fn(ins, st)           # compile + warm
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready()
+                    if hasattr(a, "block_until_ready") else a, res)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    res = fn(ins, st)
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready()
+                    if hasattr(a, "block_until_ready") else a, res)
+                out[name] = (time.perf_counter() - t0) / iters * 1e3
+                for port, v in res[0].items():
+                    if port != PASS_FLAG and \
+                            not port.startswith(METRIC_PREFIX):
+                        vals[f"{name}:{port}"] = v
+            except Exception:   # pragma: no cover - diagnostic path
+                log.exception("profile failed for %s", name)
+        return out
+
     def output(self, block_port: str) -> Optional[np.ndarray]:
         """Fetch the latest value of 'block.port' (testing/CLI aid)."""
         self._ensure_built()
