@@ -145,16 +145,20 @@ class Channelizer:
 
         C, Pt = self.channels, self.taps_per_branch
         M = iq.shape[0]
-        x = jnp.transpose(iq, (2, 1, 0))
-        ext = jnp.concatenate([state["hist"], x], axis=-1)
-        hp_k = jnp.transpose(self._rhs[:, 0, :])   # (P, C), conv layout
+        x = jnp.transpose(iq, (2, 1, 0))             # (2, C, M)
+        ext3 = jnp.concatenate([state["hist"], x], axis=-1)
+        # time-major packed layout (frames, 2C): re | im on lanes
+        ext = jnp.transpose(ext3, (2, 0, 1)).reshape(M + Pt - 1, 2 * C)
+        hp_k = jnp.transpose(self._rhs[:, 0, :])     # (P, C)
         demod, ylast = channelize_demod(
-            ext, hp_k, self._Wr, self._Wi, state["prev"],
+            ext, hp_k, self._Wr, self._Wi,
+            state["prev"].reshape(1, 2 * C),
             float(self._fm_ref), tile_m=min(512, M),
-            interpret=interpret)
+            interpret=interpret)                      # (M, C)
         D = self.audio_decim
-        audio = demod.reshape(C, M // D, D).mean(-1).T
-        new_state = {"hist": ext[:, :, -(Pt - 1):], "prev": ylast}
+        audio = demod.reshape(M // D, D, C).mean(1)
+        new_state = {"hist": ext3[:, :, -(Pt - 1):],
+                     "prev": ylast.reshape(2, C)}
         return audio, new_state
 
     def jitted_step_pallas(self, interpret: bool = False):
