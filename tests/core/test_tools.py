@@ -1,0 +1,70 @@
+"""Snapshot / Juggler utilities (reference tools suite)."""
+
+import threading
+
+import numpy as np
+
+from cyberether_tpu.utils.tools import Juggler, Snapshot
+
+
+def test_snapshot_publish_get():
+    s = Snapshot(0)
+    assert s.get() == 0
+    s.publish(42)
+    assert s.get() == 42
+    assert s.version == 1
+
+
+def test_snapshot_cross_thread():
+    s = Snapshot()
+    done = threading.Event()
+
+    def writer():
+        for i in range(1000):
+            s.publish(i)
+        done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    last = -1
+    while not done.is_set():
+        v = s.get()
+        if v is not None:
+            assert v >= last
+            last = v
+    t.join()
+    assert s.get() == 999
+
+
+def test_juggler_recycles():
+    made = []
+
+    def factory():
+        buf = np.zeros(16)
+        made.append(buf)
+        return buf
+
+    j = Juggler(factory, capacity=2)
+    a = j.acquire()
+    b = j.acquire()
+    assert len(made) == 2
+    assert j.acquire(timeout=0.01) is None   # pool exhausted
+    j.release(a)
+    c = j.acquire()
+    assert c is a                            # recycled, not rebuilt
+    assert len(made) == 2
+
+
+def test_juggler_blocking_handoff():
+    j = Juggler(lambda: object(), capacity=1)
+    a = j.acquire()
+    got = {}
+
+    def consumer():
+        got["obj"] = j.acquire(timeout=5.0)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    j.release(a)
+    t.join(timeout=5.0)
+    assert got["obj"] is a
