@@ -43,15 +43,14 @@ class WbfmReceiver:
         }
 
     def step(self, state, iq: jnp.ndarray):
-        """iq: (n, 2) float32 re/im; n divisible by audio_decim.
-        Returns (audio (n // audio_decim,), new_state)."""
+        """iq: (n, 2) float32 re/im; n divisible by audio_decim and by
+        128 (the FIR matmul frame).  Returns (audio, new_state)."""
+        from cyberether_tpu.ops.firs import fir_matmul_streaming
+
         x = iq.T                                    # (2, n)
-        ext = jnp.concatenate([state["fir_hist"], x], axis=-1)
-        filt = jax.lax.conv_general_dilated(
-            ext[:, None, :], self._taps[None, None, ::-1],
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32)[:, 0, :]   # (2, n)
+        # long real FIR as banded MXU matmul (~10x the conv path)
+        filt, new_hist = fir_matmul_streaming(x, self._taps,
+                                              state["fir_hist"])
         yr, yi = filt[0], filt[1]
         pr = jnp.concatenate([state["prev"][:1], yr[:-1]])
         pi = jnp.concatenate([state["prev"][1:], yi[:-1]])
@@ -61,7 +60,7 @@ class WbfmReceiver:
         audio = demod.reshape(n // self.audio_decim,
                               self.audio_decim).mean(-1)
         new_state = {
-            "fir_hist": ext[:, -(self.taps - 1):],
+            "fir_hist": new_hist,
             "prev": jnp.stack([yr[-1], yi[-1]]),
         }
         return audio, new_state

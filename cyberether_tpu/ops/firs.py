@@ -120,6 +120,52 @@ def fir_filter_streaming(x: jnp.ndarray, taps: jnp.ndarray,
     return y, new_hist
 
 
+def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
+                         history: jnp.ndarray, frame: int = 128
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Causal FIR as a banded matmul on the MXU.
+
+    ``y[i] = sum_k h[k] x[i-k]`` is re-expressed per output frame of
+    ``frame`` samples as ``frames (nf, frame+T-1) @ M (frame+T-1,
+    frame)`` with the taps laid out on M's band — the TPU-native way to
+    run long real FIRs at matmul throughput instead of VPU conv.
+
+    x: (..., n) with n divisible by ``frame``; taps real (T,);
+    history: (..., T-1).  Returns (y, new_history).
+    """
+    T = taps.shape[-1]
+    K = T - 1
+    n = x.shape[-1]
+    assert n % frame == 0, (n, frame)
+    nf = n // frame
+    ext = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+
+    h = np.asarray(taps, np.float32)
+    M = np.zeros((frame + K, frame), np.float32)
+    for j in range(frame):
+        M[j:j + T, j] = h[::-1]
+    Mj = jnp.asarray(M)
+
+    lead = ext.shape[:-1]
+    # overlapping frames: window o of frame m is ext[m*frame + o]
+    idx = (np.arange(nf)[:, None] * frame
+           + np.arange(frame + K)[None, :])
+    frames = ext[..., idx]                    # (..., nf, frame+K)
+    flat = frames.reshape((-1, frame + K))
+    if jnp.iscomplexobj(x):
+        yr = jnp.dot(jnp.real(flat), Mj,
+                     preferred_element_type=jnp.float32)
+        yi = jnp.dot(jnp.imag(flat), Mj,
+                     preferred_element_type=jnp.float32)
+        y = (yr + 1j * yi).astype(x.dtype)
+    else:
+        y = jnp.dot(flat, Mj,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y.reshape(lead + (n,))
+    new_hist = ext[..., -K:] if K else history
+    return y, new_hist
+
+
 def _corr_valid(x2d: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     """(lanes, T) valid cross-correlation with flipped kernel == causal
     FIR; implemented with conv_general_dilated (maps onto the MXU)."""

@@ -143,3 +143,29 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_fir_matmul_matches_lfilter():
+    import scipy.signal
+
+    from cyberether_tpu.ops.firs import fir_matmul_streaming
+
+    rng = np.random.default_rng(7)
+    taps = (np.hamming(129) / np.hamming(129).sum()).astype(np.float32)
+    x = (rng.standard_normal((2, 1024))).astype(np.float32)
+    hist = np.zeros((2, 128), np.float32)
+    y, new_hist = fir_matmul_streaming(jnp.asarray(x),
+                                       jnp.asarray(taps),
+                                       jnp.asarray(hist))
+    ref = scipy.signal.lfilter(taps, [1.0], x, axis=-1)
+    np.testing.assert_allclose(np.asarray(y), ref.astype(np.float32),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(new_hist), x[:, -128:])
+    # streaming continuity
+    y2, _ = fir_matmul_streaming(jnp.asarray(x), jnp.asarray(taps),
+                                 jnp.asarray(new_hist))
+    ref2 = scipy.signal.lfilter(taps, [1.0],
+                                np.concatenate([x, x], -1),
+                                axis=-1)[:, 1024:]
+    np.testing.assert_allclose(np.asarray(y2), ref2.astype(np.float32),
+                               atol=1e-4)
