@@ -26,6 +26,8 @@ class SpectrumPipeline:
     batches: int = 8
     range_min: float = -100.0
     range_max: float = 0.0
+    #: run the DFT as MXU matmuls (ops/mxu_fft) instead of XLA's FFT
+    use_mxu_fft: bool = True
 
     def __post_init__(self):
         w = np.asarray(blackman(self.fft_size))
@@ -41,10 +43,20 @@ class SpectrumPipeline:
     def step(self, iq: jnp.ndarray) -> jnp.ndarray:
         """iq: (batches, fft_size, 2) float32 re/im -> (batches,
         fft_size) float32 normalized spectrum in [0, 1]."""
-        x = (iq[..., 0] + 1j * iq[..., 1]) * self._win
-        spec = jnp.fft.fft(x, axis=-1)
-        mag = jnp.abs(spec)
-        db = 20.0 * jnp.log10(jnp.maximum(mag, 1e-30)) + self._coeff
+        if self.use_mxu_fft:
+            from cyberether_tpu.ops.mxu_fft import fft_mxu_split
+
+            xr = iq[..., 0] * self._win
+            xi = iq[..., 1] * self._win
+            yr, yi = fft_mxu_split(xr, xi)
+            mag2 = yr * yr + yi * yi
+            db = 10.0 * jnp.log10(jnp.maximum(mag2, 1e-60)) \
+                + self._coeff
+        else:
+            x = (iq[..., 0] + 1j * iq[..., 1]) * self._win
+            spec = jnp.fft.fft(x, axis=-1)
+            mag = jnp.abs(spec)
+            db = 20.0 * jnp.log10(jnp.maximum(mag, 1e-30)) + self._coeff
         norm = db * self._scale + self._offset
         return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 

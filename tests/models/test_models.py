@@ -169,3 +169,25 @@ def test_fir_matmul_matches_lfilter():
                                 axis=-1)[:, 1024:]
     np.testing.assert_allclose(np.asarray(y2), ref2.astype(np.float32),
                                atol=1e-4)
+
+
+def test_spectrum_mxu_matches_xla_path():
+    rng = np.random.default_rng(8)
+    iq = rng.standard_normal((4, 2048, 2)).astype(np.float32)
+    a = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=False)
+                   .jitted_step()(jnp.asarray(iq)))
+    b = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=True)
+                   .jitted_step()(jnp.asarray(iq)))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_mxu_fft_matches_numpy():
+    from cyberether_tpu.ops.mxu_fft import fft_mxu
+
+    rng = np.random.default_rng(9)
+    for n in (256, 2048, 8192):
+        x = (rng.standard_normal((3, n))
+             + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+        got = np.asarray(fft_mxu(jnp.asarray(x)))
+        ref = np.fft.fft(x, axis=-1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
