@@ -9,10 +9,11 @@ kernels exist where hand scheduling beats XLA (SURVEY.md §7 step 5):
 
 Layout: time-major ``(frames, 2*C)`` with re/im packed along the lane
 axis — 2*C = 128 for the 64-channel flagship, exactly one TPU lane
-register row.  Frame windows overlap by P-1 between grid steps, which
-BlockSpec tiling cannot express, so each step DMAs its window from HBM
-with a single leading-axis dynamic slice (the form Mosaic supports);
-the lag-1 demod carry rides a VMEM scratch across the sequential grid.
+register row.  Frame windows overlap by P-1 between grid steps; Mosaic
+does not lower dynamic HBM slices inside TC kernels, so the small halo
+rows are precomputed as a (grid, P-1, 2C) side input and both inputs
+stream through standard (auto-double-buffered) BlockSpec tiling.  The
+lag-1 demod carry rides a VMEM scratch across the sequential grid.
 
 All kernels run under ``interpret=True`` on CPU for testing; the real
 TPU path compiles via Mosaic.
@@ -58,19 +59,17 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.signbit(y), -a, a)
 
 
-def _channelize_kernel(ext_ref, hp_ref, wrt_ref, wit_ref, prev_ref,
-                       out_ref, ylast_ref, win, carry, sem, *, P: int,
+def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
+                       prev_ref, out_ref, ylast_ref, carry, *, P: int,
                        C: int, tile_m: int, ref_gain: float):
     """One grid step: frames [i*tile_m, (i+1)*tile_m).
 
-    ext: (M + P - 1, 2C) in HBM; win: VMEM (tile_m + P - 1, 2C).
+    body: (tile_m, 2C) — rows ext[i*tile_m+P-1 : (i+1)*tile_m+P-1]
+    halo: (1, P-1, 2C) — rows ext[i*tile_m : i*tile_m+P-1]
     """
     i = pl.program_id(0)
 
-    dma = pltpu.make_async_copy(
-        ext_ref.at[pl.ds(i * tile_m, tile_m + P - 1)], win, sem)
-    dma.start()
-    dma.wait()
+    win = jnp.concatenate([halo_ref[0], body_ref[:, :]], axis=0)
 
     # ---- polyphase branch FIR (VPU, unrolled over P taps) -------------
     zr = jnp.zeros((tile_m, C), jnp.float32)
@@ -130,14 +129,25 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
     M = extm - (P - 1)
     tile_m = min(tile_m, M)
     assert M % tile_m == 0, (M, tile_m)
-    grid = (M // tile_m,)
+    grid_n = M // tile_m
+
+    body = ext[P - 1:]                                   # (M, 2C)
+    if P > 1:
+        idx = (np.arange(grid_n)[:, None] * tile_m
+               + np.arange(P - 1)[None, :])
+        halos = ext[idx]                                 # (g, P-1, 2C)
+    else:
+        halos = jnp.zeros((grid_n, 0, twoC), ext.dtype)
 
     out, ylast = pl.pallas_call(
         functools.partial(_channelize_kernel, P=P, C=C, tile_m=tile_m,
                           ref_gain=float(ref_gain)),
-        grid=grid,
+        grid=(grid_n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),           # ext (HBM)
+            pl.BlockSpec((tile_m, 2 * C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P - 1, 2 * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((P, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0),
@@ -158,10 +168,8 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
             jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_m + P - 1, 2 * C), jnp.float32),
             pltpu.VMEM((1, 2 * C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ext, hp, wr.T, wi.T, prev)
+    )(body, halos, hp, wr.T, wi.T, prev)
     return out, ylast
