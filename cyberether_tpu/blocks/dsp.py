@@ -112,6 +112,33 @@ class FftModule(Module):
         return {"signal": out}, state
 
 
+@register_module
+class FftMxuModule(FftModule):
+    """fft with provider='mxu': the C2C forward transform runs as MXU
+    matmuls (ops/mxu_fft) instead of XLA's VPU FFT — the reference's
+    per-provider module-implementation pattern (JST_REGISTER_MODULE
+    provider key) carried over."""
+
+    provider = "mxu"
+
+    def validate(self) -> None:
+        super().validate()
+        spec = self.input_specs["signal"]
+        if not (spec.dtype == DataType.CF32 and self.config["forward"]):
+            raise ValidationError(
+                "mxu provider supports CF32 forward transforms")
+        from cyberether_tpu.ops.mxu_fft import _factor
+
+        _factor(spec.shape[self._axis])   # raises if unfactorable
+
+    def apply(self, inputs, state):
+        from cyberether_tpu.ops.mxu_fft import fft_mxu
+
+        x = jnp.moveaxis(inputs["signal"], self._axis, -1)
+        out = jnp.moveaxis(fft_mxu(x), -1, self._axis)
+        return {"signal": out}, state
+
+
 # ---------------------------------------------------------------------------
 # amplitude (dsp/amplitude) — |x| -> dB with 1/N normalization offset
 # ---------------------------------------------------------------------------

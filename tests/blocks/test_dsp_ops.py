@@ -521,3 +521,17 @@ def test_signal_generator_chirp_sweeps():
     inst_freq = np.diff(np.unwrap(np.angle(out))) * sr / (2 * np.pi)
     assert inst_freq[:50].mean() < 30
     assert inst_freq[-50:].mean() > 70
+
+
+def test_fft_mxu_provider(rng):
+    """provider='mxu' routes through the matmul FFT implementation
+    (the reference's per-provider module registry pattern)."""
+    x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)
+         ).astype(np.complex64)
+    out = TestContext("fft", {"forward": True}, provider="mxu") \
+        .set_input("signal", x).run().output("signal")
+    np.testing.assert_allclose(out, np.fft.fft(x), atol=2e-2)
+    from cyberether_tpu.core.types import ValidationError
+    with pytest.raises(ValidationError):
+        TestContext("fft", {"forward": False}, provider="mxu") \
+            .set_input("signal", x).run()
