@@ -515,7 +515,12 @@ class Scheduler:
                 ext_valid = {}
                 for k in seg.ext_inputs:
                     ext_vals[k] = self._latest[k]
-                    ext_valid[k] = bool(np.asarray(self._valid.get(k, True)))
+                    # keep device validity scalars on device — forcing
+                    # them to host bools would sync the pipeline every
+                    # cycle; jit accepts bool scalars and arrays alike
+                    v = self._valid.get(k, True)
+                    ext_valid[k] = v if not isinstance(v, bool) \
+                        else np.asarray(v)
                 gate_flags = self._gate_flags_for(seg)
                 state_sub = {m: self._state[m] for m in seg.state_modules
                              if m in self._state}
