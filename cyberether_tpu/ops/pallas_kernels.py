@@ -98,13 +98,13 @@ def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
     di = pr * yi - pi_ * yr
     out_ref[:, :] = _atan2(di, dr) * ref_gain
 
-    carry[0, :C] = yr[-1, :]
-    carry[0, C:] = yi[-1, :]
+    carry[0, :C] = yr[tile_m - 1, :]     # static index — jnp's -1
+    carry[0, C:] = yi[tile_m - 1, :]     # lowers to dynamic_slice
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _emit_last():
-        ylast_ref[0, :C] = yr[-1, :]
-        ylast_ref[0, C:] = yi[-1, :]
+        ylast_ref[0, :C] = yr[tile_m - 1, :]
+        ylast_ref[0, C:] = yi[tile_m - 1, :]
 
 
 def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
