@@ -127,15 +127,18 @@ class DecimatorBlock(Block):
 
 
 # ---------------------------------------------------------------------------
-# filter (dsp/filter) — filter-taps designer block wrapping filter_taps
-# (src/domains/dsp/filter/block_impl.cc): exposes designed coefficients.
+# filter (dsp/filter) — all-in-one FIR filter: windowed-sinc taps
+# designer + the full overlap-add engine chain
+# (src/domains/dsp/filter/block_impl.cc:315-580 builds filter_taps plus
+# the same composition as filter_engine).
 # ---------------------------------------------------------------------------
 @register_block
 class FilterBlock(Block):
     block_type = "filter"
     label = "Filter"
-    summary = "FIR band-pass filter designer (windowed sinc)."
-    output_ports = ("coeffs",)
+    summary = "FIR band-pass filter (designer + overlap-add engine)."
+    input_ports = ("signal",)
+    output_ports = ("buffer", "coeffs")
     schema = Schema(
         Field("sampleRate", "float", 2.0e6),
         Field("bandwidth", "float", 1.0e6),
@@ -144,9 +147,15 @@ class FilterBlock(Block):
         Field("heads", "int", 0))
 
     def build(self, ctx: BlockContext) -> None:
-        taps = ctx.module("taps", "filter_taps", {
+        from cyberether_tpu.blocks.filter_engine import \
+            compose_filter_engine
+
+        taps = ctx.module("filter_taps", "filter_taps", {
             "sampleRate": self.config["sampleRate"],
             "bandwidth": self.config["bandwidth"],
             "center": self.config["center"],
             "taps": self.config["taps"]})
+        out = compose_filter_engine(self, ctx, ctx.input_ref("signal"),
+                                    taps["coeffs"])
+        ctx.expose("buffer", out)
         ctx.expose("coeffs", taps["coeffs"])

@@ -87,6 +87,18 @@ def _resample_heuristics(sample_rate: Optional[float],
     plan.resample = True
 
 
+def compose_filter_engine(block: Block, ctx: BlockContext,
+                          signal_ref, filter_ref):
+    """Build the overlap-add engine chain from resolvable port refs and
+    return the output ref.  Shared by the ``filter_engine`` block and
+    the all-in-one ``filter`` block (the reference's filter/block_impl.cc
+    reuses the same composition with its own taps module)."""
+    sig_spec = ctx.resolve_spec(signal_ref)
+    flt_spec = ctx.resolve_spec(filter_ref)
+    return _compose(block, ctx, signal_ref, sig_spec, filter_ref,
+                    flt_spec)
+
+
 @register_block
 class FilterEngineBlock(Block):
     block_type = "filter_engine"
@@ -97,8 +109,13 @@ class FilterEngineBlock(Block):
     schema = Schema()
 
     def build(self, ctx: BlockContext) -> None:
-        sig_spec = ctx.input_spec("signal")
-        flt_spec = ctx.input_spec("filter")
+        out = compose_filter_engine(self, ctx, ctx.input_ref("signal"),
+                                    ctx.input_ref("filter"))
+        ctx.expose("buffer", out)
+
+
+def _compose(self: Block, ctx: BlockContext, signal_ref, sig_spec,
+             filter_ref, flt_spec):
 
         for who, spec in (("signal", sig_spec), ("filter", flt_spec)):
             if spec.dtype not in (DataType.F32, DataType.CF32):
@@ -156,10 +173,10 @@ class FilterEngineBlock(Block):
         # ---- composition ------------------------------------------------
         cast_sig = ctx.module("cast_signal", "cast",
                               {"outputType": "CF32"},
-                              {"buffer": ctx.input_ref("signal")})
+                              {"buffer": signal_ref})
         cast_flt = ctx.module("cast_filter", "cast",
                               {"outputType": "CF32"},
-                              {"buffer": ctx.input_ref("filter")})
+                              {"buffer": filter_ref})
         signal_ref = cast_sig["buffer"]
         sample_axis = plan.sample_axis
 
@@ -290,4 +307,4 @@ class FilterEngineBlock(Block):
             att3 = ctx.module("attrs_out", "attributes",
                               {"set": final_attrs}, {"buffer": out_ref})
             out_ref = att3["buffer"]
-        ctx.expose("buffer", out_ref)
+        return out_ref

@@ -56,15 +56,77 @@ def test_decimator_bad_ratio(rng):
         ctx.run()
 
 
-def test_filter_block_designs_taps():
+def test_filter_block_full_chain(rng):
+    """The all-in-one filter block: taps designer + engine, with the
+    integer-ratio resampler kicking in (2 MHz / 200 kHz = 10)."""
+    n = 8000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
     ctx = BlockTestContext("filter", {"sampleRate": 2e6,
                                       "bandwidth": 200e3,
                                       "center": [0.0], "taps": 51})
-    out = ctx.run().output("coeffs")
-    assert out.shape == (1, 51)
+    ctx.set_input("signal", x)
+    out = ctx.run().output("buffer")
+    # combined = 8050, ratio 10 -> 805 samples, minus pad 5 -> 800
+    assert out.shape == (1, 800)
     spec = ctx.output_spec("coeffs")
     assert spec.attr("sampleRate") == 2e6
     assert spec.attr("bandwidth") == 200e3
+    assert ctx.output_spec("buffer").attr("sampleRate") == 2e5
+    # decimated output matches filter + take-every-10th
+    import scipy.signal
+
+    from cyberether_tpu.ops import windowed_sinc_bandpass
+
+    taps = windowed_sinc_bandpass(51, 2e6, 200e3, [0.0])[0]
+    ref = scipy.signal.lfilter(taps, [1.0], x)[::10]
+    np.testing.assert_allclose(out[0], ref.astype(np.complex64),
+                               atol=5e-3)
+
+
+def test_multi_fm_style_graph(rng):
+    """The reference's multi-fm demo shape: 2-head filter at +/-400 kHz
+    -> slice one head -> FM demod (examples/flowgraphs/multi-fm.yml)."""
+    from cyberether_tpu.core.flowgraph import Flowgraph
+    from cyberether_tpu.core.types import BlockState
+
+    n = 8000
+    sr = 2e6
+    t = np.arange(4 * n) / sr
+    msg = np.sin(2 * np.pi * 1e3 * t)
+    phase = 2 * np.pi * (400e3 * t + 75e3 * np.cumsum(msg) / sr)
+    x = (np.exp(1j * phase)).astype(np.complex64)
+    fg = Flowgraph()
+    try:
+        fg.block_create("src", "dti", {"shape": [n],
+                                       "dataType": "CF32"})
+        dti = fg.records["src"].build.modules["src/m"]
+        fg.block_create("flt", "filter", {
+            "sampleRate": sr, "bandwidth": 200e3,
+            "center": [400e3, -400e3], "taps": 51},
+            {"signal": "${graph.src.output.buffer}"})
+        fg.block_create("sl", "slice", {"slice": "[0, :]"},
+                        {"buffer": "${graph.flt.output.buffer}"})
+        fg.block_create("sax", "signal_axes", {"axes": "sample=0"},
+                        {"buffer": "${graph.sl.output.buffer}"})
+        fg.block_create("fm", "fm", {"sampleRate": 200e3},
+                        {"signal": "${graph.sax.output.buffer}"})
+        assert all(fg.block_state(b) == BlockState.COMPLETE
+                   for b in fg.records), \
+            {b: fg.block_error(b) for b in fg.records}
+        outs = []
+        for i in range(4):
+            dti.attach_buffer(x[i * n:(i + 1) * n])
+            assert fg.compute(timeout=5.0)
+            outs.append(fg.scheduler.output("fm.signal").copy())
+        audio = np.concatenate(outs)[100:]
+        # demodulated audio carries the 1 kHz message at 200 kHz rate
+        spec = np.abs(np.fft.rfft(audio - audio.mean()))
+        freqs = np.fft.rfftfreq(len(audio), 1 / 200e3)
+        peak = freqs[np.argmax(spec)]
+        assert abs(peak - 1000.0) < 100.0
+    finally:
+        fg.stop()
 
 
 # ---------------------------------------------------------------------------
