@@ -133,6 +133,38 @@ def _cmd_list(args) -> int:
     return 0
 
 
+def _cmd_describe(args) -> int:
+    from cyberether_tpu import registry
+
+    if not registry.has_block(args.block):
+        print(f"unknown block '{args.block}'", file=sys.stderr)
+        return 1
+    entry = registry.block_entry(args.block)
+    print(f"# {entry.label or args.block}")
+    if entry.summary:
+        print(entry.summary)
+    schema = getattr(entry.cls, "schema", None)
+    if schema is not None and schema.fields:
+        print("\nconfig:")
+        for f in schema.fields.values():
+            print(f"  {f.name:24s} {f.type:12s} default={f.default!r}"
+                  + (f"  {f.help}" if f.help else ""))
+    cls = entry.cls
+    ins = getattr(cls, "input_ports", ())
+    outs = getattr(cls, "output_ports", ())
+    if ins:
+        print(f"\ninputs:  {', '.join(ins)}")
+    if outs:
+        print(f"outputs: {', '.join(outs)}")
+    keys = registry.list_modules(args.block)
+    if keys:
+        print("\nmodule implementations:")
+        for k in keys:
+            print(f"  [{k.device.canonical()}/{k.runtime.value}/"
+                  f"{k.provider}]")
+    return 0
+
+
 def _cmd_info(args) -> int:
     import jax
 
@@ -183,7 +215,12 @@ def main(argv: Optional[list] = None) -> int:
 
     sub.add_parser("info", help="environment info")
 
+    dp = sub.add_parser("describe", help="show a block's interface")
+    dp.add_argument("block")
+
     args = p.parse_args(argv)
+    if args.cmd == "describe":
+        return _cmd_describe(args)
     if args.cmd == "run":
         return _cmd_run(args)
     if args.cmd == "benchmark":
