@@ -29,6 +29,7 @@ TPU-first redesign: the graph is *compiled*, not interpreted.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Set, Tuple
@@ -112,6 +113,10 @@ class Scheduler:
         self._watched: Set[str] = set()
         self._started = False
         self._cycle = 0
+        # serializes rebuilds against in-flight compute cycles — the
+        # lockState halt protocol of the reference
+        # (scheduler_synchronous.cc:849-884)
+        self._run_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     def invalidate(self) -> None:
@@ -147,6 +152,12 @@ class Scheduler:
     def _ensure_built(self) -> None:
         if not self._dirty:
             return
+        with self._run_lock:
+            if not self._dirty:
+                return
+            self._build_locked()
+
+    def _build_locked(self) -> None:
         self.stop_sources()
         self._modules, self._inputs = self.fg.flattened()
         self._spec_of_key = {
@@ -484,6 +495,10 @@ class Scheduler:
     def compute(self, timeout: Optional[float] = None) -> bool:
         """Run one full graph cycle (all segments in order).  Returns True
         if a cycle ran (Instance::compute analog)."""
+        with self._run_lock:
+            return self._compute_locked(timeout)
+
+    def _compute_locked(self, timeout: Optional[float]) -> bool:
         self._ensure_built()
         if not self._topo:
             return False
