@@ -136,9 +136,49 @@ def bench_channelizer_pallas() -> float:
     return rate
 
 
+def bench_flowgraph() -> float:
+    """Compiled-graph throughput including the host dispatch loop: the
+    spectrum-analyzer graph fed by a dti source (framework overhead on
+    top of the raw model = the scheduler's cost)."""
+    import numpy as np
+
+    from cyberether_tpu import Flowgraph
+
+    rng = np.random.default_rng(0)
+    nb, n = 64, 2048
+    buf = (rng.standard_normal((nb, n))
+           + 1j * rng.standard_normal((nb, n))).astype(np.complex64)
+    fg = Flowgraph()
+    fg.block_create("src", "dti", {"shape": [nb, n],
+                                   "dataType": "CF32"})
+    fg.records["src"].build.modules["src/m"].attach_buffer(buf)
+    fg.block_create("spec", "spectrum_engine", {"enableScale": True},
+                    {"buffer": "${graph.src.output.buffer}"})
+    try:
+        for _ in range(3):
+            fg.compute(timeout=10.0)
+        fg.scheduler.synchronize()
+        t0 = time.perf_counter()
+        steps = 20
+        for _ in range(steps):
+            fg.compute(timeout=10.0)
+        fg.scheduler.synchronize()
+        dt = (time.perf_counter() - t0) / steps
+        rate = nb * n / dt
+        log(f"flowgraph spectrum: {rate/1e6:.1f} Msamp/s "
+            f"({dt*1e3:.2f} ms/cycle incl. host loop)")
+        return rate
+    finally:
+        fg.stop()
+
+
 def main() -> None:
     log("devices:", jax.devices())
     results = {}
+    try:
+        results["flowgraph"] = bench_flowgraph()
+    except Exception as e:
+        log("flowgraph bench failed:", repr(e))
     try:
         results["spectrum"] = bench_spectrum()
     except Exception as e:

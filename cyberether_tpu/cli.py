@@ -144,6 +144,11 @@ def _cmd_describe(args) -> int:
     if entry.summary:
         print(entry.summary)
     schema = getattr(entry.cls, "schema", None)
+    if (schema is None or not schema.fields) \
+            and registry.has_module(args.block):
+        # 1:1 wrapper blocks carry their config on the module class
+        schema = getattr(registry.build_module(args.block), "schema",
+                         schema)
     if schema is not None and schema.fields:
         print("\nconfig:")
         for f in schema.fields.values():
