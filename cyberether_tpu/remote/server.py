@@ -143,6 +143,8 @@ class RemoteServer:
         app.router.add_post("/api/v1/flowgraph/{fg}/connect",
                             self._connect)
         app.router.add_get("/api/v1/stream", self._stream)
+        app.router.add_post("/api/v1/benchmark", self._benchmark)
+        app.router.add_get("/api/v1/examples", self._examples)
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, self.host, self.port)
@@ -241,6 +243,28 @@ class RemoteServer:
         except Exception as e:
             raise web.HTTPBadRequest(text=str(e))
         return web.json_response({"ok": True})
+
+    async def _benchmark(self, request):
+        """Run component benchmarks on demand (the reference's in-app
+        benchmark modal, compositor presenters/modal/benchmark.hh)."""
+        from aiohttp import web
+
+        from cyberether_tpu import benchmark
+
+        body = await request.json() if request.can_read_body else {}
+        component = body.get("component")
+        results = await asyncio.get_running_loop().run_in_executor(
+            None, lambda: benchmark.run(component))
+        return web.json_response([m.__dict__ for m in results])
+
+    async def _examples(self, request):
+        from aiohttp import web
+
+        from cyberether_tpu.core.registry import registry
+
+        return web.json_response({
+            name: registry.example(name).title
+            for name in registry.list_examples()})
 
     async def _stream(self, request):
         from aiohttp import web

@@ -111,3 +111,14 @@ def test_stream_delivers_frames(served_instance):
     assert msg is not None
     assert "wtf" in msg["frames"]
     assert msg["frames"]["wtf"]["png"]
+
+
+def test_remote_benchmark_endpoint(served_instance):
+    out = _post("/api/v1/benchmark", {"component": "window"})
+    assert out and out[0]["component"] == "window"
+    assert out[0]["ops_per_sec"] > 0
+
+
+def test_remote_examples_endpoint(served_instance):
+    out = _get("/api/v1/examples")
+    assert "signal-generator" in out
