@@ -146,11 +146,13 @@ def bench_flowgraph() -> float:
 
     rng = np.random.default_rng(0)
     nb, n = 64, 2048
-    buf = (rng.standard_normal((nb, n))
-           + 1j * rng.standard_normal((nb, n))).astype(np.complex64)
+    # real-valued source: keeps the host->device boundary on float32
+    # (the axon backend cannot transfer complex64); the engine's cast
+    # promotes to CF32 on device
+    buf = rng.standard_normal((nb, n)).astype(np.float32)
     fg = Flowgraph()
     fg.block_create("src", "dti", {"shape": [nb, n],
-                                   "dataType": "CF32"})
+                                   "dataType": "F32"})
     fg.records["src"].build.modules["src/m"].attach_buffer(buf)
     fg.block_create("spec", "spectrum_engine", {"enableScale": True},
                     {"buffer": "${graph.src.output.buffer}"})

@@ -655,7 +655,11 @@ class FilterTapsModule(Module):
             int(self.config["taps"]), float(self.config["sampleRate"]),
             float(self.config["bandwidth"]),
             [float(c) for c in self.config["center"]])
-        return {"coeffs": jnp.asarray(taps)}, state
+        # upload as split re/im and combine on device: complex64
+        # host<->device transfers are unimplemented on the axon backend
+        coeffs = (jnp.asarray(taps.real.astype(np.float32))
+                  + 1j * jnp.asarray(taps.imag.astype(np.float32)))
+        return {"coeffs": coeffs.astype(jnp.complex64)}, state
 
 
 # ---------------------------------------------------------------------------
