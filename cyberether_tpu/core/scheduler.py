@@ -484,7 +484,8 @@ class Scheduler:
         now = time.monotonic()
         for name in seg.gates:
             mod = self._modules[name]
-            period = float(mod.config.get("periodMs", 100.0)) / 1000.0
+            period = float(mod.config.get("intervalMs")
+                           or mod.config.get("periodMs", 100.0)) / 1e3
             last = self._gate_last_fire.get(name, 0.0)
             fire = (now - last) >= period
             if fire:
