@@ -116,7 +116,77 @@ graph:
 """
 
 
+MULTI_FM = """
+version: 2
+title: Multi FM
+summary: Demodulate two FM stations at once with a 2-head filter bank.
+graph:
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      frequency: 96900000
+      numberOfTimeSamples: 8000
+      numberOfBatches: 8
+  - name: flt
+    module: filter
+    config:
+      sampleRate: 2000000
+      bandwidth: 200000
+      center: '[400000, -400000]'
+      taps: 51
+      heads: 2
+    input: {signal: '${graph.soapy.output.signal}'}
+  - name: sl0
+    module: slice
+    config: {slice: '[:, 0, :]'}
+    input: {buffer: '${graph.flt.output.buffer}'}
+  - name: ax0
+    module: signal_axes
+    config: {axes: 'batch=0,sample=1'}
+    input: {buffer: '${graph.sl0.output.buffer}'}
+  - name: fm0
+    module: fm
+    config: {sampleRate: 200000}
+    input: {signal: '${graph.ax0.output.buffer}'}
+  - name: audio
+    module: audio
+    config: {inSampleRate: 200000, outSampleRate: 48000}
+    input: {buffer: '${graph.fm0.output.signal}'}
+"""
+
+_CENTERS_64 = ", ".join(str(int((i - 32) * 2e6)) for i in range(64))
+
+CHANNELIZER_64 = f"""
+version: 2
+title: 64-channel Channelizer
+summary: 64-head polyphase channelization of a 128 MS/s stream
+  (channels shard across the mesh 'channels' axis).
+graph:
+  - name: gen
+    module: signal_generator
+    config:
+      signalType: noise
+      signalDataType: CF32
+      sampleRate: 128000000
+      bufferSize: 16384
+  - name: flt
+    module: filter
+    config:
+      sampleRate: 128000000
+      bandwidth: 2000000
+      center: '[{_CENTERS_64}]'
+      taps: 129
+      heads: 64
+    input: {{signal: '${{graph.gen.output.signal}}'}}
+"""
+
+
 def register_examples() -> None:
+    registry.register_example("multi-fm", "Multi FM", MULTI_FM)
+    registry.register_example("channelizer-64", "64-channel Channelizer",
+                              CHANNELIZER_64)
     registry.register_example("signal-generator", "Signal Generator",
                               SIGNAL_GENERATOR)
     registry.register_example("spectrum-analyzer", "Spectrum Analyzer",

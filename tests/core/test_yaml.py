@@ -143,3 +143,33 @@ def test_reference_example_overlap_add_imports():
     states = {n: fg.block_state(n) for n in fg.records}
     assert states["flt"] == BlockState.COMPLETE
     fg.stop()
+
+
+def test_builtin_examples_build_complete():
+    """Every registered example flowgraph builds with all blocks
+    COMPLETE (soapy examples use the synthetic 'test' driver)."""
+    from cyberether_tpu.core.registry import registry
+
+    for name in registry.list_examples():
+        fg = Flowgraph.from_yaml(registry.example(name).yaml_text)
+        try:
+            states = {b: fg.block_state(b).value for b in fg.records}
+            assert all(s == "complete" for s in states.values()), \
+                (name, states,
+                 {b: fg.block_error(b) for b in fg.records})
+        finally:
+            fg.stop()
+
+
+def test_channelizer64_example_computes():
+    from cyberether_tpu.core.registry import registry
+
+    fg = Flowgraph.from_yaml(
+        registry.example("channelizer-64").yaml_text)
+    try:
+        assert fg.compute(timeout=20.0)
+        out = fg.scheduler.output("flt.buffer")
+        assert out is not None and out.shape == (64, 256)
+        assert fg.records["flt"].build is not None
+    finally:
+        fg.stop()
