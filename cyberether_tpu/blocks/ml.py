@@ -21,7 +21,8 @@ from cyberether_tpu.core.module import Module
 from cyberether_tpu.core.params import Field, Schema
 from cyberether_tpu.core.registry import register_block, register_module
 from cyberether_tpu.core.tensor import TensorSpec
-from cyberether_tpu.core.types import DataType, Taint, ValidationError
+from cyberether_tpu.core.types import DataType, Device, Taint, \
+    ValidationError
 
 #: user-registered JAX models: name -> (fn, output_spec_fn)
 _JAX_MODELS: Dict[str, Tuple[Callable, Callable]] = {}
@@ -60,13 +61,37 @@ class InferenceModule(Module):
             self._out_specs = spec_fn(self.input_specs)
         elif path.endswith(".onnx"):
             try:
-                import onnxruntime  # noqa: F401
+                import onnxruntime
             except ImportError:
                 raise ValidationError(
                     "onnxruntime is not available in this environment; "
                     "use a 'jax:<name>' model registered via "
                     "register_jax_model")
-            raise ValidationError("onnx session path not implemented yet")
+            import os
+
+            from cyberether_tpu.core.types import Runtime
+
+            if not os.path.exists(path):
+                raise ValidationError(f"model '{path}' does not exist")
+            self._session = onnxruntime.InferenceSession(
+                path, providers=["CPUExecutionProvider"])
+            # ONNX sessions execute host-side (the reference's ORT
+            # wrapper); switch this instance to the HOST runtime so the
+            # scheduler routes it as a host compute segment
+            self.runtime = Runtime.HOST
+            self._out_specs = {}
+            sess_outputs = {o.name: o for o in
+                            self._session.get_outputs()}
+            for name in self.config["outputNames"]:
+                if name not in sess_outputs:
+                    raise ValidationError(
+                        f"model has no output '{name}'")
+                o = sess_outputs[name]
+                shape = tuple(int(d) if isinstance(d, int) else 1
+                              for d in o.shape)
+                self._out_specs[name] = TensorSpec(
+                    shape, DataType.F32, Device.CPU)
+            self._fn = None
         else:
             raise ValidationError(f"unsupported model path '{path}'")
 
@@ -75,6 +100,12 @@ class InferenceModule(Module):
 
     def apply(self, inputs, state):
         return dict(self._fn(inputs)), state
+
+    def host_execute(self, inputs):
+        outs = self._session.run(list(self.config["outputNames"]),
+                                 {k: np.asarray(v)
+                                  for k, v in inputs.items()})
+        return dict(zip(self.config["outputNames"], outs))
 
 
 register_block(simple_block("onnx_inference"))

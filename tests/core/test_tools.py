@@ -68,3 +68,24 @@ def test_juggler_blocking_handoff():
     j.release(a)
     t.join(timeout=5.0)
     assert got["obj"] is a
+
+
+def test_file_lock(tmp_path):
+    from cyberether_tpu.utils.platform import file_lock
+
+    path = str(tmp_path / "x.lock")
+    with file_lock(path) as got:
+        assert got
+        with file_lock(path, blocking=False) as got2:
+            assert not got2
+    with file_lock(path, blocking=False) as got3:
+        assert got3
+
+
+def test_platform_dirs(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    from cyberether_tpu.utils.platform import cache_dir, data_dir
+
+    assert data_dir().startswith(str(tmp_path))
+    assert cache_dir().startswith(str(tmp_path))
