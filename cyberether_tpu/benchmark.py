@@ -184,6 +184,38 @@ def _register_builtin() -> None:
         lambda: {"buffer": _cf32(8 * 8192).reshape(8, 8192),
                  "overlap": _cf32(8 * 50, 1).reshape(8, 50)},
     ))
+    register_case(Case("pad", "CF32-65536", {"size": 512},
+                       lambda: {"unpadded": _cf32(65536)}))
+    register_case(Case("unpad", "CF32-65536", {"size": 512},
+                       lambda: {"padded": _cf32(65536)}))
+    register_case(Case("range", "F32-65536", {"min": -100, "max": 0},
+                       lambda: {"signal": _f32(65536)}))
+    register_case(Case("squelch", "CF32-65536", {},
+                       lambda: {"signal": _cf32(65536)}))
+    register_case(Case("arithmetic", "F32-64x1024",
+                       {"operation": "add", "axis": 1},
+                       lambda: {"buffer":
+                                _f32(65536).reshape(64, 1024)}))
+    register_case(Case("signal_generator", "CF32-65536",
+                       {"signalType": "cosine",
+                        "signalDataType": "CF32",
+                        "bufferSize": 65536}, dict))
+    register_case(Case("phase_correction", "CF32-8x8192",
+                       {"phaseIncrement": 0.1},
+                       lambda: {"signal":
+                                _cf32(8 * 8192).reshape(8, 8192)}))
+    register_case(Case("waterfall", "F32-8x2048", {"height": 512},
+                       lambda: {"signal": np.abs(
+                           _f32(8 * 2048).reshape(8, 2048))}))
+    register_case(Case("lineplot", "F32-8x2048", {},
+                       lambda: {"signal":
+                                _f32(8 * 2048).reshape(8, 2048)}))
+    register_case(Case("psk_demod", "CF32-8192",
+                       {"sampleRate": 4e6, "symbolRate": 1e6},
+                       lambda: {"signal": _cf32(8192)}))
+    register_case(Case("comparator", "F32-65536", {},
+                       lambda: {"input0": _f32(65536),
+                                "input1": _f32(65536, 1)}))
 
 
 _register_builtin()
