@@ -138,6 +138,33 @@ class Instance:
     def running(self) -> bool:
         return self._computing
 
+    # -- frame capture (Viewport::FrameCapture analog,
+    #    include/jetstream/viewport/capture.hh:10-22) --------------------
+    def capture_frame(self, directory: str) -> List[str]:
+        """Render every surface to a PNG under ``directory`` and return
+        the written paths."""
+        import os
+
+        import numpy as np
+
+        from cyberether_tpu.remote.server import _frame_to_png_b64
+
+        os.makedirs(directory, exist_ok=True)
+        written: List[str] = []
+        for fg_name, frames in self.present().items():
+            for name, data in frames.items():
+                png_b64 = _frame_to_png_b64(data)
+                if png_b64 is None:
+                    continue
+                import base64
+
+                path = os.path.join(
+                    directory, f"{fg_name}_{name.replace('/', '_')}.png")
+                with open(path, "wb") as f:
+                    f.write(base64.b64decode(png_b64))
+                written.append(path)
+        return written
+
     def destroy(self) -> None:
         self.stop()
         self.flowgraphs.clear()

@@ -122,3 +122,17 @@ def test_remote_benchmark_endpoint(served_instance):
 def test_remote_examples_endpoint(served_instance):
     out = _get("/api/v1/examples")
     assert "signal-generator" in out
+
+
+def test_instance_frame_capture(served_instance, tmp_path):
+    import time as _t
+
+    deadline = _t.monotonic() + 5
+    written = []
+    while _t.monotonic() < deadline and not written:
+        written = served_instance.capture_frame(str(tmp_path))
+        _t.sleep(0.1)
+    assert any(p.endswith(".png") for p in written)
+    import os
+
+    assert all(os.path.getsize(p) > 100 for p in written)
