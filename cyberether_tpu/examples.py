@@ -183,7 +183,28 @@ graph:
 """
 
 
+FLIGHT_TRACKER = """
+version: 2
+title: Flight Tracker
+summary: Mode-S/ADS-B decoding at 1090 MHz into an aircraft map.
+graph:
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      frequency: 1090000000
+      numberOfTimeSamples: 65536
+      numberOfBatches: 1
+  - name: adsb
+    module: adsb
+    input: {signal: '${graph.soapy.output.signal}'}
+"""
+
+
 def register_examples() -> None:
+    registry.register_example("flight-tracker", "Flight Tracker",
+                              FLIGHT_TRACKER)
     registry.register_example("multi-fm", "Multi FM", MULTI_FM)
     registry.register_example("channelizer-64", "64-channel Channelizer",
                               CHANNELIZER_64)
