@@ -34,3 +34,8 @@ def flowgraph():
     fg = Flowgraph()
     yield fg
     fg.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: long-running integration tests")
