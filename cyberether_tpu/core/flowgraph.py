@@ -312,6 +312,30 @@ class Flowgraph:
             self._retry_incomplete()
             self._invalidate()
 
+    def mark_modules_errored(self, module_names, error: str) -> None:
+        """Runtime-compute failure isolation: mark the owning blocks
+        Errored (keeping their diagnostics), set downstream blocks
+        Incomplete, and keep the rest of the graph running
+        (flowgraph.cc:1059-1176 blockSetErroredFromModules)."""
+        with self._lock:
+            owners = {str(m).split("/", 1)[0] for m in module_names}
+            for name in owners:
+                rec = self.records.get(name)
+                if rec is None:
+                    continue
+                rec.state = BlockState.ERRORED
+                rec.error = error
+                rec.block = None
+                rec.build = None
+                for dn in self._downstream(name):
+                    drec = self.records[dn]
+                    if drec.state == BlockState.COMPLETE:
+                        drec.state = BlockState.INCOMPLETE
+                        drec.error = f"producer '{name}' errored"
+                        drec.block = None
+                        drec.build = None
+            self._invalidate()
+
     def _invalidate(self) -> None:
         self._generation += 1
         if self._scheduler is not None:

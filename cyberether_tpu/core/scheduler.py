@@ -520,13 +520,29 @@ class Scheduler:
 
         for seg in self._segments:
             t0 = time.perf_counter()
+            try:
+                self._run_segment(seg)
+            except Exception as e:
+                # runtime failure isolation: the owning blocks error
+                # out, the rest of the graph keeps running
+                names = (seg.modules if isinstance(seg, DeviceSegment)
+                         else [seg.module])
+                log.exception("segment failed (%s)", names)
+                self.fg.mark_modules_errored(
+                    names, f"compute failed: {e}")
+                return False
+            seg.timing.record((time.perf_counter() - t0) * 1e3)
+        self._cycle += 1
+        return True
+
+    def _run_segment(self, seg) -> None:
             if isinstance(seg, DeviceSegment):
                 if any(k not in self._latest for k in seg.ext_inputs):
                     # an upstream host stage produced nothing yet this
                     # session: segment cannot run; mark outputs invalid
                     for k in seg.out_keys:
                         self._valid[k] = False
-                    continue
+                    return
                 ext_vals = {}
                 ext_valid = {}
                 for k in seg.ext_inputs:
@@ -589,9 +605,6 @@ class Scheduler:
                             for port, val in outs.items():
                                 self._latest[f"{name}:{port}"] = val
                                 self._valid[f"{name}:{port}"] = True
-            seg.timing.record((time.perf_counter() - t0) * 1e3)
-        self._cycle += 1
-        return True
 
     def synchronize(self) -> None:
         """Block until all dispatched device work is complete."""

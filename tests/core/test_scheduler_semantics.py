@@ -171,3 +171,33 @@ def test_inference_jax_model(flowgraph):
     assert fg.compute(timeout=5.0)
     out = fg.scheduler.output("ml.output")
     np.testing.assert_allclose(out, np.full(8, 2.0))
+
+
+def test_runtime_failure_isolates_block(flowgraph):
+    """Runtime compute failure: block -> Errored with diagnostics,
+    downstream -> Incomplete, rest of the graph keeps running
+    (flowgraph.cc:1059-1176)."""
+    fg = flowgraph
+    fg.block_create("gen", "signal_generator", {"bufferSize": 8})
+    code = ("count = [0]\n"
+            "def compute(ctx):\n"
+            "    count[0] += 1\n"
+            "    if count[0] >= 2:\n"
+            "        raise RuntimeError('boom at cycle 2')\n"
+            "    ctx.outputs['out'][:] = 1.0\n")
+    fg.block_create("py", "python", {
+        "code": code, "inputs": ["inp"], "outputs": ["out:F32:[8]"]},
+        {"inp": "${graph.gen.output.signal}"})
+    fg.block_create("down", "duplicate", {},
+                    {"buffer": "${graph.py.output.out}"})
+    fg.block_create("healthy", "duplicate", {},
+                    {"buffer": "${graph.gen.output.signal}"})
+    assert fg.compute(timeout=5.0)          # cycle 1 fine
+    assert not fg.compute(timeout=5.0)      # cycle 2 fails, isolates
+    assert fg.block_state("py") == BlockState.ERRORED
+    assert "boom" in fg.block_error("py")
+    assert fg.block_state("down") == BlockState.INCOMPLETE
+    # healthy branch keeps computing after the rebuild
+    assert fg.block_state("healthy") == BlockState.COMPLETE
+    assert fg.compute(timeout=5.0)
+    assert fg.scheduler.output("healthy.buffer") is not None
