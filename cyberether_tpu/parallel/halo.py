@@ -16,7 +16,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def halo_exchange_left(x: jnp.ndarray, halo: int, axis: int,
