@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from cyberether_tpu.core.registry import registry
 from cyberether_tpu.core.tensor import SignalAxes
-from cyberether_tpu.testing import TestContext, default_axes
+from cyberether_tpu.testing import TestContext
 
 MIN_EPOCH_SECONDS = 0.1
 

@@ -25,8 +25,7 @@ and the multi-fm example; this is the same math arranged for the MXU.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ direct-callable form used by benchmarks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import numpy as np
 
 import jax

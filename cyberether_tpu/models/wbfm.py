@@ -9,8 +9,6 @@ Reference cognate: the simple-fm / overlap-add example flowgraphs
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import numpy as np
 
 import jax

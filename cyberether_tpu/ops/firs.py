@@ -15,7 +15,7 @@ per-sample circular-history loop
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ Used by the spectrum pipeline; validated against np.fft to 1e-3
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

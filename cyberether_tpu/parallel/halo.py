@@ -10,12 +10,9 @@ local convolutions overlap with it.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 from jax import shard_map
 
 

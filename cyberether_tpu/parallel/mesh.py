@@ -13,7 +13,7 @@ all-to-alls for channel<->time resharding around the filterbank FFT.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
