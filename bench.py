@@ -189,14 +189,20 @@ def main() -> None:
         results["wbfm"] = bench_wbfm()
     except Exception as e:
         log("wbfm bench failed:", repr(e))
-    rate = bench_channelizer()
-    results["channelizer"] = rate
+    rate = 0.0
+    try:
+        rate = bench_channelizer()
+        results["channelizer"] = rate
+    except Exception as e:
+        log("channelizer bench failed:", repr(e))
     try:
         pallas_rate = bench_channelizer_pallas()
         results["channelizer_pallas"] = pallas_rate
         rate = max(rate, pallas_rate)
     except Exception as e:
         log("pallas channelizer bench failed:", repr(e))
+    if rate == 0.0:
+        log("FATAL: no channelizer measurement")
 
     print(json.dumps({
         "metric": "channelizer64_fm_samples_per_sec_per_chip",
