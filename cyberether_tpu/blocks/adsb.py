@@ -74,18 +74,53 @@ class AdsbModule(Module):
         dec = getattr(self, "decoder", None)
         if dec is None:
             return None
+        aircraft = [
+            {"icao": a.icao, "callsign": a.callsign,
+             "lat": a.lat, "lon": a.lon,
+             "altitude_ft": a.altitude_ft,
+             "speed_kt": a.speed_kt,
+             "heading_deg": a.heading_deg,
+             "messages": a.messages}
+            for a in dec.aircraft.values()]
         return {
             "kind": "map",
-            "aircraft": [
-                {"icao": a.icao, "callsign": a.callsign,
-                 "lat": a.lat, "lon": a.lon,
-                 "altitude_ft": a.altitude_ft,
-                 "speed_kt": a.speed_kt,
-                 "heading_deg": a.heading_deg,
-                 "messages": a.messages}
-                for a in dec.aircraft.values()],
+            "aircraft": aircraft,
+            "frame": _render_map(aircraft),
             "stats": dict(dec.stats),
         }
+
+
+def _render_map(aircraft, size: int = 256) -> np.ndarray:
+    """Minimal geomap surface (the reference's geodata flight-tracker
+    map, src/render/components/geomap): positioned aircraft plotted on
+    an equirectangular RGBA canvas around their centroid."""
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    img[..., :3] = 12
+    located = [a for a in aircraft
+               if a["lat"] is not None and a["lon"] is not None]
+    if not located:
+        return img
+    lats = np.array([a["lat"] for a in located])
+    lons = np.array([a["lon"] for a in located])
+    lat0, lon0 = lats.mean(), lons.mean()
+    span = max(np.abs(lats - lat0).max(), np.abs(lons - lon0).max(),
+               0.5) * 1.2
+    ys = np.clip(((lat0 + span - lats) / (2 * span) * (size - 1))
+                 .astype(int), 0, size - 1)
+    xs = np.clip(((lons - (lon0 - span)) / (2 * span) * (size - 1))
+                 .astype(int), 0, size - 1)
+    for x, y, a in zip(xs, ys, located):
+        img[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2, :3] = \
+            (80, 250, 160)
+        hdg = a.get("heading_deg")
+        if hdg is not None:
+            dx = int(round(5 * np.sin(np.radians(hdg))))
+            dy = -int(round(5 * np.cos(np.radians(hdg))))
+            ty, tx = np.clip(y + dy, 0, size - 1), \
+                np.clip(x + dx, 0, size - 1)
+            img[ty, tx, :3] = (250, 220, 80)
+    return img
 
 
 register_block(simple_block("adsb"))

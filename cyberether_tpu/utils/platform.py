@@ -55,3 +55,11 @@ def run_process(argv: List[str], timeout: Optional[float] = None
     """Spawn a child process (src/platform/process.cc)."""
     return subprocess.run(argv, capture_output=True, text=True,
                           timeout=timeout)
+
+
+def fetch_url(url: str, timeout: float = 10.0) -> bytes:
+    """HTTP(S) fetch (src/platform/url.cc)."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.read()

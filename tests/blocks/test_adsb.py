@@ -125,3 +125,16 @@ graph:
         assert any(a["icao"] == "4840D6" for a in data["aircraft"])
     finally:
         fg.stop()
+
+
+def test_map_render():
+    from cyberether_tpu.blocks.adsb import _render_map
+
+    img = _render_map([
+        {"icao": "A", "lat": 52.0, "lon": 4.0, "heading_deg": 90.0},
+        {"icao": "B", "lat": 52.5, "lon": 4.5, "heading_deg": None},
+        {"icao": "C", "lat": None, "lon": None, "heading_deg": None},
+    ])
+    assert img.shape == (256, 256, 4)
+    # aircraft pixels drawn in green
+    assert (img[..., 1] == 250).any()
