@@ -158,7 +158,11 @@ def bench_flowgraph() -> float:
                     {"buffer": "${graph.src.output.buffer}"})
     try:
         for _ in range(3):
-            fg.compute(timeout=10.0)
+            ok = fg.compute(timeout=10.0)
+        errored = {b: fg.block_error(b) for b in fg.records
+                   if fg.block_state(b).value != "complete"}
+        if not ok or errored:
+            raise RuntimeError(f"flowgraph did not run: {errored}")
         fg.scheduler.synchronize()
         t0 = time.perf_counter()
         steps = 20

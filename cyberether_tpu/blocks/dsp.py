@@ -199,14 +199,20 @@ class InvertModule(Module):
         x = inputs["signal"].astype(jnp.complex64)
         n = x.shape[self._axis]
         k = np.arange(n)
+        # build the phasor from REAL planes and combine on device —
+        # complex64 host->device uploads are unimplemented on axon
         if n % 2 == 0:
-            phasor = np.where(k % 2 == 0, 1.0, -1.0).astype(np.complex64)
+            pr = np.where(k % 2 == 0, 1.0, -1.0).astype(np.float32)
+            pi = np.zeros(n, np.float32)
         else:
             phase = 2.0 * np.pi * (n // 2) * k / n
-            phasor = np.exp(1j * phase).astype(np.complex64)
+            pr = np.cos(phase).astype(np.float32)
+            pi = np.sin(phase).astype(np.float32)
+        phasor = (jnp.asarray(pr) + 1j * jnp.asarray(pi)) \
+            .astype(jnp.complex64)
         shape = [1] * x.ndim
         shape[self._axis] = n
-        return {"signal": x * jnp.asarray(phasor).reshape(shape)}, state
+        return {"signal": x * phasor.reshape(shape)}, state
 
 
 # ---------------------------------------------------------------------------

@@ -233,7 +233,10 @@ class Scheduler:
                 continue
             inputs = {p: self._static_values[_key(r)]
                       for p, r in ins.items()}
-            outputs, _ = mod.apply(inputs, mod.init_state())
+            # settle under jit: any constants the module builds embed
+            # into the program instead of going through eager host
+            # transfers (which reject complex64 on the axon backend)
+            outputs, _ = jax.jit(mod.apply)(inputs, mod.init_state())
             for port, val in outputs.items():
                 if port == PASS_FLAG or port.startswith(METRIC_PREFIX):
                     continue
