@@ -79,7 +79,9 @@ def _run_case(case: Case, min_epoch: float) -> Measurement:
                       attrs=case.attrs.get(port))
     mod = ctx._build()
     jitted = ctx._jitted
-    ins = {p: jnp.asarray(v) for p, v in arrays.items()}
+    from cyberether_tpu.utils.xfer import to_device
+
+    ins = {p: to_device(v) for p, v in arrays.items()}
     state = ctx._state
     # warmup/compile
     outs, state = jitted(ins, state)

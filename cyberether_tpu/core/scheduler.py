@@ -43,6 +43,7 @@ from cyberether_tpu.core.block import PortRef
 from cyberether_tpu.core.module import Module, PASS_FLAG
 from cyberether_tpu.core.types import GraphError, Runtime, Taint
 from cyberether_tpu.utils.logging import get_logger
+from cyberether_tpu.utils.xfer import fetch as _fetch
 
 log = get_logger("scheduler")
 
@@ -76,6 +77,7 @@ class DeviceSegment:
     gates: List[str]                 # module names needing host gate flags
     out_keys: List[str]              # boundary outputs (consumed outside)
     state_modules: List[str]
+    split_inputs: Set[str] = field(default_factory=set)  # complex-from-host
     fn: Any = None                   # compiled step
     timing: Timing = field(default_factory=Timing)
 
@@ -340,6 +342,10 @@ class Scheduler:
         mod_set = set(mods)
         ext: List[str] = []
         gates: List[str] = []
+        # ext keys fed from HOST modules with complex dtype cross the
+        # host->device boundary as stacked (2, ...) float32 planes and
+        # recombine inside the program (axon rejects complex transfers)
+        split_keys: Set[str] = set()
         for name in mods:
             for ref in self._inputs.get(name, {}).values():
                 if ref.module in self._settled:
@@ -348,6 +354,13 @@ class Scheduler:
                     k = _key(ref)
                     if k not in ext:
                         ext.append(k)
+                    pmod = self._modules.get(ref.module)
+                    spec = self._spec_of_key.get(k)
+                    if (pmod is not None
+                            and pmod.runtime is Runtime.HOST
+                            and spec is not None
+                            and spec.dtype.is_complex):
+                        split_keys.add(k)
             if self._modules[name].taints & Taint.THROTTLED:
                 gates.append(name)
         out_keys = sorted(k for k in needed
@@ -365,7 +378,10 @@ class Scheduler:
                        ext_valid: Dict[str, Any],
                        gate_flags: Dict[str, Any]):
             produced: Dict[str, Any] = dict(statics)
-            produced.update(ext_vals)
+            for k, v in ext_vals.items():
+                if k in split_keys:
+                    v = (v[0] + 1j * v[1]).astype(jnp.complex64)
+                produced[k] = v
             valid: Dict[str, Any] = {k: jnp.asarray(True)
                                      for k in statics}
             valid.update({k: jnp.asarray(v) for k, v in ext_valid.items()})
@@ -407,7 +423,8 @@ class Scheduler:
         fn = jax.jit(segment_fn, donate_argnums=(0,))
         return DeviceSegment(index=index, modules=mods, ext_inputs=ext,
                              gates=gates, out_keys=out_keys,
-                             state_modules=state_modules, fn=fn)
+                             state_modules=state_modules,
+                             split_inputs=split_keys, fn=fn)
 
     def _init_states(self) -> None:
         new_state: Dict[str, Any] = {}
@@ -549,7 +566,13 @@ class Scheduler:
                 ext_vals = {}
                 ext_valid = {}
                 for k in seg.ext_inputs:
-                    ext_vals[k] = self._latest[k]
+                    val = self._latest[k]
+                    if k in seg.split_inputs \
+                            and isinstance(val, np.ndarray) \
+                            and np.iscomplexobj(val):
+                        val = np.stack([val.real.astype(np.float32),
+                                        val.imag.astype(np.float32)])
+                    ext_vals[k] = val
                     # keep device validity scalars on device — forcing
                     # them to host bools would sync the pipeline every
                     # cycle; jit accepts bool scalars and arrays alike
@@ -584,13 +607,13 @@ class Scheduler:
                         v = v and bool(np.asarray(self._valid.get(k, True)))
                     if mod.is_sink:
                         if all(x is not None for x in ins.values()):
-                            host_ins = {p: np.asarray(x)
+                            host_ins = {p: _fetch(x)
                                         for p, x in ins.items()}
                             mod.host_consume(host_ins, v)
                     elif hasattr(mod, "host_execute"):
                         # host compute module (e.g. the python block)
                         if v:
-                            host_ins = {p: np.asarray(x)
+                            host_ins = {p: _fetch(x)
                                         for p, x in ins.items()}
                             outs = mod.host_execute(host_ins) or {}
                             for port, val in outs.items():
@@ -745,9 +768,9 @@ class Scheduler:
             return None
         k = _key(ref)
         if k in self._static_values:
-            return np.asarray(self._static_values[k])
+            return _fetch(self._static_values[k])
         if k in self._latest:
-            return np.asarray(self._latest[k])
+            return _fetch(self._latest[k])
         return None
 
     def output_valid(self, block_port: str) -> bool:

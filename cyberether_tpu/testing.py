@@ -192,7 +192,9 @@ class TestContext:
                 outs = mod.host_poll() or {}
                 self._outputs = dict(outs)
                 continue
-            ins = {p: jnp.asarray(v) for p, v in self._inputs.items()}
+            from cyberether_tpu.utils.xfer import to_device
+
+            ins = {p: to_device(v) for p, v in self._inputs.items()}
             outs, self._state = self._jitted(ins, self._state)
             self.metrics = {}
             self.passed = None
@@ -207,7 +209,9 @@ class TestContext:
 
     # -- inspection ---------------------------------------------------------
     def output(self, port: str) -> np.ndarray:
-        return np.asarray(self._outputs[port])
+        from cyberether_tpu.utils.xfer import fetch
+
+        return fetch(self._outputs[port])
 
     def output_spec(self, port: str) -> TensorSpec:
         return self._build().output_specs[port]

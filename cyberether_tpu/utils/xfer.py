@@ -1,0 +1,47 @@
+"""Host<->device transfer helpers.
+
+The axon TPU backend does not implement complex64 transfers in either
+direction.  These helpers keep every boundary real: complex uploads go
+as split re/im planes recombined on device; complex downloads split on
+device and recombine on host.  On CPU/GPU they are plain pass-throughs
+functionally.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _combine(r, i):
+    return (r + 1j * i).astype(jnp.complex64)
+
+
+@jax.jit
+def _split(a):
+    return jnp.real(a), jnp.imag(a)
+
+
+def to_device(value: Any):
+    """Upload a host array; complex goes as split planes."""
+    v = np.asarray(value)
+    if np.iscomplexobj(v):
+        return _combine(jnp.asarray(v.real.astype(np.float32)),
+                        jnp.asarray(v.imag.astype(np.float32)))
+    return jnp.asarray(v)
+
+
+def fetch(value: Any) -> np.ndarray:
+    """Download a device array; complex comes back as split planes."""
+    if isinstance(value, np.ndarray):
+        return value
+    if hasattr(value, "dtype") and \
+            jnp.issubdtype(value.dtype, jnp.complexfloating):
+        r, i = _split(value)
+        return np.asarray(r) + 1j * np.asarray(i)
+    return np.asarray(value)
