@@ -242,7 +242,11 @@ class Scheduler:
             for port, val in outputs.items():
                 if port == PASS_FLAG or port.startswith(METRIC_PREFIX):
                     continue
-                self._static_values[f"{name}:{port}"] = jnp.asarray(val)
+                # settled values are stored HOST-side (numpy): closing
+                # a jit over a complex *device* array makes lowering
+                # fetch it d2h, which the axon backend rejects; numpy
+                # constants embed as literals instead
+                self._static_values[f"{name}:{port}"] = _fetch(val)
             self._settled.add(name)
 
     def _stage_of(self) -> Dict[str, int]:
@@ -373,11 +377,21 @@ class Scheduler:
         modules = {m: self._modules[m] for m in mods}
         topo_local = [m for m in self._topo if m in mod_set]
 
+        def _embed_static(v):
+            # complex constants embed as split REAL literals combined
+            # on device (axon-safe)
+            if isinstance(v, np.ndarray) and np.iscomplexobj(v):
+                return (jnp.asarray(v.real.astype(np.float32))
+                        + 1j * jnp.asarray(v.imag.astype(np.float32))
+                        ).astype(jnp.complex64)
+            return jnp.asarray(v)
+
         def segment_fn(state: Dict[str, Any],
                        ext_vals: Dict[str, Any],
                        ext_valid: Dict[str, Any],
                        gate_flags: Dict[str, Any]):
-            produced: Dict[str, Any] = dict(statics)
+            produced: Dict[str, Any] = {k: _embed_static(v)
+                                        for k, v in statics.items()}
             for k, v in ext_vals.items():
                 if k in split_keys:
                     v = (v[0] + 1j * v[1]).astype(jnp.complex64)
@@ -417,7 +431,10 @@ class Scheduler:
                     produced[k] = self._constrain(k, val)
                     valid[k] = v_out
             out_vals = {k: produced[k] for k in out_keys}
-            out_valid = {k: valid[k] for k in out_keys}
+            # validity crosses segment/host boundaries as float32 —
+            # PRED-typed transfers are another axon gap
+            out_valid = {k: valid[k].astype(jnp.float32)
+                         for k in out_keys}
             return out_vals, out_valid, new_state, metrics
 
         fn = jax.jit(segment_fn, donate_argnums=(0,))
@@ -731,7 +748,9 @@ class Scheduler:
                 if v is None:
                     missing = True
                     break
-                ins[port] = jnp.asarray(v)
+                from cyberether_tpu.utils.xfer import to_device
+
+                ins[port] = to_device(v)
             if missing:
                 continue
             st = self._state.get(name)
