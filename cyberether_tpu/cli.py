@@ -72,6 +72,10 @@ def _cmd_run(args) -> int:
             sys.exit(130)
 
     signal.signal(signal.SIGINT, on_int)
+    if args.trace:
+        import jax
+
+        jax.profiler.start_trace(args.trace)
     inst.start()
     t0 = time.monotonic()
     try:
@@ -81,6 +85,11 @@ def _cmd_run(args) -> int:
             time.sleep(0.05)
     finally:
         inst.stop()
+        if args.trace:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"trace written to {args.trace}", file=sys.stderr)
         if server is not None:
             server.stop()
     if args.profile:
@@ -208,6 +217,9 @@ def main(argv: Optional[list] = None) -> int:
                       help="re-export the flowgraph YAML on exit")
     runp.add_argument("--profile", action="store_true",
                       help="print per-module compute times on exit")
+    runp.add_argument("--trace", default="",
+                      help="write a jax profiler trace (xplane/"
+                           "perfetto) to this directory")
 
     bp = sub.add_parser("benchmark", help="run component benchmarks")
     bp.add_argument("component", nargs="?", default=None)
