@@ -434,9 +434,31 @@ class AudioModule(Module):
             self._resample = (frac.numerator, frac.denominator)
         self.samples_out = 0
         self._sink_ring = CircularBuffer(1 << 20, np.float32)
+        # playback backend: deviceName 'process:<cmd>' pipes float32
+        # samples into a player command (e.g. 'process:aplay -f
+        # FLOAT_LE -r {rate} -c 1'); 'Default' collects only (no audio
+        # device in this image)
+        self._player = None
+        dev = str(self.config["deviceName"])
+        if dev.startswith("process:"):
+            import shlex
+            import subprocess
+
+            cmd = dev[len("process:"):].format(
+                rate=int(float(self.config["outSampleRate"])))
+            self._player = subprocess.Popen(
+                cmd, shell=True, stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     def host_stop(self) -> None:
-        pass
+        player = getattr(self, "_player", None)
+        if player is not None:
+            try:
+                player.stdin.close()
+                player.wait(timeout=2.0)
+            except Exception:
+                player.kill()
+            self._player = None
 
     def host_consume(self, outputs: Dict[str, np.ndarray],
                      valid: bool) -> None:
@@ -451,6 +473,13 @@ class AudioModule(Module):
         data = data * float(self.config["volume"])
         self._sink_ring.put(data)
         self.samples_out += data.size
+        if self._player is not None:
+            try:
+                self._player.stdin.write(
+                    data.astype(np.float32).tobytes())
+                self._player.stdin.flush()
+            except (BrokenPipeError, ValueError):
+                self._player = None
 
     def take(self, n: int) -> Optional[np.ndarray]:
         """Fetch resampled audio (testing / playback pump)."""

@@ -142,3 +142,21 @@ def test_audio_sink_resamples(flowgraph):
     assert mod.samples_out == 800
     chunk = mod.take(400)
     assert chunk is not None and chunk.shape == (400,)
+
+
+def test_audio_process_backend(flowgraph, tmp_path):
+    out_path = tmp_path / "audio.f32"
+    fg = flowgraph
+    fg.block_create("gen", "signal_generator", {
+        "signalType": "dc", "amplitude": 0.5, "signalDataType": "F32",
+        "bufferSize": 480})
+    fg.block_create("audio", "audio", {
+        "deviceName": f"process:cat > {out_path}",
+        "inSampleRate": 48000, "outSampleRate": 48000},
+        {"buffer": "${graph.gen.output.signal}"})
+    for _ in range(3):
+        assert fg.compute(timeout=5.0)
+    fg.stop()   # closes the player pipe
+    data = np.fromfile(out_path, np.float32)
+    assert data.size == 3 * 480
+    np.testing.assert_allclose(data, 0.5, atol=1e-6)
