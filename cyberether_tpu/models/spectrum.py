@@ -58,6 +58,20 @@ class SpectrumPipeline:
         norm = db * self._scale + self._offset
         return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
+    def step_pallas(self, iq: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+        """Whole pipeline as ONE fused Pallas kernel (window + matmul
+        DFT + |.|^2 + dB + range, VMEM-resident)."""
+        from cyberether_tpu.ops.pallas_kernels import spectrum_fused
+
+        return spectrum_fused(
+            iq, np.asarray(self._win), float(self._coeff),
+            float(self._scale), float(self._offset),
+            tile_b=min(64, iq.shape[0]), interpret=interpret)
+
+    def jitted_step_pallas(self, interpret: bool = False):
+        return jax.jit(lambda iq: self.step_pallas(iq, interpret))
+
     def jitted_step(self):
         return jax.jit(self.step)
 

@@ -80,3 +80,15 @@ def test_kernel_multi_tile_carry():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+
+
+def test_spectrum_fused_kernel_matches_model():
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=8,
+                            use_mxu_fft=False)
+    iq = pipe.make_input(seed=6)
+    ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
+    got = np.asarray(pipe.step_pallas(jnp.asarray(iq),
+                                      interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
