@@ -16,18 +16,17 @@ import os
 import sys
 import time
 
-# persistent compilation cache: tunnel compiles are ~100 s, cache makes
-# reruns instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# NOTE: do NOT enable the persistent compilation cache here — the axon
+# backend cannot deserialize cached executables (UNIMPLEMENTED), so a
+# populated cache poisons every subsequent program.  Opt in explicitly
+# with CYBERETHER_JAX_CACHE_DIR on backends that support it.
+if os.environ.get("CYBERETHER_JAX_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["CYBERETHER_JAX_CACHE_DIR"])
 
 BASELINE_PER_CHIP = 62.5e6   # 1 Gsamp/s / 16 chips (v5e-16)
 
