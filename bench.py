@@ -180,18 +180,8 @@ def bench_flowgraph() -> float:
 def main() -> None:
     log("devices:", jax.devices())
     results = {}
-    try:
-        results["flowgraph"] = bench_flowgraph()
-    except Exception as e:
-        log("flowgraph bench failed:", repr(e))
-    try:
-        results["spectrum"] = bench_spectrum()
-    except Exception as e:
-        log("spectrum bench failed:", repr(e))
-    try:
-        results["wbfm"] = bench_wbfm()
-    except Exception as e:
-        log("wbfm bench failed:", repr(e))
+    # primary metric FIRST: a failure in any secondary bench can wedge
+    # the axon client for the rest of the process
     rate = 0.0
     try:
         rate = bench_channelizer()
@@ -206,6 +196,18 @@ def main() -> None:
         log("pallas channelizer bench failed:", repr(e))
     if rate == 0.0:
         log("FATAL: no channelizer measurement")
+    try:
+        results["spectrum"] = bench_spectrum()
+    except Exception as e:
+        log("spectrum bench failed:", repr(e))
+    try:
+        results["wbfm"] = bench_wbfm()
+    except Exception as e:
+        log("wbfm bench failed:", repr(e))
+    try:
+        results["flowgraph"] = bench_flowgraph()
+    except Exception as e:
+        log("flowgraph bench failed:", repr(e))
 
     print(json.dumps({
         "metric": "channelizer64_fm_samples_per_sec_per_chip",
