@@ -398,7 +398,10 @@ class Scheduler:
                 produced[k] = v
             valid: Dict[str, Any] = {k: jnp.asarray(True)
                                      for k in statics}
-            valid.update({k: jnp.asarray(v) for k, v in ext_valid.items()})
+            # host-fed validity crosses as float32 (PRED-typed
+            # transfers are unimplemented on axon); booleanize here
+            valid.update({k: jnp.asarray(v) != 0
+                          for k, v in ext_valid.items()})
             new_state: Dict[str, Any] = {}
             metrics: Dict[str, Dict[str, Any]] = {}
             for name in topo_local:
@@ -409,7 +412,8 @@ class Scheduler:
                 for r in inputs_of[name].values():
                     v_in = jnp.logical_and(v_in, valid[_key(r)])
                 if name in gate_flags:
-                    v_in = jnp.logical_and(v_in, gate_flags[name])
+                    v_in = jnp.logical_and(v_in,
+                                           gate_flags[name] != 0)
                 st = state.get(name)
                 outs, st_new = mod.apply(ins, st)
                 if st is not None:
@@ -527,7 +531,7 @@ class Scheduler:
             fire = (now - last) >= period
             if fire:
                 self._gate_last_fire[name] = now
-            flags[name] = np.asarray(fire)
+            flags[name] = np.float32(1.0 if fire else 0.0)
         return flags
 
     def compute(self, timeout: Optional[float] = None) -> bool:
@@ -594,8 +598,8 @@ class Scheduler:
                     # them to host bools would sync the pipeline every
                     # cycle; jit accepts bool scalars and arrays alike
                     v = self._valid.get(k, True)
-                    ext_valid[k] = v if not isinstance(v, bool) \
-                        else np.asarray(v)
+                    ext_valid[k] = np.float32(1.0 if v else 0.0) \
+                        if isinstance(v, bool) else v
                 gate_flags = self._gate_flags_for(seg)
                 state_sub = {m: self._state[m] for m in seg.state_modules
                              if m in self._state}
