@@ -103,6 +103,20 @@ def bench_spectrum() -> float:
     return best
 
 
+def bench_spectrum_pallas() -> float:
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=512)
+    iq = jax.device_put(pipe.make_input())
+    step = pipe.jitted_step_pallas()
+    out = step(iq)
+    jax.block_until_ready(out)
+    dt = time_steps(lambda iq: step(iq), lambda: (iq,), steps=10)
+    rate = pipe.batches * pipe.fft_size / dt
+    log(f"spectrum[pallas-fused]: {rate/1e6:.1f} Msamp/s/chip")
+    return rate
+
+
 def bench_wbfm() -> float:
     from cyberether_tpu.models.wbfm import WbfmReceiver
 
@@ -200,6 +214,10 @@ def main() -> None:
         results["spectrum"] = bench_spectrum()
     except Exception as e:
         log("spectrum bench failed:", repr(e))
+    try:
+        results["spectrum_pallas"] = bench_spectrum_pallas()
+    except Exception as e:
+        log("spectrum-pallas bench failed:", repr(e))
     try:
         results["wbfm"] = bench_wbfm()
     except Exception as e:

@@ -136,8 +136,12 @@ def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
     T = taps.shape[-1]
     K = T - 1
     n = x.shape[-1]
-    assert n % frame == 0, (n, frame)
-    nf = n // frame
+    pad = (-n) % frame
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+    npad = n + pad
+    nf = npad // frame
     ext = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
 
     h = np.asarray(taps, np.float32)
@@ -161,8 +165,11 @@ def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
     else:
         y = jnp.dot(flat, Mj,
                     preferred_element_type=jnp.float32).astype(x.dtype)
-    y = y.reshape(lead + (n,))
-    new_hist = ext[..., -K:] if K else history
+    y = y.reshape(lead + (npad,))[..., :n]
+    if pad:
+        new_hist = ext[..., K + n - K:K + n] if K else history
+    else:
+        new_hist = ext[..., -K:] if K else history
     return y, new_hist
 
 

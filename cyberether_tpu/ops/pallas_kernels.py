@@ -60,8 +60,8 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
-                       prev_ref, out_ref, ylast_ref, carry, *, P: int,
-                       C: int, tile_m: int, ref_gain: float):
+                       prev_ref, out_ref, ylast_ref, carry, lag, *,
+                       P: int, C: int, tile_m: int, ref_gain: float):
     """One grid step: frames [i*tile_m, (i+1)*tile_m).
 
     body: (tile_m, 2C) — rows ext[i*tile_m+P-1 : (i+1)*tile_m+P-1]
@@ -88,12 +88,18 @@ def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
           + jnp.dot(zi, wrt, preferred_element_type=jnp.float32))
 
     # ---- FM demod with lag-1 carry ------------------------------------
+    # (Mosaic cannot concatenate vectors with mismatched sublane
+    # offsets, so the lagged view is built through a scratch ref:
+    # lag[0] = carry, lag[1:] = y[:-1])
     @pl.when(i == 0)
     def _seed():
         carry[0, :] = prev_ref[0, :]
 
-    pr = jnp.concatenate([carry[0:1, :C], yr[:-1, :]], axis=0)
-    pi_ = jnp.concatenate([carry[0:1, C:], yi[:-1, :]], axis=0)
+    lag[0, :] = carry[0, :]
+    lag[1:tile_m, :C] = yr[0:tile_m - 1, :]
+    lag[1:tile_m, C:] = yi[0:tile_m - 1, :]
+    pr = lag[0:tile_m, :C]
+    pi_ = lag[0:tile_m, C:]
     dr = pr * yr + pi_ * yi
     di = pr * yi - pi_ * yr
     out_ref[:, :] = _atan2(di, dr) * ref_gain
@@ -272,6 +278,7 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((1, 2 * C), jnp.float32),
+            pltpu.VMEM((tile_m, 2 * C), jnp.float32),
         ],
         interpret=interpret,
     )(body, halos, hp, wr.T, wi.T, prev)

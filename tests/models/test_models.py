@@ -191,3 +191,20 @@ def test_mxu_fft_matches_numpy():
         got = np.asarray(fft_mxu(jnp.asarray(x)))
         ref = np.fft.fft(x, axis=-1)
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fir_matmul_nondivisible_length():
+    import scipy.signal
+
+    from cyberether_tpu.ops.firs import fir_matmul_streaming
+
+    rng = np.random.default_rng(10)
+    taps = (np.hamming(33) / np.hamming(33).sum()).astype(np.float32)
+    x = rng.standard_normal((1, 200)).astype(np.float32)   # 200 % 128 != 0
+    hist = np.zeros((1, 32), np.float32)
+    y, nh = fir_matmul_streaming(jnp.asarray(x), jnp.asarray(taps),
+                                 jnp.asarray(hist))
+    ref = scipy.signal.lfilter(taps, [1.0], x, axis=-1)
+    np.testing.assert_allclose(np.asarray(y), ref.astype(np.float32),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(nh), x[:, -32:])
