@@ -100,11 +100,16 @@ def _frame_to_png_b64(data: Dict[str, Any]) -> Optional[str]:
 
 class RemoteServer:
     def __init__(self, instance, host: str = "0.0.0.0",
-                 port: int = 8765, fps: float = 10.0):
+                 port: int = 8765, fps: float = 10.0,
+                 token: str = ""):
+        """``token``: when set, every request must carry
+        ``?token=<token>`` (the reference's consumer-token/approval
+        flow, instance_remote_socket.cc)."""
         self.instance = instance
         self.host = host
         self.port = port
         self.fps = fps
+        self.token = token
         self._thread: Optional[threading.Thread] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._stop = threading.Event()
@@ -156,12 +161,19 @@ class RemoteServer:
             await runner.cleanup()
 
     # -- handlers -----------------------------------------------------------
+    def _check_token(self, request) -> None:
+        if self.token and request.query.get("token") != self.token:
+            from aiohttp import web
+
+            raise web.HTTPUnauthorized(text="bad or missing token")
+
     async def _index(self, request):
         from aiohttp import web
 
         return web.Response(text=_PAGE, content_type="text/html")
 
     async def _flowgraphs(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         views = {name: fg.view()
@@ -169,6 +181,7 @@ class RemoteServer:
         return web.json_response(views)
 
     async def _metrics(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         out: Dict[str, Any] = {}
@@ -188,6 +201,7 @@ class RemoteServer:
         return self.instance.flowgraphs.get(name)
 
     async def _block_create(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         fg = self._fg(request)
@@ -205,6 +219,7 @@ class RemoteServer:
         return web.json_response(fg.view()["blocks"][body["name"]])
 
     async def _block_reconfigure(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         fg = self._fg(request)
@@ -219,6 +234,7 @@ class RemoteServer:
         return web.json_response(fg.view()["blocks"][name])
 
     async def _block_destroy(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         fg = self._fg(request)
@@ -231,6 +247,7 @@ class RemoteServer:
         return web.json_response({"ok": True})
 
     async def _connect(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         fg = self._fg(request)
@@ -245,6 +262,7 @@ class RemoteServer:
         return web.json_response({"ok": True})
 
     async def _benchmark(self, request):
+        self._check_token(request)
         """Run component benchmarks on demand (the reference's in-app
         benchmark modal, compositor presenters/modal/benchmark.hh)."""
         from aiohttp import web
@@ -258,6 +276,7 @@ class RemoteServer:
         return web.json_response([m.__dict__ for m in results])
 
     async def _examples(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         from cyberether_tpu.core.registry import registry
@@ -267,6 +286,7 @@ class RemoteServer:
             for name in registry.list_examples()})
 
     async def _stream(self, request):
+        self._check_token(request)
         from aiohttp import web
 
         ws = web.WebSocketResponse()

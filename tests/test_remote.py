@@ -136,3 +136,37 @@ def test_instance_frame_capture(served_instance, tmp_path):
     import os
 
     assert all(os.path.getsize(p) > 100 for p in written)
+
+
+def test_token_auth():
+    import urllib.error
+
+    from cyberether_tpu.core.instance import Instance
+
+    inst = Instance(headless=True)
+    inst.flowgraph_create("main")
+    server = RemoteServer(inst, port=PORT + 1, token="s3cret")
+    server.start()
+    try:
+        deadline = time.monotonic() + 10
+        ok = False
+        while time.monotonic() < deadline:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{PORT+1}/api/v1/flowgraphs"
+                    f"?token=s3cret", timeout=1)
+                ok = True
+                break
+            except urllib.error.HTTPError:
+                break
+            except Exception:
+                time.sleep(0.1)
+        assert ok
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT+1}/api/v1/flowgraphs",
+                timeout=2)
+        assert e.value.code == 401
+    finally:
+        server.stop()
+        inst.destroy()
