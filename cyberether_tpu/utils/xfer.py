@@ -24,7 +24,11 @@ def _combine(r, i):
 
 @jax.jit
 def _split(a):
-    return jnp.real(a), jnp.imag(a)
+    # jnp.real/imag outputs can ALIAS the complex buffer, and a d2h of
+    # an aliased view still trips the axon complex-transfer gap; stack
+    # forces a fresh float32 buffer
+    return jnp.stack([jnp.real(a).astype(jnp.float32),
+                      jnp.imag(a).astype(jnp.float32)])
 
 
 def to_device(value: Any):
@@ -42,6 +46,6 @@ def fetch(value: Any) -> np.ndarray:
         return value
     if hasattr(value, "dtype") and \
             jnp.issubdtype(value.dtype, jnp.complexfloating):
-        r, i = _split(value)
-        return np.asarray(r) + 1j * np.asarray(i)
+        planes = np.asarray(_split(value))
+        return (planes[0] + 1j * planes[1]).astype(np.complex64)
     return np.asarray(value)
