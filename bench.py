@@ -88,16 +88,17 @@ def bench_spectrum() -> float:
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
     best = 0.0
-    for mxu in (False, True):
+    for mxu, fast in ((False, False), (True, False), (True, True)):
         pipe = SpectrumPipeline(fft_size=2048, batches=512,
-                                use_mxu_fft=mxu)
+                                use_mxu_fft=mxu, fast_math=fast)
         iq = jax.device_put(pipe.make_input())
         step = pipe.jitted_step()
         out = step(iq)
         jax.block_until_ready(out)
         dt = time_steps(lambda iq: step(iq), lambda: (iq,), steps=10)
         rate = pipe.batches * pipe.fft_size / dt
-        log(f"spectrum[{'mxu' if mxu else 'xla'}-fft]: "
+        log(f"spectrum[{'mxu' if mxu else 'xla'}-fft"
+            f"{'+fastmath' if fast else ''}]: "
             f"{rate/1e6:.1f} Msamp/s/chip")
         best = max(best, rate)
     return best

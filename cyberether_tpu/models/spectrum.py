@@ -26,6 +26,10 @@ class SpectrumPipeline:
     range_max: float = 0.0
     #: run the DFT as MXU matmuls (ops/mxu_fft) instead of XLA's FFT
     use_mxu_fft: bool = True
+    #: replace exact log10/tanh with the reference-style approximations
+    #: (ApproxLog10 + Pade tanh) — the VPU transcendental units are the
+    #: spectrum bottleneck, not the FFT
+    fast_math: bool = True
 
     def __post_init__(self):
         w = np.asarray(blackman(self.fft_size))
@@ -41,22 +45,28 @@ class SpectrumPipeline:
     def step(self, iq: jnp.ndarray) -> jnp.ndarray:
         """iq: (batches, fft_size, 2) float32 re/im -> (batches,
         fft_size) float32 normalized spectrum in [0, 1]."""
+        from cyberether_tpu.ops.fastmath import approx_log10, \
+            approx_tanh
+
         if self.use_mxu_fft:
             from cyberether_tpu.ops.mxu_fft import fft_mxu_split
 
             xr = iq[..., 0] * self._win
             xi = iq[..., 1] * self._win
             yr, yi = fft_mxu_split(xr, xi)
-            mag2 = yr * yr + yi * yi
-            db = 10.0 * jnp.log10(jnp.maximum(mag2, 1e-60)) \
-                + self._coeff
+            mag2 = jnp.maximum(yr * yr + yi * yi, 1e-60)
+            db = (10.0 * (approx_log10(mag2) if self.fast_math
+                          else jnp.log10(mag2))) + self._coeff
         else:
             x = (iq[..., 0] + 1j * iq[..., 1]) * self._win
             spec = jnp.fft.fft(x, axis=-1)
-            mag = jnp.abs(spec)
-            db = 20.0 * jnp.log10(jnp.maximum(mag, 1e-30)) + self._coeff
+            mag = jnp.maximum(jnp.abs(spec), 1e-30)
+            db = (20.0 * (approx_log10(mag) if self.fast_math
+                          else jnp.log10(mag))) + self._coeff
         norm = db * self._scale + self._offset
-        return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+        t = 4.0 * (norm - 0.5)
+        return 0.5 + 0.5 * (approx_tanh(t) if self.fast_math
+                            else jnp.tanh(t))
 
     def step_pallas(self, iq: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:

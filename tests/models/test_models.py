@@ -174,11 +174,18 @@ def test_fir_matmul_matches_lfilter():
 def test_spectrum_mxu_matches_xla_path():
     rng = np.random.default_rng(8)
     iq = rng.standard_normal((4, 2048, 2)).astype(np.float32)
-    a = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=False)
+    a = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=False,
+                                    fast_math=False)
                    .jitted_step()(jnp.asarray(iq)))
-    b = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=True)
+    b = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=True,
+                                    fast_math=False)
                    .jitted_step()(jnp.asarray(iq)))
     np.testing.assert_allclose(a, b, atol=1e-3)
+    # fast-math variant stays within display tolerance of exact
+    c = np.asarray(SpectrumPipeline(batches=4, use_mxu_fft=True,
+                                    fast_math=True)
+                   .jitted_step()(jnp.asarray(iq)))
+    np.testing.assert_allclose(c, b, atol=5e-3)
 
 
 def test_mxu_fft_matches_numpy():

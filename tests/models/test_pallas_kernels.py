@@ -86,7 +86,7 @@ def test_spectrum_fused_kernel_matches_model():
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
     pipe = SpectrumPipeline(fft_size=2048, batches=8,
-                            use_mxu_fft=False)
+                            use_mxu_fft=False, fast_math=False)
     iq = pipe.make_input(seed=6)
     ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
     got = np.asarray(pipe.step_pallas(jnp.asarray(iq),
