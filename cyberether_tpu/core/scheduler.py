@@ -43,11 +43,96 @@ from cyberether_tpu.core.block import PortRef
 from cyberether_tpu.core.module import Module, PASS_FLAG
 from cyberether_tpu.core.types import GraphError, Runtime, Taint
 from cyberether_tpu.utils.logging import get_logger
-from cyberether_tpu.utils.xfer import fetch as _fetch
+from cyberether_tpu.utils.xfer import fetch as _xla_fetch
 
 log = get_logger("scheduler")
 
 METRIC_PREFIX = "metric:"
+
+# ---------------------------------------------------------------------------
+# complex boundary codec
+#
+# The axon TPU backend cannot move complex64 across ANY executable
+# boundary: h2d/d2h transfers are unimplemented AND a complex device
+# array fed as an *argument* to another jitted program fails at execute
+# time.  Complex values therefore only ever exist INSIDE a single
+# program.  At every boundary (settled constants, segment outputs,
+# streaming state between cycles) they travel as stacked float32
+# re/im planes: tagged ``{"__planes__": (2, ...) f32}`` dicts for link
+# values, realified leaves for state pytrees.
+# ---------------------------------------------------------------------------
+PLANES_KEY = "__planes__"
+
+
+def _is_tagged(v: Any) -> bool:
+    return isinstance(v, dict) and set(v.keys()) == {PLANES_KEY}
+
+
+def _tag_complex(v):
+    """Inside jit: complex value -> tagged stacked-f32 planes."""
+    a = jnp.asarray(v)
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        return {PLANES_KEY: jnp.stack([jnp.real(a).astype(jnp.float32),
+                                       jnp.imag(a).astype(jnp.float32)])}
+    return v
+
+
+def _untag(v):
+    """Inside jit: tagged planes -> complex value."""
+    if _is_tagged(v):
+        p = v[PLANES_KEY]
+        return (p[0] + 1j * p[1]).astype(jnp.complex64)
+    return v
+
+
+def _host_tag(v):
+    """Host side: numpy complex -> tagged numpy planes (h2d-safe)."""
+    a = np.asarray(v)
+    if np.iscomplexobj(a):
+        return {PLANES_KEY: np.stack([a.real, a.imag]).astype(np.float32)}
+    return v
+
+
+def _fetch(v) -> np.ndarray:
+    """Host materialization that understands the tagged form."""
+    if _is_tagged(v):
+        p = np.asarray(v[PLANES_KEY])
+        return (p[0] + 1j * p[1]).astype(np.complex64)
+    return _xla_fetch(v)
+
+
+def _realify_tree(tree, mask):
+    """Complex state leaves -> stacked f32 planes (structure-preserving,
+    works under trace)."""
+    return jax.tree_util.tree_map(
+        lambda v, c: jnp.stack([jnp.real(v).astype(jnp.float32),
+                                jnp.imag(v).astype(jnp.float32)])
+        if c else v, tree, mask)
+
+
+def _complexify_tree(tree, mask):
+    return jax.tree_util.tree_map(
+        lambda v, c: (v[0] + 1j * v[1]).astype(jnp.complex64)
+        if c else v, tree, mask)
+
+
+def _state_mask(template):
+    """Bool pytree marking complex leaves of an init_state template.
+    Dtype inspection only — no transfer."""
+    return jax.tree_util.tree_map(np.iscomplexobj, template)
+
+
+def _upload_state(template):
+    """Host init_state template -> device pytree in realified (planes)
+    form.  Complex leaves split on host so the upload is float32 only;
+    templates must be host arrays (numpy / python scalars)."""
+    def leaf(v):
+        a = np.asarray(v)
+        if np.iscomplexobj(a):
+            return jnp.asarray(
+                np.stack([a.real, a.imag]).astype(np.float32))
+        return jnp.asarray(a)
+    return jax.tree_util.tree_map(leaf, template)
 
 
 def _key(ref: PortRef) -> str:
@@ -233,19 +318,24 @@ class Scheduler:
                 continue
             if not all(r.module in self._settled for r in ins.values()):
                 continue
-            inputs = {p: self._static_values[_key(r)]
+            # complex settled inputs cross into the settle program as
+            # tagged planes; complex outputs come back the same way —
+            # complex64 must never cross an executable boundary on the
+            # axon backend (transfers AND parameters are unimplemented)
+            inputs = {p: _host_tag(self._static_values[_key(r)])
                       for p, r in ins.items()}
-            # settle under jit: any constants the module builds embed
-            # into the program instead of going through eager host
-            # transfers (which reject complex64 on the axon backend)
-            outputs, _ = jax.jit(mod.apply)(inputs, mod.init_state())
+
+            def _settle_apply(tagged_ins, state, _mod=mod):
+                outs, _ = _mod.apply(
+                    {p: _untag(v) for p, v in tagged_ins.items()}, state)
+                return {p: _tag_complex(v) for p, v in outs.items()
+                        if p != PASS_FLAG
+                        and not p.startswith(METRIC_PREFIX)}
+
+            outputs = jax.jit(_settle_apply)(inputs, mod.init_state())
             for port, val in outputs.items():
-                if port == PASS_FLAG or port.startswith(METRIC_PREFIX):
-                    continue
-                # settled values are stored HOST-side (numpy): closing
-                # a jit over a complex *device* array makes lowering
-                # fetch it d2h, which the axon backend rejects; numpy
-                # constants embed as literals instead
+                # settled values are stored HOST-side (numpy) so they
+                # embed as literals when segments trace over them
                 self._static_values[f"{name}:{port}"] = _fetch(val)
             self._settled.add(name)
 
@@ -371,6 +461,10 @@ class Scheduler:
                           if k.split(":", 1)[0] in mod_set)
         state_modules = [m for m in mods
                          if self._modules[m].init_state() is not None]
+        # complex state leaves cross cycles as stacked-f32 planes (the
+        # boundary codec); masks record which leaves to recombine
+        state_masks = {m: _state_mask(self._modules[m].init_state())
+                       for m in state_modules}
 
         statics = dict(self._static_values)
         inputs_of = {m: dict(self._inputs.get(m, {})) for m in mods}
@@ -414,12 +508,19 @@ class Scheduler:
                 if name in gate_flags:
                     v_in = jnp.logical_and(v_in,
                                            gate_flags[name] != 0)
-                st = state.get(name)
+                st_raw = state.get(name)        # realified (planes)
+                mask = state_masks.get(name)
+                st = None if st_raw is None else \
+                    _complexify_tree(st_raw, mask)
                 outs, st_new = mod.apply(ins, st)
-                if st is not None:
-                    # freeze state on skipped cycles
+                if st_raw is not None:
+                    # realify BEFORE the freeze-select so jnp.where
+                    # only ever runs on float planes (complex select
+                    # avoided at the boundary)
+                    st_new_r = _realify_tree(st_new, mask)
                     new_state[name] = jax.tree_util.tree_map(
-                        lambda n, o: jnp.where(v_in, n, o), st_new, st)
+                        lambda n, o: jnp.where(v_in, n, o),
+                        st_new_r, st_raw)
                 v_out = v_in
                 if PASS_FLAG in outs:
                     v_out = jnp.logical_and(
@@ -434,7 +535,8 @@ class Scheduler:
                     k = f"{name}:{port}"
                     produced[k] = self._constrain(k, val)
                     valid[k] = v_out
-            out_vals = {k: produced[k] for k in out_keys}
+            # complex outputs leave the program as tagged planes
+            out_vals = {k: _tag_complex(produced[k]) for k in out_keys}
             # validity crosses segment/host boundaries as float32 —
             # PRED-typed transfers are another axon gap
             out_valid = {k: valid[k].astype(jnp.float32)
@@ -461,7 +563,7 @@ class Scheduler:
                 continue                              # rebuilds
             st = mod.init_state()
             if st is not None:
-                new_state[name] = jax.tree_util.tree_map(jnp.asarray, st)
+                new_state[name] = _upload_state(st)
         self._state = new_state
 
     @staticmethod
@@ -469,8 +571,7 @@ class Scheduler:
         try:
             tmpl = mod.init_state()
             ol, od = jax.tree_util.tree_flatten(old)
-            tl, td = jax.tree_util.tree_flatten(
-                jax.tree_util.tree_map(jnp.asarray, tmpl))
+            tl, td = jax.tree_util.tree_flatten(_upload_state(tmpl))
             return od == td and all(
                 a.shape == b.shape and a.dtype == b.dtype
                 for a, b in zip(ol, tl))
@@ -656,8 +757,9 @@ class Scheduler:
     def synchronize(self) -> None:
         """Block until all dispatched device work is complete."""
         for v in self._latest.values():
-            if hasattr(v, "block_until_ready"):
-                v.block_until_ready()
+            jax.tree_util.tree_map(
+                lambda a: a.block_until_ready()
+                if hasattr(a, "block_until_ready") else a, v)
         for st in self._state.values():
             jax.tree_util.tree_map(
                 lambda a: a.block_until_ready()
@@ -678,7 +780,8 @@ class Scheduler:
             for port in mod.output_specs:
                 k = f"{name}:{port}"
                 if k in self._latest:
-                    outs[port] = self._latest[k]
+                    v = self._latest[k]
+                    outs[port] = _fetch(v) if _is_tagged(v) else v
             if not outs and mod.output_specs:
                 continue   # outputs exist but nothing computed yet
             data = mod.present_data(outs, self._state.get(name))
@@ -754,11 +857,19 @@ class Scheduler:
                     break
                 from cyberether_tpu.utils.xfer import to_device
 
-                ins[port] = to_device(v)
+                ins[port] = to_device(_fetch(v) if _is_tagged(v)
+                                      else v)
             if missing:
                 continue
-            st = self._state.get(name)
-            fn = jax.jit(mod.apply)
+            st = self._state.get(name)      # realified at the boundary
+            mask = None if st is None else _state_mask(mod.init_state())
+
+            def _papply(i, s, _mod=mod, _mask=mask):
+                return _mod.apply(
+                    i, None if s is None
+                    else _complexify_tree(s, _mask))
+
+            fn = jax.jit(_papply)
             try:
                 res = fn(ins, st)           # compile + warm
                 jax.tree_util.tree_map(

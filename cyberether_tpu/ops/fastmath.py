@@ -32,8 +32,10 @@ def approx_log10(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def approx_tanh(x: jnp.ndarray) -> jnp.ndarray:
-    """Pade(3,2) tanh, clamped — display-grade (~1e-3), transcendental
-    free."""
-    xc = jnp.clip(x, -3.0, 3.0)
+    """Pade(7,6) tanh (Lambert continued fraction), clamped at |x|=4.5
+    where tanh is within 2.5e-4 of saturation — transcendental free."""
+    xc = jnp.clip(x, -4.5, 4.5)
     x2 = xc * xc
-    return xc * (27.0 + x2) / (27.0 + 9.0 * x2)
+    num = xc * (135135.0 + x2 * (17325.0 + x2 * (378.0 + x2)))
+    den = 135135.0 + x2 * (62370.0 + x2 * (3150.0 + x2 * 28.0))
+    return num / den
