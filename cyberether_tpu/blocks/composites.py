@@ -32,7 +32,8 @@ class SpectrumEngineBlock(Block):
         Field("enableAgc", "bool", False),
         Field("enableScale", "bool", False),
         Field("rangeMin", "float", -120.0),
-        Field("rangeMax", "float", 0.0))
+        Field("rangeMax", "float", 0.0),
+        Field("fastMath", "bool", False))
 
     def build(self, ctx: BlockContext) -> None:
         spec = ctx.input_spec("buffer")
@@ -63,7 +64,9 @@ class SpectrumEngineBlock(Block):
             agc = ctx.module("agc", "agc", {"tileSize": n},
                              {"signal": tail})
             tail = agc["signal"]
-        amp = ctx.module("amplitude", "amplitude", {}, {"signal": tail})
+        amp = ctx.module("amplitude", "amplitude",
+                         {"fastMath": self.config["fastMath"]},
+                         {"signal": tail})
         out = amp["signal"]
         if self.config["enableScale"]:
             rng = ctx.module("range", "range",

@@ -148,6 +148,7 @@ class AmplitudeModule(Module):
     taints = Taint.STATELESS
     input_ports = ("signal",)
     output_ports = ("signal",)
+    schema = Schema(Field("fastMath", "bool", False))
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
@@ -168,9 +169,15 @@ class AmplitudeModule(Module):
         x = inputs["signal"]
         coeff = 20.0 * np.log10(1.0 / self._norm)
         mag = jnp.abs(x)
-        out = jnp.where(mag == 0.0, -jnp.inf,
-                        20.0 * jnp.log10(jnp.where(mag == 0.0, 1.0, mag))
-                        + coeff)
+        if self.config.get("fastMath"):
+            # reference ApproxLog10 numerics (backend/devices/cpu/
+            # helpers.hh:61-74) — ~8e-3 dB, transcendental free
+            from cyberether_tpu.ops.fastmath import approx_log10
+
+            db = 20.0 * approx_log10(jnp.where(mag == 0.0, 1.0, mag))
+        else:
+            db = 20.0 * jnp.log10(jnp.where(mag == 0.0, 1.0, mag))
+        out = jnp.where(mag == 0.0, -jnp.inf, db + coeff)
         return {"signal": out.astype(jnp.float32)}, state
 
 

@@ -1,0 +1,117 @@
+"""Complex boundary codec: complex64 must never cross an executable
+boundary (the axon TPU backend rejects complex transfers AND complex
+jit parameters).  These tests drive the REAL scheduler — settled
+constants, tagged segment outputs, realified streaming state — and
+check both the wire format and the numerics.
+"""
+
+import numpy as np
+import scipy.signal
+
+from cyberether_tpu import Flowgraph
+from cyberether_tpu.core.scheduler import _is_tagged
+
+
+def _dti_graph(buf, extra):
+    fg = Flowgraph()
+    fg.block_create("src", "dti", {"shape": list(buf.shape),
+                                   "dataType": "F32"})
+    fg.records["src"].build.modules["src/m"].attach_buffer(buf)
+    extra(fg)
+    return fg
+
+
+def test_settled_complex_constants_are_host_numpy(rng):
+    """window -> invert settles to host-side numpy complex (embedded as
+    literals when segments trace), never a device complex array."""
+    buf = rng.standard_normal((4, 128)).astype(np.float32)
+    fg = _dti_graph(buf, lambda fg: fg.block_create(
+        "spec", "spectrum_engine", {"enableScale": True},
+        {"buffer": "${graph.src.output.buffer}"}))
+    try:
+        assert fg.compute(timeout=10.0)
+        sched = fg.scheduler
+        settled_complex = [k for k, v in sched._static_values.items()
+                          if np.iscomplexobj(np.asarray(v))]
+        assert settled_complex, "expected settled complex constants"
+        for k in settled_complex:
+            v = sched._static_values[k]
+            assert isinstance(v, np.ndarray), \
+                f"{k} settled as {type(v)}, want host numpy"
+        out = sched.output("spec.buffer")
+        assert out.shape == (4, 128)
+        assert np.all(np.isfinite(out))
+    finally:
+        fg.stop()
+
+
+def test_complex_segment_output_is_tagged_and_correct(rng):
+    """A terminal complex link leaves the device program as tagged
+    stacked-f32 planes; output() recombines to the np.fft result."""
+    buf = rng.standard_normal((4, 64)).astype(np.float32)
+
+    def extra(fg):
+        fg.block_create("cast", "cast", {"outputType": "CF32"},
+                        {"buffer": "${graph.src.output.buffer}"})
+        fg.block_create("axes", "signal_axes", {"axes": "sample=1"},
+                        {"buffer": "${graph.cast.output.buffer}"})
+        fg.block_create("fft", "fft", {"forward": True},
+                        {"signal": "${graph.axes.output.buffer}"})
+
+    fg = _dti_graph(buf, extra)
+    try:
+        assert fg.compute(timeout=10.0)
+        sched = fg.scheduler
+        key = next(k for k in sched._latest
+                   if k.startswith("fft/") and _is_tagged(
+                       sched._latest[k]))
+        planes = np.asarray(sched._latest[key]["__planes__"])
+        assert planes.dtype == np.float32
+        assert planes.shape == (2, 4, 64)
+        out = sched.output("fft.signal")
+        assert out.dtype == np.complex64
+        np.testing.assert_allclose(out, np.fft.fft(buf, axis=1),
+                                   rtol=1e-4, atol=1e-3)
+    finally:
+        fg.stop()
+
+
+def test_complex_streaming_state_across_cycles(rng):
+    """The filter block's overlap-add history (complex) crosses cycles
+    in realified form; three streamed cycles must equal one lfilter
+    over the concatenated stream."""
+    n = 1024
+    xs = [(rng.standard_normal(n) + 1j * rng.standard_normal(n)
+           ).astype(np.complex64) for _ in range(3)]
+
+    fg = Flowgraph()
+    fg.block_create("src", "dti", {"shape": [n], "dataType": "CF32"})
+    src = fg.records["src"].build.modules["src/m"]
+    fg.block_create("flt", "filter",
+                    {"sampleRate": 1.0, "bandwidth": 1.0,
+                     "center": [0.0], "taps": 33},
+                    {"signal": "${graph.src.output.buffer}"})
+    try:
+        outs = []
+        for x in xs:
+            src.attach_buffer(x)
+            assert fg.compute(timeout=10.0)
+            fg.scheduler.synchronize()
+            outs.append(fg.scheduler.output("flt.buffer")[0])
+        # complex state leaves really are stored realified (float32)
+        st = fg.scheduler._state
+        flat = [a for s in st.values()
+                for a in __import__("jax").tree_util.tree_leaves(s)]
+        assert flat and all(
+            not np.issubdtype(a.dtype, np.complexfloating)
+            for a in flat)
+
+        from cyberether_tpu.ops import windowed_sinc_bandpass
+
+        taps = windowed_sinc_bandpass(33, 1.0, 1.0, [0.0])[0]
+        ref = scipy.signal.lfilter(taps, [1.0], np.concatenate(xs))
+        got = np.concatenate(outs)
+        np.testing.assert_allclose(got[: len(ref)], ref[: len(got)],
+                                   atol=5e-3)
+    finally:
+        fg.stop()
