@@ -32,14 +32,22 @@ from cyberether_tpu.superluminal.api import (  # noqa: F401
     frequency,
     heat,
     imag,
+    initialize,
     instance,
     line,
+    mosaic_layout,
     none,
     phase,
     plot,
+    poll_events,
     present,
+    presenting,
+    print_remote_info,
     real,
     realtime,
+    remote_access_token,
+    remote_invite_url,
+    remote_room_id,
     running,
     scatter,
     show,

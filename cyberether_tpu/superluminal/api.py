@@ -72,6 +72,8 @@ class _PlotConfig:
     display: constant
     operation: constant
     mosaic: List[List[int]]
+    channel_axis: int = -1
+    channel_index: int = -1
     options: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -135,7 +137,8 @@ def plot(data: np.ndarray, type: constant, label: str = "",
     _state.plots.append(_PlotConfig(
         label=label, buffer=data, type=type, source=domain[0],
         display=domain[1], operation=operation,
-        mosaic=mosaic or [[1]], options=dict(options or {})))
+        mosaic=mosaic or [[1]], channel_axis=channel_axis,
+        channel_index=channel_index, options=dict(options or {})))
 
 
 def box(title: str, mosaic: List[List[int]], callback) -> None:
@@ -193,6 +196,42 @@ def show(duration: Optional[float] = None) -> None:
 
 def running() -> bool:
     return _state.presenting
+
+
+# -- reference binding aliases (python/superluminal/superluminal.cc:133-177) --
+def initialize(config: Optional[Dict[str, Any]] = None) -> None:
+    configure(**(config or {}))
+
+
+def presenting() -> bool:
+    return _state.presenting
+
+
+def poll_events(wait: bool = True) -> bool:
+    if wait:
+        _time.sleep(0.02)
+    return _state.presenting
+
+
+def mosaic_layout(*args, **kwargs) -> List[List[int]]:
+    return layout(*args, **kwargs)
+
+
+def remote_room_id() -> str:
+    return "local"
+
+
+def remote_invite_url() -> str:
+    port = int(_state.config.get("remote_port", 8765))
+    return f"http://localhost:{port}"
+
+
+def remote_access_token() -> str:
+    return ""
+
+
+def print_remote_info() -> None:
+    print(f"room: {remote_room_id()}  url: {remote_invite_url()}")
 
 
 def update() -> None:
@@ -272,6 +311,16 @@ def _build() -> None:
         dti_mod.attach_buffer(cfg.buffer)
         _state.dtis.append(dti_mod)
         out = f"${{graph.{src}.output.buffer}}"
+
+        if cfg.channel_axis >= 0 and cfg.channel_index >= 0:
+            # per-channel plot (interferometer example shape): slice
+            # the selected channel out before the plot chain
+            toks = [":"] * cfg.buffer.ndim
+            toks[cfg.channel_axis] = str(cfg.channel_index)
+            fg.block_create(f"ch{i}", "slice",
+                            {"slice": "[" + ", ".join(toks) + "]"},
+                            {"buffer": out})
+            out = f"${{graph.ch{i}.output.buffer}}"
 
         needs_fft = (cfg.source.key == "time"
                      and cfg.display.key == "frequency")

@@ -78,3 +78,35 @@ def test_widgets_and_layout():
     lm.text("status", "ok")
     v = lm.slider("gain", 0.5, 0.0, 1.0)
     assert v == 0.5
+
+
+def test_channel_sliced_waterfall_and_binding_aliases():
+    """The interferometer example pattern (reference
+    examples/superluminal/interferometer/interferometer.py): per-channel
+    waterfalls sliced out of one shared buffer, plus the
+    binding-level API names (superluminal.cc:133-177)."""
+    import cyberether_tpu.superluminal as lm
+
+    data = (np.random.rand(4, 256) + 1j * np.random.rand(4, 256)
+            ).astype(np.complex64)
+    lm.initialize({})
+    for ch in range(2):
+        lm.plot(data=data, type=lm.waterfall, channel_axis=0,
+                channel_index=ch, label=f"w{ch}",
+                mosaic=lm.mosaic_layout(1, 2, 1, 1, ch, 0),
+                domain=(lm.time, lm.frequency))
+    try:
+        lm.start()
+        assert lm.presenting()
+        assert lm.poll_events(wait=True)
+        fg = lm.instance().flowgraphs["superluminal"]
+        for _ in range(3):
+            assert fg.compute(timeout=10.0)
+        frames = fg.present()
+        assert len(frames) == 2
+        for f in frames.values():
+            assert f["frame"].shape[1] == 256
+        assert lm.remote_room_id() == "local"
+        assert "http" in lm.remote_invite_url()
+    finally:
+        lm.terminate()
