@@ -68,19 +68,53 @@ class SpectrumPipeline:
         return 0.5 + 0.5 * (approx_tanh(t) if self.fast_math
                             else jnp.tanh(t))
 
-    def step_pallas(self, iq: jnp.ndarray,
+    def step_pallas(self, iq: jnp.ndarray, bf16: bool = False,
                     interpret: bool = False) -> jnp.ndarray:
-        """Whole pipeline as ONE fused Pallas kernel (window + matmul
-        DFT + |.|^2 + dB + range, VMEM-resident)."""
+        """Whole pipeline as ONE fused Pallas kernel: k-tiled full-DFT
+        matmul + |.|^2 + dB + range, VMEM-resident.  ``bf16`` trades
+        ~0.03 dB for ~4x MXU rate (display grade)."""
         from cyberether_tpu.ops.pallas_kernels import spectrum_fused
 
         return spectrum_fused(
             iq, np.asarray(self._win), float(self._coeff),
             float(self._scale), float(self._offset),
-            tile_b=min(64, iq.shape[0]), interpret=interpret)
+            bf16=bf16, interpret=interpret)
 
-    def jitted_step_pallas(self, interpret: bool = False):
-        return jax.jit(lambda iq: self.step_pallas(iq, interpret))
+    def step_dft(self, iq: jnp.ndarray,
+                 bf16: bool = False) -> jnp.ndarray:
+        """XLA path of the same single-matmul full DFT (lets XLA
+        schedule the epilogue; compare against step_pallas)."""
+        from cyberether_tpu.ops.fastmath import approx_log10, \
+            approx_tanh
+        from cyberether_tpu.ops.pallas_kernels import _dft_cs
+
+        cmat, smat = _dft_cs(self.fft_size)
+        xr = iq[..., 0] * self._win
+        xi = iq[..., 1] * self._win
+        c, sn = jnp.asarray(cmat), jnp.asarray(smat)
+        if bf16:
+            xr, xi = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)
+            c, sn = c.astype(jnp.bfloat16), sn.astype(jnp.bfloat16)
+        f32 = jnp.float32
+        yr = (jnp.dot(xr, c, preferred_element_type=f32)
+              + jnp.dot(xi, sn, preferred_element_type=f32))
+        yi = (jnp.dot(xi, c, preferred_element_type=f32)
+              - jnp.dot(xr, sn, preferred_element_type=f32))
+        mag2 = jnp.maximum(yr * yr + yi * yi, 1e-60)
+        db = (10.0 * (approx_log10(mag2) if self.fast_math
+                      else jnp.log10(mag2))) + self._coeff
+        norm = db * self._scale + self._offset
+        t = 4.0 * (norm - 0.5)
+        return 0.5 + 0.5 * (approx_tanh(t) if self.fast_math
+                            else jnp.tanh(t))
+
+    def jitted_step_dft(self, bf16: bool = False):
+        return jax.jit(lambda iq: self.step_dft(iq, bf16))
+
+    def jitted_step_pallas(self, bf16: bool = False,
+                           interpret: bool = False):
+        return jax.jit(lambda iq: self.step_pallas(iq, bf16,
+                                                   interpret))
 
     def jitted_step(self):
         return jax.jit(self.step)

@@ -24,6 +24,9 @@ class WbfmReceiver:
     audio_decim: int = 40            # 2 MHz -> 50 kHz audio
     taps: int = 129
     deviation: float = 75e3
+    #: "conv" (XLA convolution — measured faster on v5e for 129 taps)
+    #: or "matmul" (banded MXU matmul — wins for much longer filters)
+    fir_impl: str = "conv"
 
     def __post_init__(self):
         h = windowed_sinc_bandpass(self.taps, self.sample_rate,
@@ -43,12 +46,16 @@ class WbfmReceiver:
     def step(self, state, iq: jnp.ndarray):
         """iq: (n, 2) float32 re/im; n divisible by audio_decim and by
         128 (the FIR matmul frame).  Returns (audio, new_state)."""
-        from cyberether_tpu.ops.firs import fir_matmul_streaming
+        from cyberether_tpu.ops.firs import fir_filter_streaming, \
+            fir_matmul_streaming
 
         x = iq.T                                    # (2, n)
-        # long real FIR as banded MXU matmul (~10x the conv path)
-        filt, new_hist = fir_matmul_streaming(x, self._taps,
-                                              state["fir_hist"])
+        if self.fir_impl == "matmul":
+            filt, new_hist = fir_matmul_streaming(x, self._taps,
+                                                  state["fir_hist"])
+        else:
+            filt, new_hist = fir_filter_streaming(x, self._taps,
+                                                  state["fir_hist"])
         yr, yi = filt[0], filt[1]
         pr = jnp.concatenate([state["prev"][:1], yr[:-1]])
         pi = jnp.concatenate([state["prev"][1:], yi[:-1]])

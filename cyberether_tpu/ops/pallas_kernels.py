@@ -118,101 +118,81 @@ def _log10(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(x) * jnp.float32(0.43429448190325176)
 
 
-def _spectrum_kernel(iq_ref, win_ref, w1r_ref, w1i_ref, w2r_ref,
-                     w2i_ref, twr_ref, twi_ref, out_ref, *, n1: int,
-                     n2: int, tile_b: int, coeff: float, scale: float,
-                     offset: float):
-    """One grid step: TILE_B spectra — window, two-stage DFT matmuls,
-    |.|^2, dB, soft range — all VMEM-resident."""
-    n = n1 * n2
+def _spectrum_dft_kernel(iq_ref, win_ref, c_ref, s_ref, out_ref, *,
+                         coeff: float, scale: float, offset: float,
+                         bf16: bool):
+    """One grid cell: (tile_b) spectra x (tile_k) output bins — window,
+    full-DFT matmul against streamed C/S tiles, |.|^2, dB, soft range.
+    No in-kernel reshapes (Mosaic rejects minor-dim shape casts); the
+    DFT is ONE matmul pair per part, k-tiled via the grid."""
     xr = iq_ref[:, :, 0] * win_ref[0, :]          # (B, n)
     xi = iq_ref[:, :, 1] * win_ref[0, :]
-
-    # stage 1: A[b, k1, n2] = sum_n1 W1[k1, n1] x[b, n1, n2]
-    # arranged as (n1, B*n2) matmuls
-    xr3 = xr.reshape(tile_b, n1, n2)
-    xi3 = xi.reshape(tile_b, n1, n2)
-    xr2 = jnp.transpose(xr3, (1, 0, 2)).reshape(n1, tile_b * n2)
-    xi2 = jnp.transpose(xi3, (1, 0, 2)).reshape(n1, tile_b * n2)
-    w1r = w1r_ref[:, :]
-    w1i = w1i_ref[:, :]
-    ar = (jnp.dot(w1r, xr2, preferred_element_type=jnp.float32)
-          - jnp.dot(w1i, xi2, preferred_element_type=jnp.float32))
-    ai = (jnp.dot(w1r, xi2, preferred_element_type=jnp.float32)
-          + jnp.dot(w1i, xr2, preferred_element_type=jnp.float32))
-
-    # twiddle: B[k1, b, n2] *= W_N^{n2 k1}
-    ar = ar.reshape(n1, tile_b, n2)
-    ai = ai.reshape(n1, tile_b, n2)
-    twr = twr_ref[:, :].reshape(n1, 1, n2)        # (k1, 1, n2)
-    twi = twi_ref[:, :].reshape(n1, 1, n2)
-    br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
-
-    # stage 2: X[k1, b, k2] = sum_n2 B[k1, b, n2] W2[n2, k2]
-    br2 = br.reshape(n1 * tile_b, n2)
-    bi2 = bi.reshape(n1 * tile_b, n2)
-    w2r = w2r_ref[:, :]
-    w2i = w2i_ref[:, :]
-    cr = (jnp.dot(br2, w2r, preferred_element_type=jnp.float32)
-          - jnp.dot(bi2, w2i, preferred_element_type=jnp.float32))
-    ci = (jnp.dot(br2, w2i, preferred_element_type=jnp.float32)
-          + jnp.dot(bi2, w2r, preferred_element_type=jnp.float32))
-
-    mag2 = cr * cr + ci * ci                       # (n1*B, k2)
+    c = c_ref[:, :]                               # (n, K)
+    sn = s_ref[:, :]
+    if bf16:
+        xr = xr.astype(jnp.bfloat16)
+        xi = xi.astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
+        sn = sn.astype(jnp.bfloat16)
+    # W = C - iS; y = (xr + i xi) W
+    yr = (jnp.dot(xr, c, preferred_element_type=jnp.float32)
+          + jnp.dot(xi, sn, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(xi, c, preferred_element_type=jnp.float32)
+          - jnp.dot(xr, sn, preferred_element_type=jnp.float32))
+    mag2 = yr * yr + yi * yi                      # (B, K)
     db = jnp.float32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) \
         + jnp.float32(coeff)
     norm = db * jnp.float32(scale) + jnp.float32(offset)
-    out = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+    out_ref[:, :] = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
-    # output index X[N1*k2 + k1] -> (b, k2, k1) -> (b, n)
-    out3 = out.reshape(n1, tile_b, n2)
-    out_ref[:, :] = jnp.transpose(out3, (1, 2, 0)).reshape(tile_b, n)
+
+@functools.lru_cache(maxsize=8)
+def _dft_cs(n: int):
+    """Full-DFT cos/sin matrices (numpy — cached values must not be
+    tracers)."""
+    jk = np.outer(np.arange(n), np.arange(n)) % n
+    ang = 2.0 * np.pi * jk / n
+    return (np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
 
 
 def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
-                   scale: float, offset: float, tile_b: int = 64,
+                   scale: float, offset: float, tile_b: int = 128,
+                   tile_k: int = 128, bf16: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused spectrum: (B, N, 2) float32 -> (B, N) float32 in [0,1].
-    One pallas program per TILE_B batch rows; the N-point DFT runs as
-    two MXU matmul stages (ops/mxu_fft factorization)."""
-    from cyberether_tpu.ops.mxu_fft import _plan
 
+    Grid (B/tile_b, N/tile_k); the x tile persists across the k axis
+    while DFT C/S column tiles stream HBM->VMEM.  ``bf16`` runs the
+    matmuls in bfloat16 with f32 accumulation (~0.03 dB, display
+    grade, ~4x the MXU rate)."""
     B, n, _two = iq.shape
-    n1, n2, w1r, w1i, w2r, w2i, twr, twi = _plan(n)
     tile_b = min(tile_b, B)
-    assert B % tile_b == 0, (B, tile_b)
+    tile_k = min(tile_k, n)
+    assert B % tile_b == 0 and n % tile_k == 0, (B, n, tile_b, tile_k)
+    cmat, smat = _dft_cs(n)
 
     out = pl.pallas_call(
-        functools.partial(_spectrum_kernel, n1=n1, n2=n2,
-                          tile_b=tile_b, coeff=float(coeff),
-                          scale=float(scale), offset=float(offset)),
-        grid=(B // tile_b,),
+        functools.partial(_spectrum_dft_kernel, coeff=float(coeff),
+                          scale=float(scale), offset=float(offset),
+                          bf16=bf16),
+        grid=(B // tile_b, n // tile_k),
         in_specs=[
-            pl.BlockSpec((tile_b, n, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile_b, n, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1), lambda i: (0, 0),
+            pl.BlockSpec((n, tile_k), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n2), lambda i: (0, 0),
+            pl.BlockSpec((n, tile_k), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_b, tile_k), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
         interpret=interpret,
     )(iq, jnp.asarray(win, jnp.float32).reshape(1, n),
-      jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(w2r),
-      jnp.asarray(w2i), jnp.asarray(twr.T), jnp.asarray(twi.T))
+      jnp.asarray(cmat), jnp.asarray(smat))
     return out
 
 
