@@ -67,12 +67,21 @@ class DtiModule(Module):
     def attach_buffer(self, buf: np.ndarray) -> None:
         self._buffer = buf
         self._dirty = True
+        self._ver = getattr(self, "_ver", 0) + 1
 
     def mark_dirty(self) -> None:
         self._dirty = True
+        self._ver = getattr(self, "_ver", 0) + 1
 
     def host_start(self, ctx: Any = None) -> None:
         self._dirty = True
+
+    def host_output_version(self) -> int:
+        """dti buffers are owned by the caller and only change via
+        attach_buffer/mark_dirty — the scheduler keeps the uploaded
+        copy until then (zero-copy cadence of the reference's dmi
+        tensor, superluminal/base.cc dynamic memory import)."""
+        return getattr(self, "_ver", 0)
 
     def host_poll(self) -> Optional[Dict[str, np.ndarray]]:
         if self._buffer is None:

@@ -135,6 +135,13 @@ class Module:
         None if no data is ready yet (pacing — ``hasPendingCompute``)."""
         return None
 
+    def host_output_version(self) -> Optional[int]:
+        """Sources may return a monotonically increasing version for
+        their outputs; the scheduler then reuses the uploaded device
+        copy while the version is unchanged.  None (default) means the
+        outputs may change every cycle and are re-uploaded."""
+        return None
+
     def host_consume(self, outputs: Dict[str, Any], valid: bool) -> None:
         """Sinks: receive device outputs fetched to host."""
 

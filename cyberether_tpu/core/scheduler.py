@@ -198,6 +198,12 @@ class Scheduler:
         self._throttled: List[str] = []
         self._gate_last_fire: Dict[str, float] = {}
         self._watched: Set[str] = set()
+        # versioned h2d cache for host-source outputs: sources that
+        # advertise host_output_version() skip the upload when the
+        # buffer hasn't changed (dti free-running sources re-serve the
+        # same numpy array every cycle; re-uploading dominates the
+        # cycle on a tunneled backend)
+        self._h2d_cache: Dict[str, Tuple[int, Any]] = {}
         self._started = False
         self._cycle = 0
         # serializes rebuilds against in-flight compute cycles — the
@@ -253,6 +259,7 @@ class Scheduler:
             for port, spec in mod.output_specs.items()}
         self._topo = self._topo_sort()
         self._classify()
+        self._h2d_cache.clear()
         self._settle_static()
         self._partition_and_compile()
         self._init_states()
@@ -694,6 +701,17 @@ class Scheduler:
                             and np.iscomplexobj(val):
                         val = np.stack([val.real.astype(np.float32),
                                         val.imag.astype(np.float32)])
+                    src = self._modules.get(k.split(":", 1)[0])
+                    ver = None if src is None \
+                        else src.host_output_version()
+                    if ver is not None and isinstance(val, np.ndarray):
+                        hit = self._h2d_cache.get(k)
+                        if hit is not None and hit[0] == ver and \
+                                hit[1].shape == val.shape:
+                            val = hit[1]
+                        else:
+                            val = jax.device_put(val)
+                            self._h2d_cache[k] = (ver, val)
                     ext_vals[k] = val
                     # keep device validity scalars on device — forcing
                     # them to host bools would sync the pipeline every
