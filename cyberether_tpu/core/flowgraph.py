@@ -391,6 +391,39 @@ class Flowgraph:
             self._scheduler.stop_sources()
 
     # ------------------------------------------------------------------
+    # checkpoint / resume: graph topology persists as YAML (to_yaml /
+    # from_yaml); these persist the *streaming state* alongside it so a
+    # long-running graph resumes exactly where it left off
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Write topology (YAML) + streaming state (numpy pytrees) to
+        ``path`` (pickle)."""
+        import pickle
+
+        self.scheduler.synchronize()
+        payload = {"yaml": self.to_yaml(),
+                   "state": self.scheduler.state_snapshot(),
+                   "cycle": self.scheduler._cycle}
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    @classmethod
+    def load_checkpoint(cls, path: str) -> "Flowgraph":
+        """Rebuild the graph from a ``save_checkpoint`` file and restore
+        its streaming state.  Only load files you wrote yourself — the
+        container is pickle."""
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        fg = cls.from_yaml(payload["yaml"])
+        fg.scheduler.state_restore(payload["state"])
+        return fg
+
+    def restore_state(self, snapshot: Dict[str, Any]) -> None:
+        self.scheduler.state_restore(snapshot)
+
+    # ------------------------------------------------------------------
     # view (read-only snapshot, flowgraph_view.hh:18-94)
     # ------------------------------------------------------------------
     def view(self) -> Dict[str, Any]:

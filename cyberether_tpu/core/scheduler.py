@@ -934,3 +934,47 @@ class Scheduler:
         if ref is None:
             return False
         return bool(np.asarray(self._valid.get(_key(ref), False)))
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5: the reference has no compute
+    # checkpointing; the TPU build adds it for the explicit streaming
+    # state tensors — OLA history, FM phase, AGC gain, ...)
+    # ------------------------------------------------------------------
+    def state_snapshot(self) -> Dict[str, Any]:
+        """Materialize all streaming module state to host numpy
+        (complex leaves recombined from their realified planes).  The
+        returned dict is picklable and feeds ``state_restore``."""
+        self._ensure_built()
+        snap: Dict[str, Any] = {}
+        for name, st in self._state.items():
+            mod = self._modules.get(name)
+            if mod is None:
+                continue
+            mask = _state_mask(mod.init_state())
+
+            def leaf(v, c):
+                a = np.asarray(v)
+                if c:
+                    return (a[0] + 1j * a[1]).astype(np.complex64)
+                return a
+
+            snap[name] = jax.tree_util.tree_map(leaf, st, mask)
+        return snap
+
+    def state_restore(self, snap: Dict[str, Any]) -> None:
+        """Load a ``state_snapshot`` back into the running graph.
+        Unknown module names are ignored (the graph may have changed);
+        shape/dtype mismatches raise."""
+        self._ensure_built()
+        for name, st in snap.items():
+            if name not in self._state:
+                continue
+            dev = _upload_state(st)
+            cur, cd = jax.tree_util.tree_flatten(self._state[name])
+            new, nd = jax.tree_util.tree_flatten(dev)
+            if cd != nd or any(a.shape != b.shape or a.dtype != b.dtype
+                               for a, b in zip(cur, new)):
+                raise GraphError(
+                    f"checkpoint state for '{name}' does not match the "
+                    f"current graph (shape/dtype/structure)")
+            self._state[name] = dev
