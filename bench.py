@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -88,8 +89,10 @@ def bench_spectrum() -> float:
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
     best = 0.0
-    for mxu, fast in ((False, False), (True, False), (True, True)):
-        pipe = SpectrumPipeline(fft_size=2048, batches=512,
+    # batches=4096 (8.4 Msamp/step): at 512 every variant plateaued at
+    # ~378 MS/s == the per-dispatch tunnel floor, not compute
+    for mxu, fast in ((False, False), (True, True)):
+        pipe = SpectrumPipeline(fft_size=2048, batches=4096,
                                 use_mxu_fft=mxu, fast_math=fast)
         iq = jax.device_put(pipe.make_input())
         step = pipe.jitted_step()
@@ -107,7 +110,7 @@ def bench_spectrum() -> float:
 def bench_spectrum_pallas() -> float:
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
-    pipe = SpectrumPipeline(fft_size=2048, batches=512)
+    pipe = SpectrumPipeline(fft_size=2048, batches=4096)
     iq = jax.device_put(pipe.make_input())
     best = 0.0
     for name, step in (
@@ -124,8 +127,12 @@ def bench_spectrum_pallas() -> float:
             log(f"spectrum[{name}]: {rate/1e6:.1f} Msamp/s/chip")
             best = max(best, rate)
         except Exception as e:
+            msg = re.sub(r"\\x1b\[[0-9;]*m", "", repr(e))
+            m = re.search(
+                r"(Mosaic[^\\]{0,400}|tpu\.[a-z_]+[^\\]{0,300})",
+                msg)
             log(f"spectrum[{name}] failed:",
-                repr(e).splitlines()[0][:160])
+                m.group(0) if m else msg[:300])
     return best
 
 

@@ -118,15 +118,16 @@ def _log10(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(x) * jnp.float32(0.43429448190325176)
 
 
-def _spectrum_dft_kernel(iq_ref, win_ref, c_ref, s_ref, out_ref, *,
-                         coeff: float, scale: float, offset: float,
-                         bf16: bool):
+def _spectrum_dft_kernel(xr_ref, xi_ref, win_ref, c_ref, s_ref,
+                         out_ref, *, coeff: float, scale: float,
+                         offset: float, bf16: bool):
     """One grid cell: (tile_b) spectra x (tile_k) output bins — window,
     full-DFT matmul against streamed C/S tiles, |.|^2, dB, soft range.
-    No in-kernel reshapes (Mosaic rejects minor-dim shape casts); the
-    DFT is ONE matmul pair per part, k-tiled via the grid."""
-    xr = iq_ref[:, :, 0] * win_ref[0, :]          # (B, n)
-    xi = iq_ref[:, :, 1] * win_ref[0, :]
+    No in-kernel reshapes (Mosaic rejects minor-dim shape casts) and
+    re/im arrive as separate 2D planes (a trailing dim of 2 tiles
+    terribly on the 8x128 vregs)."""
+    xr = xr_ref[:, :] * win_ref[0, :]             # (B, n)
+    xi = xi_ref[:, :] * win_ref[0, :]
     c = c_ref[:, :]                               # (n, K)
     sn = s_ref[:, :]
     if bf16:
@@ -178,7 +179,9 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
                           bf16=bf16),
         grid=(B // tile_b, n // tile_k),
         in_specs=[
-            pl.BlockSpec((tile_b, n, 2), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((tile_b, n), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, n), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -191,7 +194,8 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
         interpret=interpret,
-    )(iq, jnp.asarray(win, jnp.float32).reshape(1, n),
+    )(iq[:, :, 0], iq[:, :, 1],
+      jnp.asarray(win, jnp.float32).reshape(1, n),
       jnp.asarray(cmat), jnp.asarray(smat))
     return out
 
