@@ -135,8 +135,8 @@ class Channelizer:
         return audio, new_state
 
     # ------------------------------------------------------------------
-    def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False
-                    ) -> Tuple[jnp.ndarray, dict]:
+    def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False,
+                    tile_m: int = 512) -> Tuple[jnp.ndarray, dict]:
         """Same math as :meth:`step` through the fused Pallas kernel
         (ops/pallas_kernels.py channelize_demod): FIR + DFT + demod stay
         VMEM-resident instead of three XLA ops round-tripping HBM."""
@@ -152,7 +152,7 @@ class Channelizer:
         demod, ylast = channelize_demod(
             ext, hp_k, self._Wr, self._Wi,
             state["prev"].reshape(1, 2 * C),
-            float(self._fm_ref), tile_m=min(512, M),
+            float(self._fm_ref), tile_m=min(tile_m, M),
             interpret=interpret)                      # (M, C)
         D = self.audio_decim
         audio = demod.reshape(M // D, D, C).mean(1)
@@ -160,9 +160,11 @@ class Channelizer:
                      "prev": ylast.reshape(2, C)}
         return audio, new_state
 
-    def jitted_step_pallas(self, interpret: bool = False):
+    def jitted_step_pallas(self, interpret: bool = False,
+                           tile_m: int = 512):
         return jax.jit(lambda s, iq: self.step_pallas(s, iq,
-                                                      interpret))
+                                                      interpret,
+                                                      tile_m))
 
     # ------------------------------------------------------------------
     def sharded_step(self, mesh: Mesh):

@@ -128,13 +128,11 @@ def _spectrum_dft_kernel(xr_ref, xi_ref, win_ref, c_ref, s_ref,
     terribly on the 8x128 vregs)."""
     xr = xr_ref[:, :] * win_ref[0, :]             # (B, n)
     xi = xi_ref[:, :] * win_ref[0, :]
-    c = c_ref[:, :]                               # (n, K)
-    sn = s_ref[:, :]
+    c = c_ref[:, :]                               # (n, K) — already
+    sn = s_ref[:, :]                              # bf16 when bf16=True
     if bf16:
         xr = xr.astype(jnp.bfloat16)
         xi = xi.astype(jnp.bfloat16)
-        c = c.astype(jnp.bfloat16)
-        sn = sn.astype(jnp.bfloat16)
     # W = C - iS; y = (xr + i xi) W
     yr = (jnp.dot(xr, c, preferred_element_type=jnp.float32)
           + jnp.dot(xi, sn, preferred_element_type=jnp.float32))
@@ -164,14 +162,21 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     """Fused spectrum: (B, N, 2) float32 -> (B, N) float32 in [0,1].
 
     Grid (B/tile_b, N/tile_k); the x tile persists across the k axis
-    while DFT C/S column tiles stream HBM->VMEM.  ``bf16`` runs the
-    matmuls in bfloat16 with f32 accumulation (~0.03 dB, display
-    grade, ~4x the MXU rate)."""
+    while DFT C/S column tiles stream HBM->VMEM (the dominant traffic:
+    2 x 4 n^2 bytes per batch tile — hence the bigger default tile_b
+    for bf16, whose matrices are half the bytes).  ``bf16`` runs the
+    matmuls in bfloat16 with f32 accumulation (display grade; raises
+    the spectral noise floor to ~-40 dBFS)."""
     B, n, _two = iq.shape
+    if bf16 and tile_b == 128:
+        tile_b = 256
     tile_b = min(tile_b, B)
     tile_k = min(tile_k, n)
     assert B % tile_b == 0 and n % tile_k == 0, (B, n, tile_b, tile_k)
     cmat, smat = _dft_cs(n)
+    if bf16:
+        cmat = cmat.astype("bfloat16")
+        smat = smat.astype("bfloat16")
 
     out = pl.pallas_call(
         functools.partial(_spectrum_dft_kernel, coeff=float(coeff),
