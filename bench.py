@@ -180,7 +180,8 @@ def bench_flowgraph() -> float:
     from cyberether_tpu import Flowgraph
 
     rng = np.random.default_rng(0)
-    nb, n = 64, 2048
+    # big enough that the tunnel's ~2.3 ms/dispatch floor amortizes
+    nb, n = 512, 2048
     # real-valued source: keeps the host->device boundary on float32
     # (the axon backend cannot transfer complex64); the engine's cast
     # promotes to CF32 on device

@@ -59,7 +59,7 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.signbit(y), -a, a)
 
 
-def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
+def _channelize_kernel(body_ref, halo_ref, hp_ref, b_ref,
                        prev_ref, out_ref, ylast_ref, carry, lag, *,
                        P: int, C: int, tile_m: int, ref_gain: float):
     """One grid step: frames [i*tile_m, (i+1)*tile_m).
@@ -72,20 +72,18 @@ def _channelize_kernel(body_ref, halo_ref, hp_ref, wrt_ref, wit_ref,
     win = jnp.concatenate([halo_ref[0], body_ref[:, :]], axis=0)
 
     # ---- polyphase branch FIR (VPU, unrolled over P taps) -------------
-    zr = jnp.zeros((tile_m, C), jnp.float32)
-    zi = jnp.zeros((tile_m, C), jnp.float32)
+    # taps arrive duplicated on re|im lanes: hp (P, 2C)
+    z = jnp.zeros((tile_m, 2 * C), jnp.float32)
     for p in range(P):
-        h = hp_ref[p, :]                       # (C,)
-        zr = zr + win[p:p + tile_m, :C] * h[None, :]
-        zi = zi + win[p:p + tile_m, C:] * h[None, :]
+        z = z + win[p:p + tile_m, :] * hp_ref[p, :][None, :]
 
-    # ---- C-point DFT: y = z @ W^T on the MXU --------------------------
-    wrt = wrt_ref[:, :]                        # (C, C) = Wr^T
-    wit = wit_ref[:, :]
-    yr = (jnp.dot(zr, wrt, preferred_element_type=jnp.float32)
-          - jnp.dot(zi, wit, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(zr, wit, preferred_element_type=jnp.float32)
-          + jnp.dot(zi, wrt, preferred_element_type=jnp.float32))
+    # ---- C-point complex DFT as ONE full-width matmul -----------------
+    # y = z @ B with B = [[Wr^T, Wi^T], [-Wi^T, Wr^T]] (2C, 2C): the
+    # re|im lane packing makes the complex product a single 128-wide
+    # real matmul instead of four half-width (C=64) ones
+    y = jnp.dot(z, b_ref[:, :], preferred_element_type=jnp.float32)
+    yr = y[:, :C]
+    yi = y[:, C:]
 
     # ---- FM demod with lag-1 carry ------------------------------------
     # (Mosaic cannot concatenate vectors with mismatched sublane
@@ -215,8 +213,10 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
     ext:  (M + P - 1, 2C) float32 — frames+history, re in [:, :C],
           im in [:, C:]
     hp:   (P, C) float32 polyphase taps (conv layout: tap p applies to
-          frame offset p within the window)
-    wr/wi: (C, C) float32 DFT matrix parts (y[c] = sum_k W[c,k] z[k])
+          frame offset p within the window); duplicated across re|im
+          lanes before entering the kernel
+    wr/wi: (C, C) float32 DFT matrix parts (y[c] = sum_k W[c,k] z[k]);
+          packed into the (2C, 2C) real block form for the MXU
     prev: (1, 2C) float32 last y frame of the previous step
 
     Returns (demod (M, C) float32, ylast (1, 2C) float32).
@@ -246,11 +246,9 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P - 1, 2 * C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, C), lambda i: (0, 0),
+            pl.BlockSpec((P, 2 * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0),
+            pl.BlockSpec((2 * C, 2 * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -270,5 +268,10 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
             pltpu.VMEM((tile_m, 2 * C), jnp.float32),
         ],
         interpret=interpret,
-    )(body, halos, hp, wr.T, wi.T, prev)
+    )(body, halos,
+      jnp.concatenate([hp, hp], axis=1),
+      jnp.concatenate(
+          [jnp.concatenate([wr.T, wi.T], axis=1),
+           jnp.concatenate([-wi.T, wr.T], axis=1)], axis=0),
+      prev)
     return out, ylast
