@@ -209,7 +209,20 @@ def bench_flowgraph() -> float:
         rate = nb * n / dt
         log(f"flowgraph spectrum: {rate/1e6:.1f} Msamp/s "
             f"({dt*1e3:.2f} ms/cycle incl. host loop)")
-        return rate
+        # burst mode: k cycles per dispatch (lax.scan over the cycle
+        # axis) — the dispatch-floor amortization path
+        k = 16
+        fg.compute_burst(k, timeout=10.0)   # compile scan
+        fg.scheduler.synchronize()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            assert fg.compute_burst(k, timeout=10.0) == k
+        fg.scheduler.synchronize()
+        dtb = (time.perf_counter() - t0) / (4 * k)
+        rb = nb * n / dtb
+        log(f"flowgraph burst[{k}]: {rb/1e6:.1f} Msamp/s "
+            f"({dtb*1e3:.2f} ms/cycle)")
+        return max(rate, rb)
     finally:
         fg.stop()
 

@@ -380,6 +380,12 @@ class Flowgraph:
         """Run one compute cycle.  Returns True if work was done."""
         return self.scheduler.compute(timeout=timeout)
 
+    def compute_burst(self, cycles: int,
+                      timeout: Optional[float] = None) -> int:
+        """Run ``cycles`` cycles as one scanned device dispatch per
+        segment (see Scheduler.compute_burst)."""
+        return self.scheduler.compute_burst(cycles, timeout=timeout)
+
     def present(self) -> Dict[str, Any]:
         return self.scheduler.present()
 

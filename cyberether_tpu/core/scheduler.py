@@ -93,6 +93,15 @@ def _host_tag(v):
     return v
 
 
+def _fetch_stacked(v) -> np.ndarray:
+    """Host materialization of a cycle-stacked burst output (leading
+    axis = cycle); tagged planes are (k, 2, ...)."""
+    if _is_tagged(v):
+        p = np.asarray(v[PLANES_KEY])
+        return (p[:, 0] + 1j * p[:, 1]).astype(np.complex64)
+    return np.asarray(v)
+
+
 def _fetch(v) -> np.ndarray:
     """Host materialization that understands the tagged form."""
     if _is_tagged(v):
@@ -164,6 +173,8 @@ class DeviceSegment:
     state_modules: List[str]
     split_inputs: Set[str] = field(default_factory=set)  # complex-from-host
     fn: Any = None                   # compiled step
+    raw_fn: Any = None               # untraced python step (burst/scan)
+    burst_fn: Any = None             # compiled lax.scan over cycles
     timing: Timing = field(default_factory=Timing)
 
 
@@ -551,10 +562,33 @@ class Scheduler:
             return out_vals, out_valid, new_state, metrics
 
         fn = jax.jit(segment_fn, donate_argnums=(0,))
+
+        def burst_fn(state, ext_stack, valid_stack, gate_stack):
+            # ONE dispatch for k cycles: scan the segment over stacked
+            # source buffers (leading cycle axis).  Defeats per-call
+            # dispatch latency; nothing the interpreting reference
+            # scheduler could express.
+            def body(st, xs):
+                ev, vv, gf = xs
+                out_vals, out_valid, new_state, metrics = \
+                    segment_fn(st, ev, vv, gf)
+                # scan carries the full state dict; keep untouched
+                # modules' state flowing through
+                carried = dict(st)
+                carried.update(new_state)
+                return carried, (out_vals, out_valid, metrics)
+
+            final, (outs, valids, mets) = jax.lax.scan(
+                body, state, (ext_stack, valid_stack, gate_stack))
+            return outs, valids, final, mets
+
         return DeviceSegment(index=index, modules=mods, ext_inputs=ext,
                              gates=gates, out_keys=out_keys,
                              state_modules=state_modules,
-                             split_inputs=split_keys, fn=fn)
+                             split_inputs=split_keys, fn=fn,
+                             raw_fn=segment_fn,
+                             burst_fn=jax.jit(burst_fn,
+                                              donate_argnums=(0,)))
 
     def _init_states(self) -> None:
         new_state: Dict[str, Any] = {}
@@ -683,6 +717,159 @@ class Scheduler:
             seg.timing.record((time.perf_counter() - t0) * 1e3)
         self._cycle += 1
         return True
+
+    # ------------------------------------------------------------------
+    # burst execution: k cycles per dispatch
+    # ------------------------------------------------------------------
+    def compute_burst(self, cycles: int,
+                      timeout: Optional[float] = None) -> int:
+        """Run ``cycles`` graph cycles with ONE device dispatch per
+        segment: the compiled segment is lax.scan-ned over stacked
+        source buffers, so per-dispatch latency (milliseconds on
+        tunneled backends) is paid once per burst instead of once per
+        cycle.  Something an interpreting per-module scheduler cannot
+        express — the graph is a compiler artifact here.
+
+        Requires every host module to be a pure source or sink; graphs
+        with host *compute* modules (python block) fall back to looping
+        :meth:`compute`.  Throttle gates are evaluated once per burst.
+        Returns the number of cycles completed."""
+        with self._run_lock:
+            self._ensure_built()
+            if not self._topo:
+                return 0
+            if not self._started:
+                self.start_sources()
+            for name, mod in self._modules.items():
+                if mod.runtime is Runtime.HOST and not mod.is_source \
+                        and not mod.is_sink:
+                    done = 0
+                    for _ in range(cycles):
+                        if not self._compute_locked(timeout):
+                            break
+                        done += 1
+                    return done
+
+            # 1) poll sources `cycles` times, stacking their outputs
+            stacks: Dict[str, List[np.ndarray]] = {}
+            done = 0
+            for _ in range(cycles):
+                src_out = self._poll_sources(timeout)
+                if src_out is None:
+                    break
+                for name, outs in src_out.items():
+                    self._metrics.setdefault(name, {})
+                    for port, val in outs.items():
+                        k = f"{name}:{port}"
+                        stacks.setdefault(k, []).append(np.asarray(val))
+                        self._latest[k] = val
+                        self._valid[k] = True
+                done += 1
+            if done == 0:
+                return 0
+
+            burst_outs: Dict[str, Any] = {}
+            burst_valid: Dict[str, Any] = {}
+            for seg in self._segments:
+                t0 = time.perf_counter()
+                try:
+                    if isinstance(seg, DeviceSegment):
+                        self._run_segment_burst(seg, stacks, done,
+                                                burst_outs, burst_valid)
+                    else:
+                        self._run_host_burst(seg, stacks, done,
+                                             burst_outs, burst_valid)
+                except Exception as e:
+                    names = (seg.modules
+                             if isinstance(seg, DeviceSegment)
+                             else [seg.module])
+                    log.exception("burst segment failed (%s)", names)
+                    self.fg.mark_modules_errored(
+                        names, f"compute failed: {e}")
+                    return 0
+                seg.timing.record(
+                    (time.perf_counter() - t0) * 1e3 / done)
+            self._cycle += done
+            return done
+
+    def _run_segment_burst(self, seg: DeviceSegment,
+                           stacks: Dict[str, List[np.ndarray]],
+                           k: int, burst_outs: Dict[str, Any],
+                           burst_valid: Dict[str, Any]) -> None:
+        if any(key not in stacks and key not in self._latest
+               for key in seg.ext_inputs):
+            for key in seg.out_keys:
+                self._valid[key] = False
+            return
+        ext_stack: Dict[str, Any] = {}
+        valid_stack: Dict[str, Any] = {}
+        for key in seg.ext_inputs:
+            if key in stacks:
+                vals = stacks[key]
+                if key in seg.split_inputs and \
+                        np.iscomplexobj(vals[0]):
+                    arr = np.stack([
+                        np.stack([v.real.astype(np.float32),
+                                  v.imag.astype(np.float32)])
+                        for v in vals])
+                else:
+                    arr = np.stack(vals)
+            else:
+                v = np.asarray(self._latest[key])
+                if key in seg.split_inputs and np.iscomplexobj(v):
+                    v = np.stack([v.real.astype(np.float32),
+                                  v.imag.astype(np.float32)])
+                arr = np.broadcast_to(v, (k,) + v.shape)
+            ext_stack[key] = np.ascontiguousarray(arr)
+            vv = self._valid.get(key, True)
+            valid_stack[key] = np.full(
+                (k,), 1.0 if np.all(np.asarray(vv)) else 0.0,
+                np.float32)
+        flags = self._gate_flags_for(seg)
+        gate_stack = {n: np.full((k,), f, np.float32)
+                      for n, f in flags.items()}
+        state_sub = {m: self._state[m] for m in seg.state_modules
+                     if m in self._state}
+        outs, valids, final_state, mets = seg.burst_fn(
+            state_sub, ext_stack, valid_stack, gate_stack)
+        burst_outs.update(outs)
+        burst_valid.update(valids)
+        last = jax.tree_util.tree_map(lambda a: a[-1], outs)
+        self._latest.update(last)
+        self._valid.update(
+            {key: v[-1] for key, v in valids.items()})
+        self._state.update(final_state)
+        for mname, met in jax.tree_util.tree_map(
+                lambda a: a[-1], mets).items():
+            self._metrics[mname] = met
+
+    def _run_host_burst(self, seg: HostSegment,
+                        stacks: Dict[str, List[np.ndarray]],
+                        k: int, burst_outs: Dict[str, Any],
+                        burst_valid: Dict[str, Any]) -> None:
+        name = seg.module
+        mod = self._modules[name]
+        if mod.is_source:
+            return
+        host_ins: Dict[str, Any] = {}
+        valid = np.ones((k,), bool)
+        for p, r in self._inputs.get(name, {}).items():
+            key = _key(r)
+            if key in burst_outs:
+                host_ins[p] = _fetch_stacked(burst_outs[key])
+                valid &= np.asarray(burst_valid[key]) != 0
+            elif key in stacks:
+                host_ins[p] = np.stack(stacks[key])
+            elif key in self._static_values:
+                v = np.asarray(self._static_values[key])
+                host_ins[p] = np.broadcast_to(v, (k,) + v.shape)
+            else:
+                for port in mod.output_specs:
+                    self._valid[f"{name}:{port}"] = False
+                return
+        for i in range(k):
+            mod.host_consume({p: v[i] for p, v in host_ins.items()},
+                             bool(valid[i]))
 
     def _run_segment(self, seg) -> None:
             if isinstance(seg, DeviceSegment):

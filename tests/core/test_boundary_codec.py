@@ -163,3 +163,63 @@ def test_checkpoint_resume_continues_stream(rng, tmp_path):
 
     got = np.concatenate(first + rest)
     np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
+
+
+def test_compute_burst_matches_sequential(rng):
+    """compute_burst(k): one scanned dispatch must equal k sequential
+    compute() cycles — same sink deliveries per cycle, same final
+    streaming state."""
+    import jax as _jax
+
+    from tests.support import synthetic
+
+    synthetic.register()
+
+    n = 512
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+
+    def mk():
+        fg = Flowgraph()
+        fg.block_create("src", "dti", {"shape": [n],
+                                       "dataType": "CF32"})
+        fg.records["src"].build.modules["src/m"].attach_buffer(x)
+        fg.block_create("flt", "filter",
+                        {"sampleRate": 1.0, "bandwidth": 1.0,
+                         "center": [0.0], "taps": 17},
+                        {"signal": "${graph.src.output.buffer}"})
+        fg.block_create("snk", "synth_sink", {},
+                        {"in": "${graph.flt.output.buffer}"})
+        return fg
+
+    def sink(fg):
+        return fg.records["snk"].build.modules["snk/m"]
+
+    # sequential reference: 3 cycles of the same dti buffer
+    fg1 = mk()
+    fg1.start()
+    for _ in range(3):
+        assert fg1.compute(timeout=10.0)
+    fg1.scheduler.synchronize()
+    seq = list(sink(fg1).received)
+    st_seq = fg1.scheduler.state_snapshot()
+    fg1.stop()
+
+    # burst: 3 cycles in one dispatch
+    fg2 = mk()
+    fg2.start()
+    assert fg2.compute_burst(3, timeout=10.0) == 3
+    fg2.scheduler.synchronize()
+    burst = list(sink(fg2).received)
+    st_burst = fg2.scheduler.state_snapshot()
+    fg2.stop()
+
+    assert len(burst) == len(seq) == 3
+    for a, b in zip(burst, seq):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for mname in st_seq:
+        for la, lb in zip(
+                _jax.tree_util.tree_leaves(st_seq[mname]),
+                _jax.tree_util.tree_leaves(st_burst[mname])):
+            np.testing.assert_allclose(np.asarray(la),
+                                       np.asarray(lb), atol=1e-5)
