@@ -563,13 +563,19 @@ class Scheduler:
 
         fn = jax.jit(segment_fn, donate_argnums=(0,))
 
-        def burst_fn(state, ext_stack, valid_stack, gate_stack):
+        def burst_fn(state, ext_stack, ext_const, valid_stack,
+                     gate_stack):
             # ONE dispatch for k cycles: scan the segment over stacked
             # source buffers (leading cycle axis).  Defeats per-call
             # dispatch latency; nothing the interpreting reference
-            # scheduler could express.
+            # scheduler could express.  ``ext_const`` holds inputs whose
+            # source version did not change across the burst — they ride
+            # the versioned h2d cache as a single device buffer instead
+            # of a k-fold stacked upload.
             def body(st, xs):
                 ev, vv, gf = xs
+                ev = dict(ev)
+                ev.update(ext_const)
                 out_vals, out_valid, new_state, metrics = \
                     segment_fn(st, ev, vv, gf)
                 # scan carries the full state dict; keep untouched
@@ -750,8 +756,11 @@ class Scheduler:
                         done += 1
                     return done
 
-            # 1) poll sources `cycles` times, stacking their outputs
+            # 1) poll sources `cycles` times, stacking their outputs;
+            # record each source's output version so unchanged buffers
+            # can cross h2d once instead of k times
             stacks: Dict[str, List[np.ndarray]] = {}
+            versions: Dict[str, List[Any]] = {}
             done = 0
             for _ in range(cycles):
                 src_out = self._poll_sources(timeout)
@@ -759,9 +768,11 @@ class Scheduler:
                     break
                 for name, outs in src_out.items():
                     self._metrics.setdefault(name, {})
+                    ver = self._modules[name].host_output_version()
                     for port, val in outs.items():
                         k = f"{name}:{port}"
                         stacks.setdefault(k, []).append(np.asarray(val))
+                        versions.setdefault(k, []).append(ver)
                         self._latest[k] = val
                         self._valid[k] = True
                 done += 1
@@ -774,8 +785,9 @@ class Scheduler:
                 t0 = time.perf_counter()
                 try:
                     if isinstance(seg, DeviceSegment):
-                        self._run_segment_burst(seg, stacks, done,
-                                                burst_outs, burst_valid)
+                        self._run_segment_burst(seg, stacks, versions,
+                                                done, burst_outs,
+                                                burst_valid)
                     else:
                         self._run_host_burst(seg, stacks, done,
                                              burst_outs, burst_valid)
@@ -792,8 +804,16 @@ class Scheduler:
             self._cycle += done
             return done
 
+    def _split_planes(self, key: str, seg: DeviceSegment,
+                      v: np.ndarray) -> np.ndarray:
+        if key in seg.split_inputs and np.iscomplexobj(v):
+            return np.stack([v.real.astype(np.float32),
+                             v.imag.astype(np.float32)])
+        return v
+
     def _run_segment_burst(self, seg: DeviceSegment,
                            stacks: Dict[str, List[np.ndarray]],
+                           versions: Dict[str, List[Any]],
                            k: int, burst_outs: Dict[str, Any],
                            burst_valid: Dict[str, Any]) -> None:
         if any(key not in stacks and key not in self._latest
@@ -802,25 +822,38 @@ class Scheduler:
                 self._valid[key] = False
             return
         ext_stack: Dict[str, Any] = {}
+        ext_const: Dict[str, Any] = {}
         valid_stack: Dict[str, Any] = {}
         for key in seg.ext_inputs:
-            if key in stacks:
+            vers = versions.get(key)
+            same_ver = (vers is not None and vers[0] is not None
+                        and all(v == vers[0] for v in vers))
+            if key in stacks and not same_ver:
                 vals = stacks[key]
-                if key in seg.split_inputs and \
-                        np.iscomplexobj(vals[0]):
-                    arr = np.stack([
-                        np.stack([v.real.astype(np.float32),
-                                  v.imag.astype(np.float32)])
-                        for v in vals])
-                else:
-                    arr = np.stack(vals)
+                arr = np.stack([self._split_planes(key, seg, v)
+                                for v in vals])
+                ext_stack[key] = np.ascontiguousarray(arr)
             else:
-                v = np.asarray(self._latest[key])
-                if key in seg.split_inputs and np.iscomplexobj(v):
-                    v = np.stack([v.real.astype(np.float32),
-                                  v.imag.astype(np.float32)])
-                arr = np.broadcast_to(v, (k,) + v.shape)
-            ext_stack[key] = np.ascontiguousarray(arr)
+                # source version unchanged across the burst (or not
+                # re-emitted): one h2d through the versioned cache, the
+                # scan body broadcasts it per cycle on device
+                src_val = (stacks[key][0] if key in stacks
+                           else np.asarray(self._latest[key]))
+                val = self._split_planes(key, seg, src_val)
+                ver = vers[0] if same_ver else None
+                if ver is None:
+                    src = self._modules.get(key.split(":", 1)[0])
+                    ver = None if src is None \
+                        else src.host_output_version()
+                if ver is not None and isinstance(val, np.ndarray):
+                    hit = self._h2d_cache.get(key)
+                    if hit is not None and hit[0] == ver and \
+                            hit[1].shape == val.shape:
+                        val = hit[1]
+                    else:
+                        val = jax.device_put(np.ascontiguousarray(val))
+                        self._h2d_cache[key] = (ver, val)
+                ext_const[key] = val
             vv = self._valid.get(key, True)
             valid_stack[key] = np.full(
                 (k,), 1.0 if np.all(np.asarray(vv)) else 0.0,
@@ -831,7 +864,7 @@ class Scheduler:
         state_sub = {m: self._state[m] for m in seg.state_modules
                      if m in self._state}
         outs, valids, final_state, mets = seg.burst_fn(
-            state_sub, ext_stack, valid_stack, gate_stack)
+            state_sub, ext_stack, ext_const, valid_stack, gate_stack)
         burst_outs.update(outs)
         burst_valid.update(valids)
         last = jax.tree_util.tree_map(lambda a: a[-1], outs)

@@ -223,3 +223,55 @@ def test_compute_burst_matches_sequential(rng):
                 _jax.tree_util.tree_leaves(st_burst[mname])):
             np.testing.assert_allclose(np.asarray(la),
                                        np.asarray(lb), atol=1e-5)
+
+
+def test_compute_burst_mixed_const_and_varying_sources(rng):
+    """Burst h2d split: a version-stable source (dti) rides the cached
+    single-buffer const path while a per-cycle-varying source is
+    stacked — results must still match sequential compute()."""
+    from tests.support import synthetic
+
+    synthetic.register()
+    synthetic.reset()
+
+    n = 64
+    const = rng.standard_normal(n).astype(np.float32)
+
+    def mk():
+        fg = Flowgraph()
+        fg.block_create("cst", "dti", {"shape": [n],
+                                       "dataType": "F32"})
+        fg.records["cst"].build.modules["cst/m"].attach_buffer(const)
+        fg.block_create("var", "synth_source", {"size": n})
+        fg.block_create("mix", "synth_merge", {},
+                        {"a": "${graph.cst.output.buffer}",
+                         "b": "${graph.var.output.out}"})
+        fg.block_create("snk", "synth_sink", {},
+                        {"in": "${graph.mix.output.out}"})
+        return fg
+
+    def sink(fg):
+        return fg.records["snk"].build.modules["snk/m"]
+
+    fg1 = mk()
+    fg1.start()
+    for _ in range(4):
+        assert fg1.compute(timeout=10.0)
+    fg1.scheduler.synchronize()
+    seq = list(sink(fg1).received)
+    fg1.stop()
+
+    synthetic.reset()
+    fg2 = mk()
+    fg2.start()
+    assert fg2.compute_burst(4, timeout=10.0) == 4
+    fg2.scheduler.synchronize()
+    burst = list(sink(fg2).received)
+    fg2.stop()
+
+    assert len(burst) == len(seq) == 4
+    # the varying source counts 1,2,3,4 — each cycle differs
+    for i, (a, b) in enumerate(zip(burst, seq)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a),
+                                   const + float(i + 1), atol=1e-6)
