@@ -20,6 +20,7 @@ from cyberether_tpu.core.tensor import TensorSpec
 from cyberether_tpu.core.types import (
     Device,
     GraphError,
+    MissingInputError,
     Runtime,
     ValidationError,
 )
@@ -55,7 +56,7 @@ class BlockContext:
     # -- block interface ----------------------------------------------------
     def input_ref(self, port: str) -> PortRef:
         if port not in self._external:
-            raise ValidationError(
+            raise MissingInputError(
                 f"block '{self._block.name}' missing input '{port}'")
         return self._external[port][0]
 
@@ -170,7 +171,7 @@ class Block:
                     ) -> BlockBuild:
         for port in self.input_ports:
             if port not in external_inputs:
-                raise ValidationError(
+                raise MissingInputError(
                     f"block '{self.name}' missing input '{port}'")
         ctx = BlockContext(self, external_inputs)
         self.build(ctx)

@@ -32,6 +32,7 @@ from cyberether_tpu.core.types import (
     BlockState,
     Device,
     GraphError,
+    MissingInputError,
     Runtime,
     ValidationError,
 )
@@ -162,6 +163,14 @@ class Flowgraph:
             self.order.remove(name)
             self._invalidate()
 
+    def block_set_meta(self, name: str, meta: Dict[str, Any]) -> None:
+        """Merge presentation metadata (node-editor layout etc.) into a
+        block record — the ``meta.node`` channel of the YAML v2 schema
+        (flowgraph.cc export of node positions).  Never recreates."""
+        with self._lock:
+            rec = self._require(name)
+            rec.meta.update(meta)
+
     def block_connect(self, name: str, port: str, link: str) -> None:
         """Set/replace an input link; ``link`` is '${graph.X.output.Y}' or
         'X.Y' shorthand, or '' to disconnect."""
@@ -257,9 +266,28 @@ class Flowgraph:
             blk = cls(rec.name, rec.raw_config, rec.device, rec.runtime,
                       rec.provider)
             blk.environment = self.environment  # env access for blocks
+            # declared-but-unwired ports: the block is waiting, not
+            # broken (reference: unconnected editor nodes are
+            # Incomplete and retried, flowgraph.cc:1177)
+            missing = [p for p in cls.input_ports
+                       if p not in resolved]
+            if missing:
+                rec.state = BlockState.INCOMPLETE
+                rec.error = "waiting for input(s): " + \
+                    ", ".join(missing)
+                rec.block = None
+                rec.build = None
+                return
             rec.build = blk.instantiate(resolved)
             rec.block = blk
             rec.state = BlockState.COMPLETE
+        except MissingInputError as e:
+            # unwired required port (module- or context-level): the
+            # block waits for a connection instead of erroring
+            rec.state = BlockState.INCOMPLETE
+            rec.error = f"waiting: {e}"
+            rec.block = None
+            rec.build = None
         except (ValidationError, GraphError) as e:
             rec.state = BlockState.ERRORED
             rec.error = str(e)
@@ -448,6 +476,7 @@ class Flowgraph:
                     "provider": rec.provider,
                     "config": dict(rec.raw_config),
                     "inputs": dict(rec.raw_inputs),
+                    "meta": dict(rec.meta),
                 }
                 if rec.build is not None:
                     entry["outputs"] = {

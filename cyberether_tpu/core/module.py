@@ -28,6 +28,7 @@ from cyberether_tpu.core.tensor import TensorSpec
 from cyberether_tpu.core.types import (
     Device,
     Runtime,
+    MissingInputError,
     Taint,
     ValidationError,
 )
@@ -95,7 +96,7 @@ class Module:
     def _check_inputs(self) -> None:
         for port in self.input_ports:
             if port not in self.input_specs:
-                raise ValidationError(
+                raise MissingInputError(
                     f"module '{self.name}' missing input '{port}'")
             spec = self.input_specs[port]
             if not spec.valid():

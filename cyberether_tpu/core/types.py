@@ -292,3 +292,8 @@ class ValidationError(FrameworkError):
 
 class GraphError(FrameworkError):
     """Flowgraph structural errors (cycles, bad links, duplicate names)."""
+
+
+class MissingInputError(ValidationError):
+    """A required input port is not wired — the block is *waiting*
+    (maps to Incomplete + retry, flowgraph.cc:1177), not broken."""

@@ -1,0 +1,492 @@
+"""Node-editor single-page app served by the remote server.
+
+The browser-side analog of the reference's compositor flowgraph editor
+(src/compositor/default/, imnodes canvas with per-dtype colored links,
+block picker, config editors, per-node metrics): draggable nodes on an
+SVG canvas, drag-to-connect ports, block picker sidebar, config panel
+with schema-typed fields, live state/metrics badges, and the streamed
+surface frames along the bottom.  Positions persist through the
+flowgraph's ``meta.node`` channel (YAML v2 layout)."""
+
+EDITOR_PAGE = r"""<!DOCTYPE html>
+<html><head><title>CyberEther-TPU</title><meta charset="utf-8"><style>
+:root{--bg:#14161a;--panel:#1d2026;--edge:#31353d;--txt:#d6d9de;
+ --dim:#8a8f98;--acc:#4cc2ff;--ok:#51d88a;--err:#ff6b6b;--warn:#ffc857}
+*{box-sizing:border-box}
+body{margin:0;background:var(--bg);color:var(--txt);
+ font:13px/1.4 ui-monospace,Menlo,Consolas,monospace;height:100vh;
+ display:flex;flex-direction:column;overflow:hidden}
+#top{display:flex;align-items:center;gap:12px;padding:6px 12px;
+ background:var(--panel);border-bottom:1px solid var(--edge)}
+#top h1{font-size:14px;margin:0;color:var(--acc)}
+#top select,#top button,input,textarea{background:#14161a;
+ color:var(--txt);border:1px solid var(--edge);border-radius:4px;
+ padding:3px 6px;font:inherit}
+#top button:hover{border-color:var(--acc);cursor:pointer}
+#main{flex:1;display:flex;min-height:0}
+#picker{width:210px;background:var(--panel);
+ border-right:1px solid var(--edge);display:flex;flex-direction:column}
+#picker input{margin:8px;flex-shrink:0}
+#types{overflow-y:auto;flex:1}
+.type{padding:5px 10px;cursor:grab;border-bottom:1px solid #00000033}
+.type:hover{background:#262a31}
+.type .lbl{color:var(--txt)} .type .sum{color:var(--dim);font-size:11px}
+#canvaswrap{flex:1;position:relative;overflow:hidden}
+svg{width:100%;height:100%;display:block}
+#side{width:300px;background:var(--panel);
+ border-left:1px solid var(--edge);overflow-y:auto;padding:10px}
+#side h3{margin:4px 0;color:var(--acc);font-size:13px}
+#side .row{margin:6px 0}
+#side label{display:block;color:var(--dim);font-size:11px}
+#side input,#side textarea,#side select{width:100%}
+#side button{margin-top:6px;margin-right:6px;background:#14161a;
+ color:var(--txt);border:1px solid var(--edge);border-radius:4px;
+ padding:4px 10px;cursor:pointer}
+#side button:hover{border-color:var(--acc)}
+#side button.danger:hover{border-color:var(--err);color:var(--err)}
+#surfaces{height:190px;background:var(--panel);
+ border-top:1px solid var(--edge);display:flex;gap:8px;padding:6px;
+ overflow-x:auto}
+.surface{text-align:center;flex-shrink:0}
+.surface img{height:140px;border:1px solid var(--edge);
+ image-rendering:pixelated}
+.surface .cap{color:var(--dim);font-size:11px}
+#toast{position:absolute;bottom:12px;left:50%;
+ transform:translateX(-50%);background:#2a2e36;color:var(--txt);
+ border:1px solid var(--edge);border-radius:6px;padding:6px 14px;
+ opacity:0;transition:opacity .25s;pointer-events:none;z-index:10}
+.node{cursor:grab}
+.node rect.body{fill:#20242b;stroke:var(--edge);stroke-width:1.2;rx:6}
+.node.sel rect.body{stroke:var(--acc);stroke-width:2}
+.node text{fill:var(--txt);pointer-events:none}
+.node text.t{font-weight:bold}
+.node text.sub{fill:var(--dim);font-size:10px}
+.node text.pl{fill:var(--dim);font-size:10px}
+.port{stroke:#14161a;stroke-width:1;cursor:crosshair}
+.port:hover{stroke:#fff}
+.link{fill:none;stroke-width:2;opacity:.85}
+.link.ghost{stroke-dasharray:5 4;opacity:.6}
+#err{color:var(--err)}
+.metric{color:var(--warn);font-size:11px}
+</style></head><body>
+<div id="top">
+ <h1>CyberEther-TPU</h1>
+ <select id="fgsel"></select>
+ <button id="addbtn">+ block</button>
+ <button id="savebtn" title="persist node layout">save layout</button>
+ <span id="status" style="color:var(--dim)"></span>
+</div>
+<div id="main">
+ <div id="picker"><input id="search" placeholder="filter blocks…">
+  <div id="types"></div></div>
+ <div id="canvaswrap"><svg id="cv">
+   <defs></defs><g id="links"></g><g id="nodes"></g>
+   <path id="ghost" class="link ghost" stroke="#888" d=""/>
+ </svg><div id="toast"></div></div>
+ <div id="side"><h3>inspector</h3>
+  <div id="insp" style="color:var(--dim)">select a node</div></div>
+</div>
+<div id="surfaces"></div>
+<script>
+"use strict";
+const qtok = new URLSearchParams(location.search).get("token");
+const tq = qtok ? `?token=${encodeURIComponent(qtok)}` : "";
+const api = (p) => fetch(`/api/v1/${p}${tq}`).then(r => {
+  if (!r.ok) return r.text().then(t => {throw new Error(t || r.status)});
+  return r.json();
+});
+const apiSend = (method, p, body) =>
+  fetch(`/api/v1/${p}${tq}`, {method,
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify(body || {})}).then(r => {
+      if (!r.ok) return r.text().then(t => {
+        throw new Error(t || r.status)});
+      return r.json();
+    });
+
+// dtype -> link color (the reference's per-dtype colored links)
+const DT_COLORS = {F32: "#51d88a", F64: "#39b87a", CF32: "#4cc2ff",
+  CF64: "#3a9bd4", I8: "#c792ea", I16: "#b480e0", I32: "#a06cd5",
+  I64: "#8b59c9", U8: "#ffc857", U16: "#f5b53f", U32: "#e8a428",
+  U64: "#d99214"};
+const dtColor = d => DT_COLORS[d] || "#9aa0a8";
+
+let registry = {}, view = {}, metrics = {}, fgName = null;
+let sel = null, positions = {}, dirtyLayout = false;
+
+function toast(msg, err) {
+  const t = document.getElementById("toast");
+  t.textContent = msg; t.style.color = err ? "var(--err)" : "var(--txt)";
+  t.style.opacity = 1; clearTimeout(t._h);
+  t._h = setTimeout(() => t.style.opacity = 0, err ? 4500 : 1800);
+}
+
+// ---- geometry ------------------------------------------------------
+const NW = 168, RH = 16, HDR = 34;
+function nodeH(b) {
+  return HDR + Math.max(inPorts(b).length, outPorts(b).length) * RH + 8;
+}
+function inPorts(b) {
+  const decl = (registry[b.type] || {}).input_ports || [];
+  const wired = Object.keys(b.inputs || {});
+  return [...new Set([...decl, ...wired])];
+}
+function outPorts(b) {
+  const decl = (registry[b.type] || {}).output_ports || [];
+  const actual = Object.keys(b.outputs || {});
+  return actual.length ? actual : decl;
+}
+function portPos(name, port, isOut) {
+  const b = blocks()[name]; if (!b) return [0, 0];
+  const [x, y] = positions[name] || [0, 0];
+  const list = isOut ? outPorts(b) : inPorts(b);
+  const i = Math.max(list.indexOf(port), 0);
+  return [x + (isOut ? NW : 0), y + HDR + i * RH - 5];
+}
+function blocks() { return (view[fgName] || {blocks: {}}).blocks; }
+
+function autoLayout() {
+  // topological columns for nodes without saved positions
+  const bs = blocks(); const col = {}, seen = {};
+  const depth = (n, guard) => {
+    if (n in col) return col[n];
+    if (guard.has(n)) return 0;
+    guard.add(n);
+    let d = 0;
+    for (const l of Object.values(bs[n].inputs || {})) {
+      const m = l.match(/\$\{graph\.([^.]+)\./);
+      if (m && bs[m[1]]) d = Math.max(d, depth(m[1], guard) + 1);
+    }
+    col[n] = d; return d;
+  };
+  const rows = {};
+  for (const n of Object.keys(bs)) {
+    const m = (bs[n].meta || {}).node;
+    if (m && m.position) { positions[n] = [...m.position]; continue; }
+    if (positions[n]) continue;
+    const d = depth(n, new Set());
+    rows[d] = (rows[d] || 0);
+    positions[n] = [40 + d * 230, 40 + rows[d] * 130];
+    rows[d]++;
+  }
+}
+
+// ---- render --------------------------------------------------------
+const SVGNS = "http://www.w3.org/2000/svg";
+const el = (t, attrs, parent) => {
+  const e = document.createElementNS(SVGNS, t);
+  for (const [k, v] of Object.entries(attrs || {})) e.setAttribute(k, v);
+  if (parent) parent.appendChild(e);
+  return e;
+};
+const STATE_COLOR = {complete: "var(--ok)", incomplete: "var(--warn)",
+  errored: "var(--err)"};
+
+function render() {
+  autoLayout();
+  const bs = blocks();
+  const gn = document.getElementById("nodes");
+  const gl = document.getElementById("links");
+  gn.innerHTML = ""; gl.innerHTML = "";
+  for (const [name, b] of Object.entries(bs)) {
+    for (const [port, link] of Object.entries(b.inputs || {})) {
+      const m = link.match(/\$\{graph\.([^.]+)\.output\.([^}]+)\}/);
+      if (!m || !bs[m[1]]) continue;
+      const [x1, y1] = portPos(m[1], m[2], true);
+      const [x2, y2] = portPos(name, port, false);
+      const dt = ((bs[m[1]].outputs || {})[m[2]] || {}).dtype;
+      const dx = Math.max(40, Math.abs(x2 - x1) / 2);
+      el("path", {class: "link", stroke: dtColor(dt),
+        d: `M${x1},${y1} C${x1 + dx},${y1} ${x2 - dx},${y2} ${x2},${y2}`,
+        "data-to": `${name}:${port}`}, gl);
+    }
+  }
+  for (const [name, b] of Object.entries(bs)) {
+    const [x, y] = positions[name];
+    const h = nodeH(b);
+    const g = el("g", {class: "node" + (sel === name ? " sel" : ""),
+      transform: `translate(${x},${y})`, "data-name": name}, gn);
+    el("rect", {class: "body", width: NW, height: h, rx: 6}, g);
+    el("rect", {width: NW, height: 3, rx: 1.5, y: 0,
+      fill: STATE_COLOR[b.state] || "var(--dim)"}, g);
+    const t = el("text", {x: 8, y: 16, class: "t"}, g);
+    t.textContent = name;
+    const s = el("text", {x: 8, y: 28, class: "sub"}, g);
+    const tm = ((metrics[fgName] || {}).timings || {});
+    const mt = Object.entries(tm).find(([k]) =>
+      k.split(",").includes(name));
+    s.textContent = b.type + (mt ? ` ${mt[1].avg_ms.toFixed(2)}ms` : "");
+    inPorts(b).forEach((p, i) => {
+      el("circle", {class: "port in", r: 4.5, cx: 0,
+        cy: HDR + i * RH - 5, fill: "#9aa0a8",
+        "data-node": name, "data-port": p}, g);
+      const l = el("text", {x: 8, y: HDR + i * RH - 2, class: "pl"}, g);
+      l.textContent = p;
+    });
+    outPorts(b).forEach((p, i) => {
+      const dt = ((b.outputs || {})[p] || {}).dtype;
+      el("circle", {class: "port out", r: 4.5, cx: NW,
+        cy: HDR + i * RH - 5, fill: dtColor(dt),
+        "data-node": name, "data-port": p}, g);
+      const l = el("text", {x: NW - 8, y: HDR + i * RH - 2,
+        class: "pl", "text-anchor": "end"}, g);
+      l.textContent = p;
+    });
+  }
+  renderInspector();
+}
+
+function renderInspector() {
+  const insp = document.getElementById("insp");
+  const b = sel && blocks()[sel];
+  if (!b) { insp.innerHTML = "<span style='color:var(--dim)'>select " +
+    "a node</span>"; return; }
+  const reg = registry[b.type] || {};
+  let html = `<div class="row"><b>${sel}</b> <span style="color:` +
+    `${STATE_COLOR[b.state] || 'var(--dim)'}">${b.state}</span></div>` +
+    `<div class="row" style="color:var(--dim)">${b.type} · ` +
+    `${b.device}/${b.runtime}</div>`;
+  if (b.error) html += `<div class="row" id="err">${b.error}</div>`;
+  html += `<h3>config</h3>`;
+  const fields = reg.config || [];
+  const known = new Set(fields.map(f => f.name));
+  for (const f of fields) {
+    const v = b.config[f.name] !== undefined ? b.config[f.name]
+      : f.default;
+    html += `<div class="row"><label>${f.name} <i>(${f.type})</i>` +
+      `${f.help ? " — " + f.help : ""}</label>` +
+      `<input data-cfg="${f.name}" value='${v === null ||
+        v === undefined ? "" : JSON.stringify(v)}'></div>`;
+  }
+  const extra = Object.fromEntries(Object.entries(b.config)
+    .filter(([k]) => !known.has(k)));
+  html += `<div class="row"><label>extra config (JSON)</label>` +
+    `<textarea id="cfgextra" rows="2">` +
+    `${Object.keys(extra).length ? JSON.stringify(extra) : ""}` +
+    `</textarea></div>`;
+  html += `<h3>inputs</h3>`;
+  for (const p of inPorts(b)) {
+    html += `<div class="row"><label>${p}</label>` +
+      `<input data-inp="${p}" value="${b.inputs[p] || ""}"></div>`;
+  }
+  const mets = ((metrics[fgName] || {}).metrics || {});
+  const mine = Object.entries(mets).filter(([k]) =>
+    k.startsWith(sel + "/") || k === sel);
+  if (mine.length) {
+    html += `<h3>metrics</h3>`;
+    for (const [k, v] of mine)
+      html += `<div class="metric">${k}: ${JSON.stringify(v)}</div>`;
+  }
+  html += `<div class="row"><button id="apply">apply</button>` +
+    `<button id="del" class="danger">delete</button></div>`;
+  insp.innerHTML = html;
+  document.getElementById("apply").onclick = applyConfig;
+  document.getElementById("del").onclick = async () => {
+    try {
+      await fetch(`/api/v1/flowgraph/${fgName}/block/${sel}${tq}`,
+        {method: "DELETE"}).then(r => { if (!r.ok) throw new Error(); });
+      toast(`deleted ${sel}`); sel = null; refresh();
+    } catch (e) { toast("delete failed: " + e.message, true); }
+  };
+}
+
+async function applyConfig() {
+  const b = blocks()[sel]; if (!b) return;
+  const cfg = {};
+  for (const inp of document.querySelectorAll("[data-cfg]")) {
+    const raw = inp.value.trim();
+    if (raw === "") continue;
+    try { cfg[inp.dataset.cfg] = JSON.parse(raw); }
+    catch { cfg[inp.dataset.cfg] = raw; }
+  }
+  const extra = document.getElementById("cfgextra").value.trim();
+  if (extra) try { Object.assign(cfg, JSON.parse(extra)); }
+  catch { toast("extra config is not valid JSON", true); return; }
+  try {
+    await apiSend("PATCH", `flowgraph/${fgName}/block/${sel}`,
+      {config: cfg});
+    for (const inp of document.querySelectorAll("[data-inp]")) {
+      const cur = b.inputs[inp.dataset.inp] || "";
+      if (inp.value.trim() !== cur)
+        await apiSend("POST", `flowgraph/${fgName}/connect`,
+          {name: sel, port: inp.dataset.inp, link: inp.value.trim()});
+    }
+    toast("applied"); refresh();
+  } catch (e) { toast("apply failed: " + e.message, true); }
+}
+
+// ---- interactions --------------------------------------------------
+const cv = document.getElementById("cv");
+let drag = null, wire = null;
+const evPos = (ev) => {
+  const r = cv.getBoundingClientRect();
+  return [ev.clientX - r.left, ev.clientY - r.top];
+};
+cv.addEventListener("pointerdown", (ev) => {
+  const port = ev.target.closest(".port");
+  if (port) {
+    if (port.classList.contains("out")) {
+      wire = {from: port.dataset.node, port: port.dataset.port};
+    } else {
+      // drag off an input port = disconnect
+      const n = port.dataset.node, p = port.dataset.port;
+      if ((blocks()[n].inputs || {})[p]) {
+        apiSend("POST", `flowgraph/${fgName}/connect`,
+          {name: n, port: p, link: ""})
+          .then(() => { toast(`disconnected ${n}.${p}`); refresh(); })
+          .catch(e => toast("disconnect failed: " + e.message, true));
+      }
+    }
+    ev.preventDefault(); return;
+  }
+  const node = ev.target.closest(".node");
+  if (node) {
+    const name = node.dataset.name;
+    sel = name; render();
+    const [px, py] = evPos(ev);
+    drag = {name, dx: px - positions[name][0],
+            dy: py - positions[name][1]};
+  } else { sel = null; render(); }
+});
+cv.addEventListener("pointermove", (ev) => {
+  const [px, py] = evPos(ev);
+  if (drag) {
+    positions[drag.name] = [px - drag.dx, py - drag.dy];
+    dirtyLayout = true; render();
+  } else if (wire) {
+    const [x1, y1] = portPos(wire.from, wire.port, true);
+    const dx = Math.max(40, Math.abs(px - x1) / 2);
+    document.getElementById("ghost").setAttribute("d",
+      `M${x1},${y1} C${x1 + dx},${y1} ${px - dx},${py} ${px},${py}`);
+  }
+});
+cv.addEventListener("pointerup", async (ev) => {
+  if (drag) { drag = null; saveLayoutSoon(); }
+  if (wire) {
+    document.getElementById("ghost").setAttribute("d", "");
+    const port = ev.target.closest(".port.in");
+    if (port) {
+      try {
+        await apiSend("POST", `flowgraph/${fgName}/connect`,
+          {name: port.dataset.node, port: port.dataset.port,
+           link: `\${graph.${wire.from}.output.${wire.port}}`});
+        toast(`connected ${wire.from}.${wire.port} → ` +
+              `${port.dataset.node}.${port.dataset.port}`);
+        refresh();
+      } catch (e) { toast("connect failed: " + e.message, true); }
+    }
+    wire = null;
+  }
+});
+
+let saveT = null;
+function saveLayoutSoon() {
+  clearTimeout(saveT);
+  saveT = setTimeout(saveLayout, 800);
+}
+async function saveLayout() {
+  if (!dirtyLayout || !fgName) return;
+  const layout = {};
+  for (const [n, [x, y]] of Object.entries(positions))
+    if (blocks()[n]) layout[n] = {position: [Math.round(x),
+                                             Math.round(y)]};
+  try {
+    await apiSend("POST", `flowgraph/${fgName}/layout`, layout);
+    dirtyLayout = false;
+  } catch (e) { toast("layout save failed: " + e.message, true); }
+}
+document.getElementById("savebtn").onclick = () => {
+  dirtyLayout = true; saveLayout(); toast("layout saved");
+};
+
+// ---- picker --------------------------------------------------------
+function renderPicker() {
+  const q = document.getElementById("search").value.toLowerCase();
+  const root = document.getElementById("types");
+  root.innerHTML = "";
+  for (const [t, info] of Object.entries(registry).sort()) {
+    if (q && !t.includes(q) &&
+        !(info.label || "").toLowerCase().includes(q)) continue;
+    const d = document.createElement("div");
+    d.className = "type";
+    d.innerHTML = `<div class="lbl">${info.label || t}</div>` +
+      `<div class="sum">${info.summary || t}</div>`;
+    d.onclick = () => addBlock(t);
+    root.appendChild(d);
+  }
+}
+document.getElementById("search").oninput = renderPicker;
+document.getElementById("addbtn").onclick = () => {
+  const t = prompt("block type:"); if (t) addBlock(t);
+};
+async function addBlock(type) {
+  let base = type.replace(/[^a-z0-9]/g, ""), i = 1, name = base;
+  while (blocks()[name]) name = base + (++i);
+  const entered = prompt(`name for new '${type}' block:`, name);
+  if (!entered) return;
+  try {
+    await apiSend("POST", `flowgraph/${fgName}/block`,
+      {name: entered, type});
+    positions[entered] = [260, 60 + Object.keys(blocks()).length * 40];
+    toast(`created ${entered}`); sel = entered; refresh();
+  } catch (e) { toast("create failed: " + e.message, true); }
+}
+
+// ---- data flow -----------------------------------------------------
+async function refresh() {
+  try {
+    view = await api("flowgraphs");
+    const names = Object.keys(view);
+    const selEl = document.getElementById("fgsel");
+    if (selEl.options.length !== names.length) {
+      selEl.innerHTML = names.map(n =>
+        `<option value="${n}">${n}</option>`).join("");
+    }
+    if (!fgName || !view[fgName]) fgName = names[0] || null;
+    if (fgName) selEl.value = fgName;
+    render();
+  } catch (e) { toast("refresh failed: " + e.message, true); }
+}
+document.getElementById("fgsel").onchange = (ev) => {
+  fgName = ev.target.value; sel = null; positions = {}; render();
+};
+
+async function boot() {
+  try { registry = await api("registry"); } catch (e) {
+    toast("registry load failed: " + e.message, true);
+  }
+  renderPicker();
+  await refresh();
+  setInterval(async () => {
+    try { metrics = await api("metrics"); renderInspector(); }
+    catch (e) {}
+  }, 2000);
+  const ws = new WebSocket(
+    `ws${location.protocol === "https:" ? "s" : ""}://` +
+    `${location.host}/api/v1/stream${tq}`);
+  ws.onmessage = (ev) => {
+    const msg = JSON.parse(ev.data);
+    if (msg.type === "frames") {
+      for (const [name, f] of Object.entries(msg.frames)) {
+        let div = document.getElementById("s_" + name);
+        if (!div) {
+          div = document.createElement("div");
+          div.className = "surface"; div.id = "s_" + name;
+          div.innerHTML = `<img id="i_${name}">` +
+            `<div class="cap">${name}</div>`;
+          document.getElementById("surfaces").appendChild(div);
+        }
+        if (f.png) document.getElementById("i_" + name).src =
+          "data:image/png;base64," + f.png;
+      }
+    } else if (msg.type === "view") {
+      view = msg.view;
+      if (!drag && !wire) render();
+    }
+  };
+  ws.onclose = () => document.getElementById("status")
+    .textContent = "stream disconnected";
+  document.getElementById("status").textContent = "connected";
+}
+boot();
+</script></body></html>"""

@@ -137,6 +137,10 @@ class RemoteServer:
         self._loop = asyncio.get_running_loop()
         app = web.Application()
         app.router.add_get("/", self._index)
+        app.router.add_get("/simple", self._simple)
+        app.router.add_get("/api/v1/registry", self._registry)
+        app.router.add_post("/api/v1/flowgraph/{fg}/layout",
+                            self._layout)
         app.router.add_get("/api/v1/flowgraphs", self._flowgraphs)
         app.router.add_get("/api/v1/metrics", self._metrics)
         app.router.add_post("/api/v1/flowgraph/{fg}/block",
@@ -170,7 +174,71 @@ class RemoteServer:
     async def _index(self, request):
         from aiohttp import web
 
+        from cyberether_tpu.remote.editor import EDITOR_PAGE
+
+        return web.Response(text=EDITOR_PAGE, content_type="text/html")
+
+    async def _simple(self, request):
+        from aiohttp import web
+
         return web.Response(text=_PAGE, content_type="text/html")
+
+    async def _registry(self, request):
+        """Block-type catalog for the editor picker: declared ports and
+        schema-typed config fields (the compositor block picker +
+        config field editors, src/compositor/default/)."""
+        self._check_token(request)
+        from aiohttp import web
+
+        from cyberether_tpu.core.registry import registry
+
+        out: Dict[str, Any] = {}
+        for t in registry.list_blocks():
+            entry = registry.block_entry(t)
+            cls = entry.cls
+            ins = list(getattr(cls, "input_ports", ()))
+            outs = list(getattr(cls, "output_ports", ()))
+            fields = list(getattr(cls, "schema").fields.values())
+            # simple_block wrappers derive ports/config from their
+            # module — surface the module's declarations instead
+            if not (ins or outs or fields):
+                keys = registry.list_modules(t)
+                if keys:
+                    mcls = registry.build_module(
+                        t, keys[0].device, keys[0].runtime,
+                        keys[0].provider)
+                    ins = list(getattr(mcls, "input_ports", ()))
+                    outs = list(getattr(mcls, "output_ports", ()))
+                    fields = list(getattr(mcls,
+                                          "schema").fields.values())
+            out[t] = {
+                "label": entry.label or t,
+                "summary": entry.summary,
+                "input_ports": ins,
+                "output_ports": outs,
+                "config": [
+                    {"name": f.name, "type": f.type,
+                     "default": _jsonable(f.default), "help": f.help}
+                    for f in fields],
+            }
+        return web.json_response(out)
+
+    async def _layout(self, request):
+        """Persist node-editor positions into block meta (the YAML v2
+        ``meta.node`` channel, flowgraph.cc layout export)."""
+        self._check_token(request)
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        body = await self._body(request)
+        for name, node in body.items():
+            try:
+                fg.block_set_meta(name, {"node": node})
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+        return web.json_response({"ok": True})
 
     async def _flowgraphs(self, request):
         self._check_token(request)
@@ -200,6 +268,18 @@ class RemoteServer:
         name = request.match_info["fg"]
         return self.instance.flowgraphs.get(name)
 
+    @staticmethod
+    async def _body(request) -> Dict[str, Any]:
+        from aiohttp import web
+
+        try:
+            body = await request.json()
+        except Exception as e:
+            raise web.HTTPBadRequest(text=f"invalid JSON body: {e}")
+        if not isinstance(body, dict):
+            raise web.HTTPBadRequest(text="JSON body must be an object")
+        return body
+
     async def _block_create(self, request):
         self._check_token(request)
         from aiohttp import web
@@ -207,7 +287,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        body = await request.json()
+        body = await self._body(request)
         try:
             fg.block_create(
                 name=body["name"], type=body["type"],
@@ -226,7 +306,7 @@ class RemoteServer:
         if fg is None:
             raise web.HTTPNotFound
         name = request.match_info["name"]
-        body = await request.json()
+        body = await self._body(request)
         try:
             fg.block_reconfigure(name, body.get("config", {}))
         except Exception as e:
@@ -253,7 +333,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        body = await request.json()
+        body = await self._body(request)
         try:
             fg.block_connect(body["name"], body["port"],
                              body.get("link", ""))
@@ -269,7 +349,7 @@ class RemoteServer:
 
         from cyberether_tpu import benchmark
 
-        body = await request.json() if request.can_read_body else {}
+        body = await self._body(request) if request.can_read_body else {}
         component = body.get("component")
         results = await asyncio.get_running_loop().run_in_executor(
             None, lambda: benchmark.run(component))
@@ -321,6 +401,10 @@ class RemoteServer:
 
 
 def _jsonable(obj: Any) -> Any:
+    import enum
+
+    if isinstance(obj, enum.Enum):
+        return obj.value
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

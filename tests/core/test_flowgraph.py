@@ -80,6 +80,20 @@ def test_incomplete_retry_on_producer_arrival(flowgraph):
     assert fg.block_state("p1") == BlockState.COMPLETE
 
 
+def test_unwired_block_is_incomplete_then_connects(flowgraph):
+    """A block dropped with no input links waits (Incomplete) and
+    completes when connected — editor drop-then-wire flow
+    (flowgraph.cc:1177 retryIncompleteBlocks)."""
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("p1", "synth_pass", {})          # no inputs yet
+    assert fg.block_state("p1") == BlockState.INCOMPLETE
+    assert "waiting" in fg.block_error("p1")
+    fg.block_connect("p1", "in", "${graph.src.output.out}")
+    assert fg.block_state("p1") == BlockState.COMPLETE
+    assert fg.compute(timeout=5.0)
+
+
 def test_fault_isolates_block_and_downstream(flowgraph):
     fg = flowgraph
     synthetic.FAULTS["bad/m"] = "create"

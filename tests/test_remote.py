@@ -113,6 +113,36 @@ def test_stream_delivers_frames(served_instance):
     assert msg["frames"]["wtf"]["png"]
 
 
+def test_registry_endpoint(served_instance):
+    reg = _get("/api/v1/registry")
+    assert "fft" in reg and "spectrum_engine" in reg
+    fft = reg["fft"]
+    assert "signal" in fft["input_ports"]
+    assert "signal" in fft["output_ports"]
+    assert any(f["name"] == "forward" for f in fft["config"])
+
+
+def test_editor_page_served(served_instance):
+    with urllib.request.urlopen(f"http://127.0.0.1:{PORT}/",
+                                timeout=5) as r:
+        page = r.read().decode()
+    assert "node" in page and "registry" in page    # editor app
+    with urllib.request.urlopen(f"http://127.0.0.1:{PORT}/simple",
+                                timeout=5) as r:
+        assert "surfaces" in r.read().decode()
+
+
+def test_layout_endpoint(served_instance):
+    _post("/api/v1/flowgraph/main/layout",
+          {"gen": {"position": [120, 80]}})
+    views = _get("/api/v1/flowgraphs")
+    assert views["main"]["blocks"]["gen"]["meta"]["node"][
+        "position"] == [120, 80]
+    # layout survives YAML export (meta.node channel)
+    fg = served_instance.flowgraphs["main"]
+    assert "position" in fg.to_yaml()
+
+
 def test_remote_benchmark_endpoint(served_instance):
     out = _post("/api/v1/benchmark", {"component": "window"})
     assert out and out[0]["component"] == "window"
