@@ -140,9 +140,10 @@ def bench_wbfm() -> float:
     from cyberether_tpu.models.wbfm import WbfmReceiver
 
     best = 0.0
-    for impl in ("conv", "matmul"):
-        rx = WbfmReceiver(fir_impl=impl)
-        n = (1 << 21) // rx.audio_decim * rx.audio_decim
+    for impl, fast in (("conv", False), ("matmul", False),
+                       ("fft", False), ("fft", True)):
+        rx = WbfmReceiver(fir_impl=impl, fast_atan2=fast)
+        n = (1 << 23) // rx.audio_decim * rx.audio_decim
         iq = jax.device_put(rx.make_input(n))
         step = rx.jitted_step()
         audio, st = step(rx.init_state(), iq)
@@ -150,7 +151,8 @@ def bench_wbfm() -> float:
         dt = time_steps(lambda s, iq: step(s, iq),
                         lambda: (rx.init_state(), iq), steps=10)
         rate = n / dt
-        log(f"wbfm[{impl}]: {rate/1e6:.1f} Msamp/s/chip")
+        log(f"wbfm[{impl}{'+fastatan' if fast else ''}]: "
+            f"{rate/1e6:.1f} Msamp/s/chip")
         best = max(best, rate)
     return best
 

@@ -24,9 +24,13 @@ class WbfmReceiver:
     audio_decim: int = 40            # 2 MHz -> 50 kHz audio
     taps: int = 129
     deviation: float = 75e3
-    #: "conv" (XLA convolution — measured faster on v5e for 129 taps)
-    #: or "matmul" (banded MXU matmul — wins for much longer filters)
-    fir_impl: str = "conv"
+    #: "conv" (XLA convolution), "matmul" (banded MXU matmul) or
+    #: "fft" (overlap-save frequency-domain FIR — the filter_engine
+    #: strategy; rides XLA's GS/s-class TPU FFT)
+    fir_impl: str = "fft"
+    #: polynomial atan2 (~2e-7 rad max err) instead of XLA's —
+    #: the discriminator transcendental is the VPU bottleneck
+    fast_atan2: bool = True
 
     def __post_init__(self):
         h = windowed_sinc_bandpass(self.taps, self.sample_rate,
@@ -46,21 +50,31 @@ class WbfmReceiver:
     def step(self, state, iq: jnp.ndarray):
         """iq: (n, 2) float32 re/im; n divisible by audio_decim and by
         128 (the FIR matmul frame).  Returns (audio, new_state)."""
-        from cyberether_tpu.ops.firs import fir_filter_streaming, \
-            fir_matmul_streaming
+        from cyberether_tpu.ops.firs import (fir_fft_streaming,
+                                             fir_filter_streaming,
+                                             fir_matmul_streaming)
 
         x = iq.T                                    # (2, n)
         if self.fir_impl == "matmul":
             filt, new_hist = fir_matmul_streaming(x, self._taps,
                                                   state["fir_hist"])
+        elif self.fir_impl == "fft":
+            filt, new_hist = fir_fft_streaming(x, self._taps,
+                                               state["fir_hist"])
         else:
             filt, new_hist = fir_filter_streaming(x, self._taps,
                                                   state["fir_hist"])
         yr, yi = filt[0], filt[1]
         pr = jnp.concatenate([state["prev"][:1], yr[:-1]])
         pi = jnp.concatenate([state["prev"][1:], yi[:-1]])
-        demod = jnp.arctan2(pr * yi - pi * yr,
-                            pr * yr + pi * yi) * self._ref
+        if self.fast_atan2:
+            from cyberether_tpu.ops.pallas_kernels import _atan2
+
+            demod = _atan2(pr * yi - pi * yr,
+                           pr * yr + pi * yi) * self._ref
+        else:
+            demod = jnp.arctan2(pr * yi - pi * yr,
+                                pr * yr + pi * yi) * self._ref
         n = demod.shape[0]
         audio = demod.reshape(n // self.audio_decim,
                               self.audio_decim).mean(-1)

@@ -142,7 +142,6 @@ def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
             [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
     npad = n + pad
     nf = npad // frame
-    ext = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
 
     h = np.asarray(taps, np.float32)
     M = np.zeros((frame + K, frame), np.float32)
@@ -150,11 +149,23 @@ def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
         M[j:j + T, j] = h[::-1]
     Mj = jnp.asarray(M)
 
-    lead = ext.shape[:-1]
-    # overlapping frames: window o of frame m is ext[m*frame + o]
-    idx = (np.arange(nf)[:, None] * frame
-           + np.arange(frame + K)[None, :])
-    frames = ext[..., idx]                    # (..., nf, frame+K)
+    lead = x.shape[:-1]
+    # overlapping frames WITHOUT a gather (TPU gathers are element-wise
+    # slow): front-pad so history ends on a frame boundary, reshape to
+    # frame blocks, then window i = concat(blocks[i..i+m])[q:q+frame+K]
+    # — shifted reshapes + one contiguous slice
+    m = -(-K // frame) if K else 0
+    q = m * frame - K
+    extp = jnp.concatenate(
+        ([jnp.zeros(lead + (q,), x.dtype)] if q else [])
+        + [history.astype(x.dtype), x], axis=-1)
+    blocks = extp.reshape(lead + (nf + m, frame))
+    if m:
+        spans = jnp.concatenate(
+            [blocks[..., j:nf + j, :] for j in range(m + 1)], axis=-1)
+        frames = spans[..., q:q + frame + K]  # (..., nf, frame+K)
+    else:
+        frames = blocks
     flat = frames.reshape((-1, frame + K))
     if jnp.iscomplexobj(x):
         yr = jnp.dot(jnp.real(flat), Mj,
@@ -166,11 +177,64 @@ def fir_matmul_streaming(x: jnp.ndarray, taps: jnp.ndarray,
         y = jnp.dot(flat, Mj,
                     preferred_element_type=jnp.float32).astype(x.dtype)
     y = y.reshape(lead + (npad,))[..., :n]
-    if pad:
-        new_hist = ext[..., K + n - K:K + n] if K else history
+    if not K:
+        new_hist = history
+    elif n >= K:
+        new_hist = x[..., n - K:n]   # x may carry end padding
     else:
-        new_hist = ext[..., -K:] if K else history
+        new_hist = jnp.concatenate(
+            [history.astype(x.dtype), x[..., :n]],
+            axis=-1)[..., -K:]
     return y, new_hist
+
+
+def fir_fft_streaming(x: jnp.ndarray, taps: jnp.ndarray,
+                      history: jnp.ndarray, fft_size: int = 8192
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Causal real-tap FIR via overlap-save frequency-domain
+    convolution — the filter_engine strategy
+    (reference src/domains/dsp/filter_engine/block_impl.cc:432-649)
+    applied to a streaming step: segments of ``fft_size`` overlap by
+    ``len(taps)-1``, multiply by the taps' rfft, and the first ``T-1``
+    outputs of each segment (circular wrap) are discarded.
+
+    For long filters this rides XLA's TPU FFT (measured GS/s-class)
+    instead of VPU convolution.  x real (..., n); taps real (T,) with
+    T <= fft_size // 2; history (..., T-1).  Returns (y, new_history).
+    """
+    T = taps.shape[-1]
+    K = T - 1
+    if K >= fft_size // 2:
+        raise ValueError("fft_size must be > 2*taps for overlap-save")
+    L = int(fft_size)
+    step = L - K
+    n = x.shape[-1]
+    nseg = -(-n // step)
+    pad = nseg * step - n
+    xp = jnp.concatenate(
+        [x] + ([jnp.zeros(x.shape[:-1] + (pad,), x.dtype)]
+               if pad else []), axis=-1)
+    # overlap-save segments WITHOUT a gather (TPU gathers are
+    # element-wise slow): bodies are a plain reshape, and each
+    # segment's K-sample head is the tail of the previous body
+    lead = x.shape[:-1]
+    bodies = xp.reshape(lead + (nseg, step))
+    heads = jnp.concatenate(
+        [history.astype(x.dtype)[..., None, :],
+         bodies[..., :-1, step - K:]], axis=-2)  # (..., nseg, K)
+    segs = jnp.concatenate([heads, bodies], axis=-1)  # (..., nseg, L)
+    H = jnp.fft.rfft(taps.astype(jnp.float32), L)
+    Y = jnp.fft.irfft(jnp.fft.rfft(segs.astype(jnp.float32), L)
+                      * H, L)[..., K:]         # valid part per segment
+    y = Y.reshape(x.shape[:-1] + (nseg * step,))[..., :n]
+    if not K:
+        new_hist = history
+    elif n >= K:
+        new_hist = x[..., n - K:]
+    else:
+        new_hist = jnp.concatenate(
+            [history.astype(x.dtype), x], axis=-1)[..., -K:]
+    return y.astype(x.dtype), new_hist
 
 
 def _corr_valid(x2d: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:

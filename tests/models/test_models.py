@@ -171,6 +171,50 @@ def test_fir_matmul_matches_lfilter():
                                atol=1e-4)
 
 
+def test_fir_fft_matches_lfilter():
+    import scipy.signal
+
+    from cyberether_tpu.ops.firs import fir_fft_streaming
+
+    rng = np.random.default_rng(9)
+    taps = (np.hamming(129) / np.hamming(129).sum()).astype(np.float32)
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    hist = np.zeros((2, 128), np.float32)
+    y, nh = fir_fft_streaming(jnp.asarray(x), jnp.asarray(taps),
+                              jnp.asarray(hist), fft_size=1024)
+    ref = scipy.signal.lfilter(taps, [1.0], x, axis=-1)
+    np.testing.assert_allclose(np.asarray(y), ref.astype(np.float32),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(nh), x[:, -128:])
+    # streaming continuity across the block boundary
+    y2, _ = fir_fft_streaming(jnp.asarray(x), jnp.asarray(taps),
+                              jnp.asarray(nh), fft_size=1024)
+    ref2 = scipy.signal.lfilter(taps, [1.0],
+                                np.concatenate([x, x], -1),
+                                axis=-1)[:, 5000:]
+    np.testing.assert_allclose(np.asarray(y2), ref2.astype(np.float32),
+                               atol=1e-4)
+
+
+def test_wbfm_fir_impls_agree():
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+
+    n = 40 * 2048
+    base = WbfmReceiver(fir_impl="conv", fast_atan2=False)
+    iq = base.make_input(n)
+    ref, _ = base.jitted_step()(base.init_state(), jnp.asarray(iq))
+    # skip the FIR warm-up audio samples: with zero history the first
+    # filtered outputs have ~1e-20 magnitude and atan2's branch flips
+    # on rounding noise (a 2*pi jump either way is equally "correct")
+    warm = -(-base.taps // base.audio_decim)
+    for impl, fast in (("fft", False), ("fft", True),
+                       ("matmul", False)):
+        rx = WbfmReceiver(fir_impl=impl, fast_atan2=fast)
+        out, _ = rx.jitted_step()(rx.init_state(), jnp.asarray(iq))
+        np.testing.assert_allclose(np.asarray(out)[warm:],
+                                   np.asarray(ref)[warm:], atol=1e-4)
+
+
 def test_spectrum_mxu_matches_xla_path():
     rng = np.random.default_rng(8)
     iq = rng.standard_normal((4, 2048, 2)).astype(np.float32)
