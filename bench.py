@@ -140,12 +140,16 @@ def bench_wbfm() -> float:
     from cyberether_tpu.models.wbfm import WbfmReceiver
 
     best = 0.0
-    for impl, fast in (("conv", False), ("matmul", False),
-                       ("fft", False), ("fft", True)):
-        rx = WbfmReceiver(fir_impl=impl, fast_atan2=fast)
-        n = (1 << 23) // rx.audio_decim * rx.audio_decim
+    for impl, fast in (("pallas", True), ("fft", True),
+                       ("conv", False)):
+        rx = WbfmReceiver(fir_impl="conv" if impl == "pallas" else impl,
+                          fast_atan2=fast)
+        # ~8.4 Msamp, divisible by decim (40) and by 128*512 so the
+        # pallas row grid tiles at full tile_r
+        n = 8_192_000
         iq = jax.device_put(rx.make_input(n))
-        step = rx.jitted_step()
+        step = rx.jitted_step_pallas() if impl == "pallas" \
+            else rx.jitted_step()
         audio, st = step(rx.init_state(), iq)
         jax.block_until_ready(audio)
         dt = time_steps(lambda s, iq: step(s, iq),

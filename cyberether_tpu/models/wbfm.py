@@ -84,8 +84,33 @@ class WbfmReceiver:
         }
         return audio, new_state
 
+    def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False):
+        """Fused Pallas path: channel FIR + discriminator in one VMEM
+        pass (banded MXU matmuls — see ops/pallas_kernels.wbfm_fused);
+        audio decimation stays in XLA.  Same (audio, state) contract as
+        :meth:`step`."""
+        from cyberether_tpu.ops.pallas_kernels import wbfm_fused
+
+        x = iq.T                                    # (2, n)
+        n = x.shape[-1]
+        K = self.taps - 1
+        demod = wbfm_fused(x, self._taps, state["fir_hist"],
+                           self._ref, interpret=interpret)
+        audio = demod.reshape(n // self.audio_decim,
+                              self.audio_decim).mean(-1)
+        new_hist = x[:, n - K:] if K else state["fir_hist"]
+        # last filtered sample (the lag-1 carry other impls thread)
+        ylast = jnp.concatenate([state["fir_hist"], x],
+                                axis=-1)[:, -self.taps:] \
+            @ self._taps[::-1]
+        return audio, {"fir_hist": new_hist, "prev": ylast}
+
     def jitted_step(self):
         return jax.jit(self.step, donate_argnums=(0,))
+
+    def jitted_step_pallas(self):
+        return jax.jit(self.step_pallas, donate_argnums=(0,),
+                       static_argnames=("interpret",))
 
     def make_input(self, n: int, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)

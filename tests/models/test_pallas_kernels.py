@@ -82,6 +82,68 @@ def test_kernel_multi_tile_carry():
                                atol=1e-4)
 
 
+def test_wbfm_fused_kernel_matches_xla_path():
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+
+    rx = WbfmReceiver(fir_impl="conv", fast_atan2=True)
+    n = 128 * 40 * 4                      # rows of 128, decim 40
+    iq = jnp.asarray(rx.make_input(n, seed=11))
+    ref_audio, ref_state = rx.step(rx.init_state(), iq)
+    got_audio, got_state = rx.step_pallas(rx.init_state(), iq,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got_audio),
+                               np.asarray(ref_audio), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_state["fir_hist"]),
+                               np.asarray(ref_state["fir_hist"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_state["prev"]),
+                               np.asarray(ref_state["prev"]),
+                               atol=1e-5)
+
+
+def test_wbfm_fused_kernel_streaming_state():
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+
+    rx = WbfmReceiver(fir_impl="conv", fast_atan2=True)
+    n = 128 * 40 * 4
+    iq = rx.make_input(2 * n, seed=12)
+    full, _ = rx.step_pallas(rx.init_state(), jnp.asarray(iq),
+                             interpret=True)
+    st = rx.init_state()
+    a1, st = rx.step_pallas(st, jnp.asarray(iq[:n]), interpret=True)
+    a2, st = rx.step_pallas(st, jnp.asarray(iq[n:]), interpret=True)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a1), np.asarray(a2)]),
+        np.asarray(full), atol=2e-4)
+
+
+def test_wbfm_fused_nonzero_last_tap():
+    """Exercises the xm side-input path (h[T-1] != 0): compare against
+    a scipy lfilter + lag-1 discriminator reference."""
+    from scipy.signal import lfilter
+
+    from cyberether_tpu.ops.pallas_kernels import wbfm_fused
+
+    rng = np.random.default_rng(13)
+    T = 129
+    h = rng.standard_normal(T).astype(np.float32) * 0.1
+    assert h[-1] != 0.0
+    n = 128 * 8
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    hist = rng.standard_normal((2, T - 1)).astype(np.float32)
+    gain = 1.7
+    got = np.asarray(wbfm_fused(jnp.asarray(x), jnp.asarray(h),
+                                jnp.asarray(hist), gain,
+                                interpret=True))
+    ext = np.concatenate([hist, x], axis=-1).astype(np.float64)
+    y_ext = lfilter(h.astype(np.float64), [1.0], ext, axis=-1)
+    y = y_ext[:, T - 1:]
+    v = y_ext[:, T - 2:-1]
+    ref = np.arctan2(v[0] * y[1] - v[1] * y[0],
+                     v[0] * y[0] + v[1] * y[1]) * gain
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_spectrum_fused_kernel_matches_model():
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
