@@ -55,13 +55,27 @@ def _cmd_run(args) -> int:
               file=sys.stderr)
 
     server = None
-    if args.serve:
+    supervisor = None
+    if args.serve or args.remote:
         from cyberether_tpu.remote.server import RemoteServer
 
-        server = RemoteServer(inst, port=args.serve)
+        token = ""
+        if args.remote:
+            import secrets
+
+            token = secrets.token_urlsafe(8)
+        server = RemoteServer(inst, port=args.serve or 8765,
+                              token=token)
         server.start()
-        print(f"serving flowgraph UI on http://0.0.0.0:{args.serve}",
-              file=sys.stderr)
+        if args.remote:
+            # headless-remote supervisor: invite URL + QR + live status
+            # (reference src/instance_remote_supervisor.cc)
+            from cyberether_tpu.remote.supervisor import Supervisor
+
+            supervisor = Supervisor(inst, server)
+        else:
+            print("serving flowgraph UI on "
+                  f"http://0.0.0.0:{server.port}", file=sys.stderr)
 
     stop = {"flag": False, "count": 0}
 
@@ -79,10 +93,15 @@ def _cmd_run(args) -> int:
     inst.start()
     t0 = time.monotonic()
     try:
-        while not stop["flag"]:
-            if args.duration and time.monotonic() - t0 >= args.duration:
-                break
-            time.sleep(0.05)
+        if supervisor is not None:
+            supervisor.run(should_stop=lambda: stop["flag"],
+                           duration=args.duration)
+        else:
+            while not stop["flag"]:
+                if args.duration and \
+                        time.monotonic() - t0 >= args.duration:
+                    break
+                time.sleep(0.05)
     finally:
         inst.stop()
         if args.trace:
@@ -211,6 +230,9 @@ def main(argv: Optional[list] = None) -> int:
                       help="seconds to run (0 = until Ctrl-C)")
     runp.add_argument("--serve", type=int, default=0,
                       help="serve the web UI on this port")
+    runp.add_argument("--remote", action="store_true",
+                      help="headless remote mode: tokened web UI + "
+                           "terminal supervisor (invite URL + QR)")
     runp.add_argument("--print-output", default="",
                       help="print BLOCK.PORT after the run")
     runp.add_argument("--export", default="",
