@@ -37,6 +37,15 @@ for tm in (512, 2048, 8192):
     print(f"step_pallas[tile_m={tm}]: {dt*1e3:.2f} ms "
           f"({M*C/dt/1e9:.2f} GS/s)", flush=True)
 
+for tm in (512, 2048):
+    try:
+        step = model.jitted_step_pallas(tile_m=tm, variant="v2")
+        dt = timeit(lambda: step(model.init_state(), iq))
+        print(f"step_pallas_v2[tile_m={tm}]: {dt*1e3:.2f} ms "
+              f"({M*C/dt/1e9:.2f} GS/s)", flush=True)
+    except Exception as e:
+        print(f"v2[tile_m={tm}] failed: {repr(e)[:300]}", flush=True)
+
 # prep alone (transpose + reshape + halo gather feed)
 st = model.init_state()
 

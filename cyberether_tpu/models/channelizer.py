@@ -136,7 +136,8 @@ class Channelizer:
 
     # ------------------------------------------------------------------
     def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False,
-                    tile_m: int = 512) -> Tuple[jnp.ndarray, dict]:
+                    tile_m: int = 512, variant: str = "v1"
+                    ) -> Tuple[jnp.ndarray, dict]:
         """Same math as :meth:`step` through the fused Pallas kernel
         (ops/pallas_kernels.py channelize_demod): FIR + DFT + demod stay
         VMEM-resident instead of three XLA ops round-tripping HBM."""
@@ -153,7 +154,7 @@ class Channelizer:
             ext, hp_k, self._Wr, self._Wi,
             state["prev"].reshape(1, 2 * C),
             float(self._fm_ref), tile_m=min(tile_m, M),
-            interpret=interpret)                      # (M, C)
+            interpret=interpret, variant=variant)     # (M, C)
         D = self.audio_decim
         audio = demod.reshape(M // D, D, C).mean(1)
         new_state = {"hist": ext3[:, :, -(Pt - 1):],
@@ -161,10 +162,10 @@ class Channelizer:
         return audio, new_state
 
     def jitted_step_pallas(self, interpret: bool = False,
-                           tile_m: int = 512):
+                           tile_m: int = 512, variant: str = "v1"):
         return jax.jit(lambda s, iq: self.step_pallas(s, iq,
                                                       interpret,
-                                                      tile_m))
+                                                      tile_m, variant))
 
     # ------------------------------------------------------------------
     def sharded_step(self, mesh: Mesh):

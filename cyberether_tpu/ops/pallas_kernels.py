@@ -111,6 +111,51 @@ def _channelize_kernel(body_ref, halo_ref, hp_ref, b_ref,
         ylast_ref[0, C:] = yi[tile_m - 1, :]
 
 
+def _channelize_kernel_v2(body_ref, halo_ref, bp_ref, prev_ref,
+                          out_ref, ylast_ref, carry, win, *,
+                          P: int, C: int, tile_m: int, ref_gain: float):
+    """MXU-FIR variant: the per-branch taps are folded into P
+    pre-multiplied DFT matrices Bp[p] = diag(hp[p]|hp[p]) @ B, so the
+    polyphase FIR + DFT collapse into P shifted matmuls
+    ``y = sum_p win[p:p+tile_m] @ Bp[p]`` — no VPU multiply-accumulate
+    loop, the systolic array does all the arithmetic."""
+    i = pl.program_id(0)
+
+    if P > 1:
+        win[0:P - 1, :] = halo_ref[0]
+    win[P - 1:P - 1 + tile_m, :] = body_ref[:, :]
+
+    y = jnp.dot(win[0:tile_m, :], bp_ref[0],
+                preferred_element_type=jnp.float32)
+    for p in range(1, P):
+        y = y + jnp.dot(win[p:p + tile_m, :], bp_ref[p],
+                        preferred_element_type=jnp.float32)
+    yr = y[:, :C]
+    yi = y[:, C:]
+
+    @pl.when(i == 0)
+    def _seed():
+        carry[0, :] = prev_ref[0, :]
+
+    # lag-1 via the win scratch (reused as lag storage after the FIR)
+    win[0, :] = carry[0, :]
+    win[1:tile_m, :C] = yr[0:tile_m - 1, :]
+    win[1:tile_m, C:] = yi[0:tile_m - 1, :]
+    pr = win[0:tile_m, :C]
+    pi_ = win[0:tile_m, C:]
+    dr = pr * yr + pi_ * yi
+    di = pr * yi - pi_ * yr
+    out_ref[:, :] = _atan2(di, dr) * ref_gain
+
+    carry[0, :C] = yr[tile_m - 1, :]
+    carry[0, C:] = yi[tile_m - 1, :]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit_last():
+        ylast_ref[0, :C] = yr[tile_m - 1, :]
+        ylast_ref[0, C:] = yi[tile_m - 1, :]
+
+
 def _log10(x: jnp.ndarray) -> jnp.ndarray:
     """log10 via natural log (Mosaic lowers jnp.log on the VPU)."""
     return jnp.log(x) * jnp.float32(0.43429448190325176)
@@ -335,7 +380,8 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
 def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
                      wr: jnp.ndarray, wi: jnp.ndarray,
                      prev: jnp.ndarray, ref_gain: float,
-                     tile_m: int = 512, interpret: bool = False
+                     tile_m: int = 512, interpret: bool = False,
+                     variant: str = "v1"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused polyphase channelizer + FM demod (time-major layout).
 
@@ -366,41 +412,71 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
     else:
         halos = jnp.zeros((grid_n, 0, twoC), ext.dtype)
 
+    bmat = jnp.concatenate(
+        [jnp.concatenate([wr.T, wi.T], axis=1),
+         jnp.concatenate([-wi.T, wr.T], axis=1)], axis=0)   # (2C, 2C)
+    hp_dup = jnp.concatenate([hp, hp], axis=1)              # (P, 2C)
+
+    out_specs = [
+        pl.BlockSpec((tile_m, C), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((M, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
+    ]
+    body_spec = pl.BlockSpec((tile_m, 2 * C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, P - 1, 2 * C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    if variant == "v2":
+        # taps folded into P pre-multiplied DFT matrices (MXU does the
+        # FIR arithmetic too)
+        bp = hp_dup[:, :, None] * bmat[None, :, :]          # (P,2C,2C)
+        out, ylast = pl.pallas_call(
+            functools.partial(_channelize_kernel_v2, P=P, C=C,
+                              tile_m=tile_m,
+                              ref_gain=float(ref_gain)),
+            grid=(grid_n,),
+            in_specs=[
+                body_spec, halo_spec,
+                pl.BlockSpec((P, 2 * C, 2 * C), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                prev_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((1, 2 * C), jnp.float32),
+                pltpu.VMEM((tile_m + P - 1, 2 * C), jnp.float32),
+            ],
+            interpret=interpret,
+        )(body, halos, bp, prev)
+        return out, ylast
+
     out, ylast = pl.pallas_call(
         functools.partial(_channelize_kernel, P=P, C=C, tile_m=tile_m,
                           ref_gain=float(ref_gain)),
         grid=(grid_n,),
         in_specs=[
-            pl.BlockSpec((tile_m, 2 * C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P - 1, 2 * C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            body_spec, halo_spec,
             pl.BlockSpec((P, 2 * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * C, 2 * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            prev_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((tile_m, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, 2 * C), jnp.float32),
             pltpu.VMEM((tile_m, 2 * C), jnp.float32),
         ],
         interpret=interpret,
-    )(body, halos,
-      jnp.concatenate([hp, hp], axis=1),
-      jnp.concatenate(
-          [jnp.concatenate([wr.T, wi.T], axis=1),
-           jnp.concatenate([-wi.T, wr.T], axis=1)], axis=0),
-      prev)
+    )(body, halos, hp_dup, bmat, prev)
     return out, ylast

@@ -69,6 +69,26 @@ def test_channelize_demod_kernel_streaming_state():
         np.asarray(full), atol=1e-4)
 
 
+def test_channelize_demod_kernel_v2_matches_xla_path():
+    """MXU-FIR variant (taps folded into P pre-multiplied DFT
+    matrices): same outputs, different arithmetic path."""
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5)
+    frames = 1024    # tile 512 -> 2 grid steps (exercises the carry)
+    iq = _noisy_input(model, frames, 9)
+    ref_audio, ref_state = model.jitted_step()(model.init_state(),
+                                               jnp.asarray(iq))
+    got_audio, got_state = model.step_pallas(model.init_state(),
+                                             jnp.asarray(iq),
+                                             interpret=True,
+                                             variant="v2")
+    np.testing.assert_allclose(np.asarray(got_audio),
+                               np.asarray(ref_audio), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_state["prev"]),
+                               np.asarray(ref_state["prev"]),
+                               atol=1e-4)
+
+
 def test_kernel_multi_tile_carry():
     """More than one grid step: the lag carry crosses tile boundaries."""
     model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
