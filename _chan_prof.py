@@ -1,6 +1,5 @@
 """One-off: where do the channelizer's 4.15 ms/step go?
-Times (a) full step_pallas, (b) the kernel alone on a pre-built ext,
-(c) the XLA prep alone, (d) tile_m sweep, (e) P=1 (no FIR shifts)."""
+Times step_pallas v1/v2/v3 across tile_m, prep alone, kernel alone."""
 import sys
 import time
 
@@ -15,7 +14,7 @@ from cyberether_tpu.ops.pallas_kernels import channelize_demod
 M = 1 << 17
 
 
-def timeit(fn, *args, steps=10):
+def timeit(fn, *args, steps=20):
     out = None
     for _ in range(3):
         out = fn(*args)
@@ -31,20 +30,18 @@ model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
 iq = jax.device_put(model.make_input(M))
 C, Pt = model.channels, model.taps_per_branch
 
-for tm in (512, 2048, 8192):
-    step = model.jitted_step_pallas(tile_m=tm)
-    dt = timeit(lambda: step(model.init_state(), iq))
-    print(f"step_pallas[tile_m={tm}]: {dt*1e3:.2f} ms "
-          f"({M*C/dt/1e9:.2f} GS/s)", flush=True)
-
-for tm in (512, 2048):
-    try:
-        step = model.jitted_step_pallas(tile_m=tm, variant="v2")
-        dt = timeit(lambda: step(model.init_state(), iq))
-        print(f"step_pallas_v2[tile_m={tm}]: {dt*1e3:.2f} ms "
-              f"({M*C/dt/1e9:.2f} GS/s)", flush=True)
-    except Exception as e:
-        print(f"v2[tile_m={tm}] failed: {repr(e)[:300]}", flush=True)
+for variant in ("v1", "v2", "v3"):
+    st = (model.init_state_v3() if variant == "v3"
+          else model.init_state())
+    for tm in (512, 2048, 8192):
+        try:
+            step = model.jitted_step_pallas(tile_m=tm, variant=variant)
+            dt = timeit(lambda: step(st, iq))
+            print(f"step_pallas_{variant}[tile_m={tm}]: {dt*1e3:.2f} ms"
+                  f" ({M*C/dt/1e9:.2f} GS/s)", flush=True)
+        except Exception as e:
+            print(f"{variant}[tile_m={tm}] failed: {repr(e)[:200]}",
+                  flush=True)
 
 # prep alone (transpose + reshape + halo gather feed)
 st = model.init_state()
@@ -64,15 +61,22 @@ ext = jax.device_put(np.asarray(prep(st, iq)))
 hp_k = jnp.transpose(model._rhs[:, 0, :])
 prev = st["prev"].reshape(1, 2 * C)
 
-for tm in (512, 2048):
-    k = jax.jit(lambda ext: channelize_demod(
-        ext, hp_k, model._Wr, model._Wi, prev,
-        float(model._fm_ref), tile_m=tm))
-    dt = timeit(lambda: k(ext))
-    print(f"kernel alone[tile_m={tm}]: {dt*1e3:.2f} ms", flush=True)
+for variant in ("v1", "v2"):
+    for tm in (512, 2048):
+        try:
+            k = jax.jit(lambda ext: channelize_demod(
+                ext, hp_k, model._Wr, model._Wi, prev,
+                float(model._fm_ref), tile_m=tm, variant=variant))
+            dt = timeit(lambda: k(ext))
+            print(f"kernel alone {variant}[tile_m={tm}]: "
+                  f"{dt*1e3:.2f} ms", flush=True)
+        except Exception as e:
+            print(f"kernel {variant}[tile_m={tm}] failed: "
+                  f"{repr(e)[:200]}", flush=True)
 
-m1 = Channelizer(channels=64, taps_per_branch=1, audio_decim=16)
-iq1 = jax.device_put(m1.make_input(M))
-dt = timeit(lambda: m1.jitted_step_pallas(tile_m=512)(m1.init_state(),
-                                                      iq1))
-print(f"step_pallas[P=1]: {dt*1e3:.2f} ms", flush=True)
+# v3 correctness on device
+ref, _ = model.jitted_step()(model.init_state(), iq)
+got, _ = model.jitted_step_pallas(tile_m=2048, variant="v3")(
+    model.init_state_v3(), iq)
+err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+print(f"v3 max err vs XLA path: {err:.3e}", flush=True)

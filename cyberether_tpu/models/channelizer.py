@@ -68,6 +68,12 @@ class Channelizer:
         W = np.exp(-2j * np.pi * np.outer(k, k) / C)
         self._Wr = jnp.asarray(W.real.astype(np.float32))
         self._Wi = jnp.asarray(W.imag.astype(np.float32))
+        # v4 fused matrices: taps + DFT + interleaved lane permutation
+        from cyberether_tpu.ops.pallas_kernels import \
+            fold_channelizer_matrices
+        self._bp4 = jnp.asarray(fold_channelizer_matrices(
+            hp[::-1].astype(np.float32),
+            W.real.astype(np.float32), W.imag.astype(np.float32)))
         chan_rate = self.sample_rate / C
         kf = self.deviation / chan_rate
         self._fm_ref = np.float32(1.0 / (2.0 * np.pi * kf))
@@ -79,6 +85,45 @@ class Channelizer:
             "hist": jnp.zeros((2, C, Pt - 1), dtype),   # re/im frames
             "prev": jnp.zeros((2, C), dtype),           # last y frame
         }
+
+    def init_state_v4(self, dtype=jnp.float32):
+        """State for the v4 kernel: P history frames in the kernel's
+        own interleaved row layout (= raw ``iq.reshape(-1, 2C)`` rows),
+        so the steady-state step runs NO layout transform at all."""
+        C, Pt = self.channels, self.taps_per_branch
+        return {"hist": jnp.zeros((Pt, 2 * C), dtype)}
+
+    def step_pallas_v4(self, state, iq: jnp.ndarray,
+                       tile_m: int = 512, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, dict]:
+        """Fused production step: interleaved layout + parallel grid +
+        in-kernel decimation (see _channelize_kernel_v4)."""
+        from cyberether_tpu.ops.pallas_kernels import \
+            channelize_demod_decim
+
+        C, Pt = self.channels, self.taps_per_branch
+        M = iq.shape[0]
+        x2 = iq.reshape(M, 2 * C)          # free: minor dims collapse
+        tile = min(tile_m, M)
+        grid = M // tile
+        if grid > 1:
+            idx = (np.arange(1, grid)[:, None] * tile - Pt
+                   + np.arange(Pt)[None, :])
+            halos = jnp.concatenate([state["hist"][None], x2[idx]], 0)
+        else:
+            halos = state["hist"][None]
+        audio = channelize_demod_decim(
+            x2, halos, self._bp4, float(self._fm_ref),
+            self.audio_decim, tile_m=tile, interpret=interpret)
+        return audio, {"hist": x2[M - Pt:]}
+
+    def jitted_step_pallas_v4(self, tile_m: int = 512,
+                              interpret: bool = False):
+        # no donation: the 4 KB hist state is not worth aliasing, and
+        # donating a buffer the output views (hist = x2 slice) trips
+        # INVALID_ARGUMENT on the axon backend
+        return jax.jit(lambda s, iq: self.step_pallas_v4(
+            s, iq, tile_m, interpret))
 
     def frames_for(self, samples: int) -> int:
         return samples // self.channels
@@ -148,7 +193,8 @@ class Channelizer:
         x = jnp.transpose(iq, (2, 1, 0))             # (2, C, M)
         ext3 = jnp.concatenate([state["hist"], x], axis=-1)
         # time-major packed layout (frames, 2C): re | im on lanes
-        ext = jnp.transpose(ext3, (2, 0, 1)).reshape(M + Pt - 1, 2 * C)
+        ext = jnp.transpose(ext3, (2, 0, 1)).reshape(M + Pt - 1,
+                                                     2 * C)
         hp_k = jnp.transpose(self._rhs[:, 0, :])     # (P, C)
         demod, ylast = channelize_demod(
             ext, hp_k, self._Wr, self._Wi,
@@ -186,7 +232,68 @@ class Channelizer:
     def jitted_step(self):
         return jax.jit(self.step, donate_argnums=(0,))
 
+    def sharded_step_pallas(self, mesh: Mesh, tile_m: int = 512,
+                            interpret: bool = False):
+        """Time-sharded fused-kernel step: each ``time`` shard runs the
+        v4 Pallas kernel on its local frames after a ``ppermute`` left
+        halo of P frames (the direct halo-exchange cognate of the
+        reference's overlap-save segmentation, SURVEY.md §5).  Only a
+        parallel-grid kernel is shardable — v1/v2 chain a sequential
+        lag carry across tiles, which cannot cross shard boundaries.
+
+        State: ``{"hist": (P, 2C)}`` (v4 interleaved rows) replicated;
+        only the last shard contributes the next step's history
+        (psum-selected).
+        """
+        from jax import shard_map
+
+        C, Pt = self.channels, self.taps_per_branch
+        n_t = mesh.shape["time"]
+
+        def local_fn(state, iq):
+            M = iq.shape[0]                        # local frames
+            x2 = iq.reshape(M, 2 * C)
+            tail = x2[-Pt:]                        # my last P frames
+            perm = [(i, (i + 1) % n_t) for i in range(n_t)]
+            recv = jax.lax.ppermute(tail, "time", perm)
+            idx = jax.lax.axis_index("time")
+            hist = jnp.where(idx == 0, state["hist"], recv)
+            audio, _ = self.step_pallas_v4(
+                {"hist": hist}, iq, tile_m=min(tile_m, M),
+                interpret=interpret)
+            new_hist = jax.lax.psum(
+                jnp.where(idx == n_t - 1, tail, 0.0), "time")
+            return audio, {"hist": new_hist}
+
+        fn = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=({"hist": P()}, P("time", None, None)),
+            out_specs=(P("time", None), {"hist": P()}),
+            check_vma=False)   # pallas_call outputs carry no vma info
+        return jax.jit(fn, donate_argnums=(0,))
+
     # ------------------------------------------------------------------
+    def make_input_full(self, frames: int, seed: int = 0) -> np.ndarray:
+        """FM carriers in EVERY channel (distinct audio tones).  For
+        elementwise correctness checks: demod of an empty channel (and
+        of noise) is ±2π atan2-branch noise, so only a fully occupied
+        band compares cleanly across implementations."""
+        rng = np.random.default_rng(seed)
+        C = self.channels
+        n = frames * C
+        t = np.arange(n) / self.sample_rate
+        x = np.zeros(n, np.complex64)
+        for ch in range(C):
+            fc = (ch - C / 2) * (self.sample_rate / C)
+            tone = 300.0 + 37.0 * ch
+            msg = np.sin(2 * np.pi * tone * t + rng.uniform(0, 6.28))
+            phase = 2 * np.pi * (fc * t + self.deviation
+                                 * np.cumsum(msg) / self.sample_rate)
+            x += np.exp(1j * phase).astype(np.complex64)
+        frames_arr = x.reshape(frames, C)
+        return np.stack([frames_arr.real, frames_arr.imag],
+                        axis=-1).astype(np.float32)
+
     def make_input(self, frames: int, seed: int = 0) -> np.ndarray:
         """Synthetic multicarrier test input (frames, C, 2) float32."""
         rng = np.random.default_rng(seed)

@@ -125,10 +125,14 @@ def _channelize_kernel_v2(body_ref, halo_ref, bp_ref, prev_ref,
         win[0:P - 1, :] = halo_ref[0]
     win[P - 1:P - 1 + tile_m, :] = body_ref[:, :]
 
-    y = jnp.dot(win[0:tile_m, :], bp_ref[0],
+    # bp arrives flattened (P*2C, 2C) — 3D VMEM ref indexing
+    # miscompiles under Mosaic (see _channelize_kernel_v4)
+    n = 2 * C
+    y = jnp.dot(win[0:tile_m, :], bp_ref[0:n, :],
                 preferred_element_type=jnp.float32)
     for p in range(1, P):
-        y = y + jnp.dot(win[p:p + tile_m, :], bp_ref[p],
+        y = y + jnp.dot(win[p:p + tile_m, :],
+                        bp_ref[p * n:(p + 1) * n, :],
                         preferred_element_type=jnp.float32)
     yr = y[:, :C]
     yi = y[:, C:]
@@ -154,6 +158,136 @@ def _channelize_kernel_v2(body_ref, halo_ref, bp_ref, prev_ref,
     def _emit_last():
         ylast_ref[0, :C] = yr[tile_m - 1, :]
         ylast_ref[0, C:] = yi[tile_m - 1, :]
+
+
+def _channelize_kernel_v4(body_ref, halo_ref, bp_ref, sel_ref,
+                          out_ref, win, yall, *,
+                          P: int, C: int, tile_m: int, D: int,
+                          ref_gain: float):
+    """Production variant: parallel grid, interleaved input lanes,
+    in-kernel decimation.
+
+    - Input rows are raw ``iq.reshape(M, 2C)`` — re/im interleaved per
+      channel.  The lane permutation is folded into the DFT block
+      matrices (rows of B reordered), so NO host/XLA transpose runs
+      before the kernel (the (2,C,M) transpose prep cost 1.65 ms/step
+      at M=128Ki — more than half the step).
+    - The demod lag y[m-1] is itself a filterbank output, so the
+      kernel computes tile_m+1 frames in one accumulation chain and
+      reads the result at two sublane offsets — no sequential carry,
+      every grid step independent (v1/v2 serialized the grid on a
+      lag carry).
+    - The boxcar audio decimation happens in-kernel as a selector
+      matmul (D-wide group means), shrinking the kernel's HBM output
+      from M*C to M*C/D floats.
+
+    body: (tile_m, 2C) — iq rows [i*tile_m, (i+1)*tile_m)
+    halo: (1, P, 2C)   — iq rows [i*tile_m - P, i*tile_m) (tile 0:
+          carried history)
+    bp:   (P, 2C, 2C)  — lane-permuted, tap-folded DFT block matrices
+    sel:  (tile_m // D, tile_m) — boxcar mean selector
+    """
+    win[0:P, :] = halo_ref[0]
+    win[P:P + tile_m, :] = body_ref[:, :]
+
+    # bp arrives FLATTENED to (P*2C, 2C): indexing the leading dim of
+    # a 3D VMEM ref (bp_ref[p]) miscompiles under Mosaic on this
+    # backend (probe: constant-matrix matmul off by ~0.25); static 2D
+    # row slices lower correctly.
+    n = 2 * C
+
+    def b_p(p):
+        return bp_ref[p * n:(p + 1) * n, :]
+
+    # compute tile_m + 1 output frames in ONE accumulation chain (the
+    # extra leading frame is the demod lag); reading y at the two
+    # sublane offsets out of a scratch halves the MXU work vs a second
+    # shifted accumulation — the kernel is MXU-f32-bound
+    rows = tile_m + 1
+    acc = jnp.dot(win[0:rows, :], b_p(0),
+                  preferred_element_type=jnp.float32)
+    for p in range(1, P):
+        acc = acc + jnp.dot(win[p:p + rows, :], b_p(p),
+                            preferred_element_type=jnp.float32)
+    yall[0:rows, :] = acc
+
+    yr, yi = yall[1:rows, 0:C], yall[1:rows, C:n]
+    pr, pi_ = yall[0:tile_m, 0:C], yall[0:tile_m, C:n]
+    dr = pr * yr + pi_ * yi
+    di = pr * yi - pi_ * yr
+    demod = _atan2(di, dr) * ref_gain                  # (tile_m, C)
+    out_ref[:, :] = jnp.dot(sel_ref[:, :], demod,
+                            preferred_element_type=jnp.float32)
+
+
+def channelize_demod_decim(x2: jnp.ndarray, halos: jnp.ndarray,
+                           bp: jnp.ndarray, ref_gain: float,
+                           decim: int, tile_m: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """v4 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio.
+
+    halos: (grid, P, 2C) — per-tile left halo rows (tile 0 = carried
+    stream history; tile i>0 = x2 rows [i*tile_m - P, i*tile_m)).
+    bp: (P, 2C, 2C) lane-permuted tap-folded DFT matrices (see
+    ``fold_channelizer_matrices``); flattened to (P*2C, 2C) before
+    entering the kernel (3D VMEM ref indexing miscompiles).
+    """
+    M, twoC = x2.shape
+    C = twoC // 2
+    P = int(bp.shape[0])
+    tile_m = min(tile_m, M)
+    assert M % tile_m == 0 and tile_m % decim == 0, (M, tile_m, decim)
+    grid_n = M // tile_m
+
+    sel = np.kron(np.eye(tile_m // decim, dtype=np.float32),
+                  np.full((1, decim), 1.0 / decim, np.float32))
+
+    return pl.pallas_call(
+        functools.partial(_channelize_kernel_v4, P=P, C=C,
+                          tile_m=tile_m, D=decim,
+                          ref_gain=float(ref_gain)),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, twoC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P * twoC, twoC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m // decim, tile_m),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m // decim, C),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M // decim, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m + P, twoC), jnp.float32),
+                        pltpu.VMEM((tile_m + 1, twoC), jnp.float32)],
+        interpret=interpret,
+    )(x2, halos, bp.reshape(P * twoC, twoC), jnp.asarray(sel))
+
+
+def fold_channelizer_matrices(hp: np.ndarray, wr: np.ndarray,
+                              wi: np.ndarray) -> np.ndarray:
+    """Fold polyphase taps + complex DFT + input lane permutation into
+    P real (2C, 2C) matrices for the v4 kernel.
+
+    With packed lanes z = [re | im] the complex DFT y = z W is the real
+    block matmul against B = [[Wr^T, Wi^T], [-Wi^T, Wr^T]].  The v4
+    kernel's input rows are INTERLEAVED ([re0, im0, re1, im1, ...]), so
+    rows of B are reordered: row 2k <- row k, row 2k+1 <- row C+k.
+    Taps fold in as Bp[p] = diag(hp_interleaved[p]) @ B_perm.
+    """
+    P, C = hp.shape
+    b = np.concatenate(
+        [np.concatenate([wr.T, wi.T], axis=1),
+         np.concatenate([-wi.T, wr.T], axis=1)], axis=0)   # (2C, 2C)
+    perm = np.empty(2 * C, np.int64)
+    perm[0::2] = np.arange(C)            # interleaved row 2k = re k
+    perm[1::2] = np.arange(C) + C        # interleaved row 2k+1 = im k
+    b_perm = b[perm]                                       # (2C, 2C)
+    hp_int = np.repeat(hp.astype(np.float32), 2, axis=1)   # (P, 2C)
+    return (hp_int[:, :, None] * b_perm[None, :, :]).astype(np.float32)
 
 
 def _log10(x: jnp.ndarray) -> jnp.ndarray:
@@ -429,15 +563,17 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
     ]
     body_spec = pl.BlockSpec((tile_m, 2 * C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    halo_spec = pl.BlockSpec((1, P - 1, 2 * C), lambda i: (i, 0, 0),
+    halo_spec = pl.BlockSpec((1, P - 1, 2 * C),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     prev_spec = pl.BlockSpec((1, 2 * C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
 
     if variant == "v2":
         # taps folded into P pre-multiplied DFT matrices (MXU does the
-        # FIR arithmetic too)
-        bp = hp_dup[:, :, None] * bmat[None, :, :]          # (P,2C,2C)
+        # FIR arithmetic too); flattened 2D for the VMEM ref
+        bp = (hp_dup[:, :, None] * bmat[None, :, :]).reshape(
+            P * 2 * C, 2 * C)
         out, ylast = pl.pallas_call(
             functools.partial(_channelize_kernel_v2, P=P, C=C,
                               tile_m=tile_m,
@@ -445,7 +581,7 @@ def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,
             grid=(grid_n,),
             in_specs=[
                 body_spec, halo_spec,
-                pl.BlockSpec((P, 2 * C, 2 * C), lambda i: (0, 0, 0),
+                pl.BlockSpec((P * 2 * C, 2 * C), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 prev_spec,
             ],

@@ -89,6 +89,41 @@ def test_channelize_demod_kernel_v2_matches_xla_path():
                                atol=1e-4)
 
 
+def test_channelize_demod_kernel_v4_matches_xla_path():
+    """Production variant: interleaved lanes + parallel grid +
+    in-kernel decimation."""
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5)
+    frames = 1024    # tile 512 -> 2 grid steps
+    iq = _noisy_input(model, frames, 21)
+    ref_audio, _ = model.jitted_step()(model.init_state(),
+                                       jnp.asarray(iq))
+    got_audio, got_state = model.step_pallas_v4(model.init_state_v4(),
+                                                jnp.asarray(iq),
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got_audio),
+                               np.asarray(ref_audio), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(got_state["hist"]),
+        iq.reshape(-1, 2 * model.channels)[-model.taps_per_branch:])
+
+
+def test_channelize_demod_kernel_v4_streaming_state():
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=2,
+                        sample_rate=8e5)
+    iq = _noisy_input(model, 512, 24)
+    full, _ = model.step_pallas_v4(model.init_state_v4(),
+                                   jnp.asarray(iq), interpret=True)
+    st = model.init_state_v4()
+    a1, st = model.step_pallas_v4(st, jnp.asarray(iq[:256]),
+                                  interpret=True)
+    a2, st = model.step_pallas_v4(st, jnp.asarray(iq[256:]),
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a1), np.asarray(a2)]),
+        np.asarray(full), atol=1e-4)
+
+
 def test_kernel_multi_tile_carry():
     """More than one grid step: the lag carry crosses tile boundaries."""
     model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
