@@ -6,20 +6,26 @@ chip.  Prints ONE JSON line:
 Baseline: BASELINE.json north star — >1 Gsamp/s aggregate on v5e-16
 == 62.5 Msamp/s per chip.  vs_baseline = per-chip samples/s / 62.5e6.
 
-Extra configs (spectrum, WBFM) are reported on stderr for the record.
+Timing methodology: the axon tunnel adds ~1 ms of per-dispatch overhead
+and ~25 ms per host<->device scalar fetch, so naive per-call timing
+under-reports kernel throughput by 2-3x.  Steady-state numbers chain k
+steps inside ONE jitted program (state threading serializes them) and
+report (t_k - t_1) / (k - 1); per-dispatch numbers are also logged for
+the record.  Production streaming uses the same chaining via the
+scheduler's burst mode (lax.scan over cycles).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 # NOTE: do NOT enable the persistent compilation cache here — the axon
 # backend cannot deserialize cached executables (UNIMPLEMENTED), so a
@@ -36,103 +42,153 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_steps(fn, make_args, steps: int, warmup: int = 3):
-    """Median-of-runs steady-state timing with donation-safe arg
-    regeneration."""
+def fetch_time(fn, *args, reps=5):
+    """Median wall time of fn(*args) + scalar d2h (forces completion)."""
+    ts = []
+    for _ in range(reps + 2):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(out)
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts[2:])
+    return ts[len(ts) // 2]
+
+
+def chain_time(mk_chain, k=5, reps=3):
+    """True per-step time: (t(chain k) - t(chain 1)) / (k - 1).
+
+    ``mk_chain(n)`` returns a jitted fn running n serialized steps and
+    returning a scalar.  Differencing cancels dispatch + d2h latency.
+    """
+    t1 = fetch_time(mk_chain(1), reps=reps)
+    tk = fetch_time(mk_chain(k), reps=reps)
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
+def dispatch_time(fn, make_args, steps=10, warmup=3):
+    """Wall time per dispatched call (includes tunnel overhead)."""
     args = make_args()
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-        args = regen(out, args)
+        args = _regen(out, args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-        args = regen(out, args)
+        args = _regen(out, args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / steps
 
 
-def regen(out, args):
-    """If fn returns (y, state) thread state; else keep args."""
+def _regen(out, args):
     if isinstance(out, tuple) and len(out) == 2 and \
             isinstance(out[1], dict):
         return (out[1],) + tuple(args[1:])
     return args
 
 
-def bench_channelizer() -> float:
+# ----------------------------------------------------------------------
+def bench_channelizer_pallas() -> float:
+    """Primary metric: the fused v5 kernel (VPU FIR + one DFT matmul),
+    tile 2048, steady-state."""
     from cyberether_tpu.models.channelizer import Channelizer
 
     model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
-    frames = 1 << 17                       # 8.4 Msamp per step
-    iq = jax.device_put(model.make_input(frames))
-    step = model.jitted_step()
+    frames = 1 << 17                     # 8.4 Msamp per step
+    rng = np.random.default_rng(1)
+    iq = jax.device_put(rng.standard_normal(
+        (frames, model.channels, 2)).astype(np.float32))
 
-    state = model.init_state()
+    def mk(n):
+        @jax.jit
+        def f(iq):
+            st = model.init_state_v4()
+            acc = jnp.float32(0)
+            out = iq
+            for _ in range(n):
+                audio, st = model.step_pallas_v4(st, out, tile_m=2048)
+                acc = acc + jnp.sum(audio[:4, :4])
+                out = out + acc * 1e-20
+            return acc
+        return lambda: f(iq)
+
     t0 = time.perf_counter()
-    audio, state = step(state, iq)
-    jax.block_until_ready(audio)
+    float(mk(1)())
     log(f"channelizer first-step (compile) {time.perf_counter()-t0:.1f}s")
-
-    def fn(state, iq):
-        return step(state, iq)
-
-    dt = time_steps(fn, lambda: (model.init_state(), iq), steps=10)
+    per = chain_time(mk)
     samples = frames * model.channels
-    rate = samples / dt
-    log(f"channelizer: {rate/1e6:.1f} Msamp/s/chip "
-        f"({dt*1e3:.2f} ms / {samples/1e6:.1f} Msamp)")
+    rate = samples / per
+    log(f"channelizer-pallas[v5]: {rate/1e6:.1f} Msamp/s/chip "
+        f"steady-state ({per*1e3:.3f} ms / {samples/1e6:.1f} Msamp)")
+
+    step = model.jitted_step_pallas_v4(tile_m=2048)
+    dt = dispatch_time(lambda s, x: step(s, x),
+                       lambda: (model.init_state_v4(), iq))
+    log(f"channelizer-pallas[v5] per-dispatch: "
+        f"{samples/dt/1e6:.1f} Msamp/s ({dt*1e3:.2f} ms)")
+    return rate
+
+
+def bench_channelizer_xla() -> float:
+    from cyberether_tpu.models.channelizer import Channelizer
+
+    model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
+    frames = 1 << 17
+    rng = np.random.default_rng(1)
+    iq = jax.device_put(rng.standard_normal(
+        (frames, model.channels, 2)).astype(np.float32))
+
+    def mk(n):
+        @jax.jit
+        def f(iq):
+            state = model.init_state()
+            acc = jnp.float32(0)
+            out = iq
+            for _ in range(n):
+                audio, state = model.step(state, out)
+                acc = acc + jnp.sum(audio[:4, :4])
+                out = out + acc * 1e-20
+            return acc
+        return lambda: f(iq)
+
+    per = chain_time(mk)
+    rate = frames * model.channels / per
+    log(f"channelizer[xla]: {rate/1e6:.1f} Msamp/s/chip steady-state")
     return rate
 
 
 def bench_spectrum() -> float:
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
-    best = 0.0
-    # batches=4096 (8.4 Msamp/step): at 512 every variant plateaued at
-    # ~378 MS/s == the per-dispatch tunnel floor, not compute
-    for mxu, fast in ((False, False), (True, True)):
-        pipe = SpectrumPipeline(fft_size=2048, batches=4096,
-                                use_mxu_fft=mxu, fast_math=fast)
-        iq = jax.device_put(pipe.make_input())
-        step = pipe.jitted_step()
-        out = step(iq)
-        jax.block_until_ready(out)
-        dt = time_steps(lambda iq: step(iq), lambda: (iq,), steps=10)
-        rate = pipe.batches * pipe.fft_size / dt
-        log(f"spectrum[{'mxu' if mxu else 'xla'}-fft"
-            f"{'+fastmath' if fast else ''}]: "
-            f"{rate/1e6:.1f} Msamp/s/chip")
-        best = max(best, rate)
-    return best
-
-
-def bench_spectrum_pallas() -> float:
-    from cyberether_tpu.models.spectrum import SpectrumPipeline
-
     pipe = SpectrumPipeline(fft_size=2048, batches=4096)
     iq = jax.device_put(pipe.make_input())
     best = 0.0
-    for name, step in (
-            ("pallas-f32", pipe.jitted_step_pallas()),
-            ("pallas-bf16", pipe.jitted_step_pallas(bf16=True)),
-            ("dft-f32", pipe.jitted_step_dft()),
-            ("dft-bf16", pipe.jitted_step_dft(bf16=True))):
+    for name, stepfn in (
+            ("pallas-f32", lambda x: pipe.step_pallas(x)),
+            ("pallas-bf16", lambda x: pipe.step_pallas(x, bf16=True)),
+            ("dft-f32", lambda x: pipe.step_dft(x)),
+            ("xla-fft", lambda x: pipe.step(x))):
         try:
-            out = step(iq)
-            jax.block_until_ready(out)
-            dt = time_steps(lambda iq: step(iq), lambda: (iq,),
-                            steps=10)
-            rate = pipe.batches * pipe.fft_size / dt
-            log(f"spectrum[{name}]: {rate/1e6:.1f} Msamp/s/chip")
+            def mk(n, stepfn=stepfn):
+                @jax.jit
+                def f(x):
+                    acc = jnp.float32(0)
+                    out = x
+                    for _ in range(n):
+                        s = stepfn(out)
+                        acc = acc + jnp.sum(s[:2, :2])
+                        out = out + acc * 1e-20
+                    return acc
+                return lambda: f(iq)
+
+            per = chain_time(mk)
+            rate = pipe.batches * pipe.fft_size / per
+            log(f"spectrum[{name}]: {rate/1e6:.1f} Msamp/s/chip "
+                f"steady-state")
             best = max(best, rate)
         except Exception as e:
-            msg = re.sub(r"\\x1b\[[0-9;]*m", "", repr(e))
-            m = re.search(
-                r"(Mosaic[^\\]{0,400}|tpu\.[a-z_]+[^\\]{0,300})",
-                msg)
-            log(f"spectrum[{name}] failed:",
-                m.group(0) if m else msg[:300])
+            log(f"spectrum[{name}] failed:", repr(e)[:300])
     return best
 
 
@@ -140,57 +196,84 @@ def bench_wbfm() -> float:
     from cyberether_tpu.models.wbfm import WbfmReceiver
 
     best = 0.0
-    for impl, fast in (("pallas", True), ("fft", True),
-                       ("conv", False)):
-        rx = WbfmReceiver(fir_impl="conv" if impl == "pallas" else impl,
-                          fast_atan2=fast)
-        # ~8.4 Msamp, divisible by decim (40) and by 128*512 so the
-        # pallas row grid tiles at full tile_r
-        n = 8_192_000
-        iq = jax.device_put(rx.make_input(n))
-        step = rx.jitted_step_pallas() if impl == "pallas" \
-            else rx.jitted_step()
-        audio, st = step(rx.init_state(), iq)
-        jax.block_until_ready(audio)
-        dt = time_steps(lambda s, iq: step(s, iq),
-                        lambda: (rx.init_state(), iq), steps=10)
-        rate = n / dt
-        log(f"wbfm[{impl}{'+fastatan' if fast else ''}]: "
-            f"{rate/1e6:.1f} Msamp/s/chip")
-        best = max(best, rate)
+    n = 8_192_000
+    for impl in ("pallas", "fft"):
+        try:
+            rx = WbfmReceiver(fir_impl="fft", fast_atan2=True)
+            iq = jax.device_put(rx.make_input(n))
+
+            def mk(k, rx=rx, impl=impl, iq=iq):
+                stepfn = rx.step_pallas if impl == "pallas" else rx.step
+
+                @jax.jit
+                def f(x):
+                    st = rx.init_state()
+                    acc = jnp.float32(0)
+                    out = x
+                    for _ in range(k):
+                        audio, st = stepfn(st, out)
+                        acc = acc + jnp.sum(audio[:4])
+                        out = out + acc * 1e-20
+                    return acc
+                return lambda: f(iq)
+
+            per = chain_time(mk)
+            rate = n / per
+            log(f"wbfm[{impl}]: {rate/1e6:.1f} Msamp/s/chip "
+                f"steady-state")
+            best = max(best, rate)
+        except Exception as e:
+            log(f"wbfm[{impl}] failed:", repr(e)[:300])
     return best
 
 
-def bench_channelizer_pallas() -> float:
-    from cyberether_tpu.models.channelizer import Channelizer
+def bench_flowgraph_channelizer() -> float:
+    """Flowgraph-compiled channelizer (VERDICT r1 item 2): a YAML-able
+    graph through the scheduler must land within ~20% of the raw model.
+    Burst mode scans the compiled segment over cycles, so the per-cycle
+    cost is the kernel plus scan overhead, not the tunnel dispatch."""
+    from cyberether_tpu import Flowgraph
 
-    model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
-    frames = 1 << 17
-    iq = jax.device_put(model.make_input(frames))
-    step = model.jitted_step_pallas()
-    audio, st = step(model.init_state(), iq)
-    jax.block_until_ready(audio)
-    dt = time_steps(lambda s, iq: step(s, iq),
-                    lambda: (model.init_state(), iq), steps=10)
-    rate = frames * model.channels / dt
-    log(f"channelizer-pallas: {rate/1e6:.1f} Msamp/s/chip")
-    return rate
+    frames = 1 << 16        # 4.2 Msamp/cycle, 8 cycles per burst
+    rng = np.random.default_rng(0)
+    buf = rng.standard_normal((frames, 64, 2)).astype(np.float32)
+    fg = Flowgraph()
+    fg.block_create("src", "dti", {"shape": [frames, 64, 2],
+                                   "dataType": "F32"})
+    fg.records["src"].build.modules["src/m"].attach_buffer(buf)
+    fg.block_create("chan", "channelizer", {"tileM": 2048},
+                    {"buffer": "${graph.src.output.buffer}"},
+                    provider="pallas")
+    try:
+        for _ in range(2):
+            ok = fg.compute(timeout=60.0)
+        errored = {b: fg.block_error(b) for b in fg.records
+                   if fg.block_state(b).value != "complete"}
+        if not ok or errored:
+            raise RuntimeError(f"flowgraph did not run: {errored}")
+        k = 8
+        fg.compute_burst(k, timeout=60.0)    # compile the scan
+        fg.scheduler.synchronize()
+        t0 = time.perf_counter()
+        bursts = 4
+        for _ in range(bursts):
+            assert fg.compute_burst(k, timeout=60.0) == k
+        fg.scheduler.synchronize()
+        dt = (time.perf_counter() - t0) / (bursts * k)
+        rate = frames * 64 / dt
+        log(f"flowgraph channelizer burst[{k}]: {rate/1e6:.1f} Msamp/s "
+            f"({dt*1e3:.2f} ms/cycle incl. host loop)")
+        return rate
+    finally:
+        fg.stop()
 
 
-def bench_flowgraph() -> float:
-    """Compiled-graph throughput including the host dispatch loop: the
-    spectrum-analyzer graph fed by a dti source (framework overhead on
-    top of the raw model = the scheduler's cost)."""
-    import numpy as np
-
+def bench_flowgraph_spectrum() -> float:
+    """Compiled-graph spectrum incl. host loop (framework overhead)."""
     from cyberether_tpu import Flowgraph
 
     rng = np.random.default_rng(0)
-    # big enough that the tunnel's ~2.3 ms/dispatch floor amortizes
     nb, n = 512, 2048
-    # real-valued source: keeps the host->device boundary on float32
-    # (the axon backend cannot transfer complex64); the engine's cast
-    # promotes to CF32 on device
     buf = rng.standard_normal((nb, n)).astype(np.float32)
     fg = Flowgraph()
     fg.block_create("src", "dti", {"shape": [nb, n],
@@ -215,10 +298,8 @@ def bench_flowgraph() -> float:
         rate = nb * n / dt
         log(f"flowgraph spectrum: {rate/1e6:.1f} Msamp/s "
             f"({dt*1e3:.2f} ms/cycle incl. host loop)")
-        # burst mode: k cycles per dispatch (lax.scan over the cycle
-        # axis) — the dispatch-floor amortization path
         k = 16
-        fg.compute_burst(k, timeout=10.0)   # compile scan
+        fg.compute_burst(k, timeout=10.0)
         fg.scheduler.synchronize()
         t0 = time.perf_counter()
         for _ in range(4):
@@ -226,7 +307,7 @@ def bench_flowgraph() -> float:
         fg.scheduler.synchronize()
         dtb = (time.perf_counter() - t0) / (4 * k)
         rb = nb * n / dtb
-        log(f"flowgraph burst[{k}]: {rb/1e6:.1f} Msamp/s "
+        log(f"flowgraph spectrum burst[{k}]: {rb/1e6:.1f} Msamp/s "
             f"({dtb*1e3:.2f} ms/cycle)")
         return max(rate, rb)
     finally:
@@ -236,38 +317,39 @@ def bench_flowgraph() -> float:
 def main() -> None:
     log("devices:", jax.devices())
     results = {}
-    # primary metric FIRST: a failure in any secondary bench can wedge
-    # the axon client for the rest of the process
     rate = 0.0
     try:
-        rate = bench_channelizer()
-        results["channelizer"] = rate
-    except Exception as e:
-        log("channelizer bench failed:", repr(e))
-    try:
-        pallas_rate = bench_channelizer_pallas()
-        results["channelizer_pallas"] = pallas_rate
-        rate = max(rate, pallas_rate)
+        rate = bench_channelizer_pallas()
+        results["channelizer_pallas"] = rate
     except Exception as e:
         log("pallas channelizer bench failed:", repr(e))
+    try:
+        xla_rate = bench_channelizer_xla()
+        results["channelizer_xla"] = xla_rate
+        rate = max(rate, xla_rate)
+    except Exception as e:
+        log("xla channelizer bench failed:", repr(e))
     if rate == 0.0:
         log("FATAL: no channelizer measurement")
+    try:
+        fg_rate = bench_flowgraph_channelizer()
+        results["flowgraph_channelizer"] = fg_rate
+        if rate and fg_rate:
+            log(f"flowgraph/raw channelizer ratio: {fg_rate/rate:.2f}")
+    except Exception as e:
+        log("flowgraph channelizer bench failed:", repr(e))
     try:
         results["spectrum"] = bench_spectrum()
     except Exception as e:
         log("spectrum bench failed:", repr(e))
     try:
-        results["spectrum_pallas"] = bench_spectrum_pallas()
-    except Exception as e:
-        log("spectrum-pallas bench failed:", repr(e))
-    try:
         results["wbfm"] = bench_wbfm()
     except Exception as e:
         log("wbfm bench failed:", repr(e))
     try:
-        results["flowgraph"] = bench_flowgraph()
+        results["flowgraph_spectrum"] = bench_flowgraph_spectrum()
     except Exception as e:
-        log("flowgraph bench failed:", repr(e))
+        log("flowgraph spectrum bench failed:", repr(e))
 
     print(json.dumps({
         "metric": "channelizer64_fm_samples_per_sec_per_chip",

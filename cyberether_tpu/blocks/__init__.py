@@ -24,3 +24,4 @@ def register_all() -> None:
     from cyberether_tpu.blocks import psk  # noqa: F401
     from cyberether_tpu.blocks import dti  # noqa: F401
     from cyberether_tpu.blocks import adsb  # noqa: F401
+    from cyberether_tpu.blocks import fused  # noqa: F401

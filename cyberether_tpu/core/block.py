@@ -91,6 +91,15 @@ class BlockContext:
         for port, ref in inputs.items():
             specs[port] = self.resolve_spec(ref)
         mod = cls(flat, config, specs)
+        # the *requested* device wins for scheduler segment placement:
+        # pure-JAX modules are device-agnostic, so a block asking for
+        # `device: cpu` compiles into a CPU-backend segment even though
+        # the module class registered as TPU (the reference resolves
+        # the same request through per-device module registrations)
+        req_dev = device if device is not None else blk.device
+        if mod.runtime is not Runtime.HOST and \
+                req_dev in (Device.CPU, Device.TPU):
+            mod.device = req_dev
         self.out.modules[flat] = mod
         self.out.module_inputs[flat] = inputs
         return PortRefFactory(flat, mod)

@@ -430,28 +430,57 @@ class Flowgraph:
     # long-running graph resumes exactly where it left off
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
-        """Write topology (YAML) + streaming state (numpy pytrees) to
-        ``path`` (pickle)."""
-        import pickle
+        """Write topology (YAML) + streaming state (npz arrays) to a
+        zip container at ``path``.  No pickle anywhere: arrays go
+        through ``np.savez`` and the manifest is JSON, so loading an
+        untrusted checkpoint never executes code."""
+        import io
+        import json
+        import zipfile
+
+        import jax
+        import numpy as np
 
         self.scheduler.synchronize()
-        payload = {"yaml": self.to_yaml(),
-                   "state": self.scheduler.state_snapshot(),
-                   "cycle": self.scheduler._cycle}
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        snap = self.scheduler.state_snapshot()
+        manifest = {"version": 1, "cycle": self.scheduler._cycle,
+                    "modules": []}
+        arrays: Dict[str, Any] = {}
+        for mi, name in enumerate(sorted(snap)):
+            leaves = jax.tree_util.tree_leaves(snap[name])
+            manifest["modules"].append({"name": name,
+                                        "leaves": len(leaves)})
+            for li, leaf in enumerate(leaves):
+                arrays[f"{mi}.{li}"] = np.asarray(leaf)
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("topology.yaml", self.to_yaml())
+            z.writestr("manifest.json", json.dumps(manifest))
+            z.writestr("state.npz", buf.getvalue())
 
     @classmethod
     def load_checkpoint(cls, path: str) -> "Flowgraph":
-        """Rebuild the graph from a ``save_checkpoint`` file and restore
-        its streaming state.  Only load files you wrote yourself — the
-        container is pickle."""
-        import pickle
+        """Rebuild the graph from a ``save_checkpoint`` container and
+        restore its streaming state.  Leaves are unflattened against
+        the rebuilt graph's own state structure (``np.load`` with
+        pickle disabled), so nothing in the file is executable."""
+        import io
+        import json
+        import zipfile
 
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        fg = cls.from_yaml(payload["yaml"])
-        fg.scheduler.state_restore(payload["state"])
+        import numpy as np
+
+        with zipfile.ZipFile(path) as z:
+            yaml_text = z.read("topology.yaml").decode("utf-8")
+            manifest = json.loads(z.read("manifest.json"))
+            npz = np.load(io.BytesIO(z.read("state.npz")),
+                          allow_pickle=False)
+        fg = cls.from_yaml(yaml_text)
+        flat = {m["name"]: [npz[f"{mi}.{li}"]
+                            for li in range(m["leaves"])]
+                for mi, m in enumerate(manifest["modules"])}
+        fg.scheduler.state_restore_flat(flat)
         return fg
 
     def restore_state(self, snapshot: Dict[str, Any]) -> None:

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from cyberether_tpu.core.block import PortRef
 from cyberether_tpu.core.module import Module, PASS_FLAG
-from cyberether_tpu.core.types import GraphError, Runtime, Taint
+from cyberether_tpu.core.types import Device, GraphError, Runtime, Taint
 from cyberether_tpu.utils.logging import get_logger
 from cyberether_tpu.utils.xfer import fetch as _xla_fetch
 
@@ -172,6 +172,8 @@ class DeviceSegment:
     out_keys: List[str]              # boundary outputs (consumed outside)
     state_modules: List[str]
     split_inputs: Set[str] = field(default_factory=set)  # complex-from-host
+    devkey: str = "accel"            # "cpu" | "accel" partition key
+    device0: Any = None              # explicit jax.Device when not default
     fn: Any = None                   # compiled step
     raw_fn: Any = None               # untraced python step (burst/scan)
     burst_fn: Any = None             # compiled lax.scan over cycles
@@ -357,9 +359,19 @@ class Scheduler:
                 self._static_values[f"{name}:{port}"] = _fetch(val)
             self._settled.add(name)
 
+    @staticmethod
+    def _devkey(mod: Module) -> str:
+        """Segment-partition device key (the reference partitions
+        segments by (device, runtime) — scheduler_synchronous.cc:
+        698-748).  Explicit ``device: cpu`` modules compile into their
+        own segments jitted on the CPU backend; TPU/ANY modules fuse
+        onto the default accelerator backend."""
+        return "cpu" if mod.device is Device.CPU else "accel"
+
     def _stage_of(self) -> Dict[str, int]:
         """Convex stage assignment: device modules merge into the same
-        stage unless separated by a host module."""
+        stage unless separated by a host module or a device change
+        (cpu-device vs accelerator-device programs never fuse)."""
         stage: Dict[str, int] = {}
         for name in self._topo:
             if name in self._settled:
@@ -374,7 +386,8 @@ class Scheduler:
                     continue
                 pmod = self._modules[p]
                 p_host = pmod.runtime is Runtime.HOST
-                if p_host or is_host:
+                if p_host or is_host or \
+                        self._devkey(pmod) != self._devkey(mod):
                     s = max(s, stage[p] + 1)
                 else:
                     s = max(s, stage[p])
@@ -384,8 +397,11 @@ class Scheduler:
     def _partition_and_compile(self) -> None:
         stage = self._stage_of()
         self._segments = []
-        # group device modules by stage
-        by_stage: Dict[int, List[str]] = {}
+        # group device modules by (stage, device) — the reference
+        # partitions segments by (device, runtime)
+        # (scheduler_synchronous.cc:698-748); here cpu-device modules
+        # compile into separate CPU-backend programs
+        by_stage: Dict[Tuple[int, str], List[str]] = {}
         host_mods: List[Tuple[int, str]] = []
         for name in self._topo:
             if name in self._settled:
@@ -394,12 +410,13 @@ class Scheduler:
             if mod.runtime is Runtime.HOST:
                 host_mods.append((stage[name], name))
             else:
-                by_stage.setdefault(stage[name], []).append(name)
+                by_stage.setdefault(
+                    (stage[name], self._devkey(mod)), []).append(name)
         items: List[Tuple[int, Any]] = []
-        for s, mods in by_stage.items():
-            items.append((s, ("device", mods)))
+        for (s, dev), mods in by_stage.items():
+            items.append((s, ("device", dev, mods)))
         for s, name in host_mods:
-            items.append((s, ("host", name)))
+            items.append((s, ("host", None, name)))
         items.sort(key=lambda t: (t[0], 0 if t[1][0] == "device" else 1))
 
         # which keys are consumed where
@@ -407,7 +424,7 @@ class Scheduler:
         seg_of_module: Dict[str, int] = {}
         idx = 0
         built: List[Any] = []
-        for s, (kind, payload) in items:
+        for s, (kind, _dev, payload) in items:
             if kind == "device":
                 for m in payload:
                     seg_of_module[m] = idx
@@ -440,9 +457,10 @@ class Scheduler:
         needed.update(self._watched)
 
         idx = 0
-        for s, (kind, payload) in items:
+        for s, (kind, dev, payload) in items:
             if kind == "device":
-                seg = self._build_device_segment(idx, payload, needed)
+                seg = self._build_device_segment(idx, payload, needed,
+                                                 devkey=dev)
             else:
                 seg = HostSegment(index=idx, module=payload)
             built.append(seg)
@@ -450,7 +468,8 @@ class Scheduler:
         self._segments = built
 
     def _build_device_segment(self, index: int, mods: List[str],
-                              needed: Set[str]) -> DeviceSegment:
+                              needed: Set[str],
+                              devkey: str = "accel") -> DeviceSegment:
         mod_set = set(mods)
         ext: List[str] = []
         gates: List[str] = []
@@ -588,10 +607,18 @@ class Scheduler:
                 body, state, (ext_stack, valid_stack, gate_stack))
             return outs, valids, final, mets
 
+        # explicit placement only when the segment's device differs
+        # from the default backend: jit follows its (committed) args,
+        # so _run_segment device_puts inputs onto device0 first
+        device0 = None
+        if devkey == "cpu" and jax.default_backend() != "cpu":
+            device0 = jax.devices("cpu")[0]
+
         return DeviceSegment(index=index, modules=mods, ext_inputs=ext,
                              gates=gates, out_keys=out_keys,
                              state_modules=state_modules,
-                             split_inputs=split_keys, fn=fn,
+                             split_inputs=split_keys, devkey=devkey,
+                             device0=device0, fn=fn,
                              raw_fn=segment_fn,
                              burst_fn=jax.jit(burst_fn,
                                               donate_argnums=(0,)))
@@ -832,7 +859,9 @@ class Scheduler:
                 vals = stacks[key]
                 arr = np.stack([self._split_planes(key, seg, v)
                                 for v in vals])
-                ext_stack[key] = np.ascontiguousarray(arr)
+                arr = np.ascontiguousarray(arr)
+                ext_stack[key] = arr if seg.device0 is None \
+                    else jax.device_put(arr, seg.device0)
             else:
                 # source version unchanged across the burst (or not
                 # re-emitted): one h2d through the versioned cache, the
@@ -845,14 +874,18 @@ class Scheduler:
                     src = self._modules.get(key.split(":", 1)[0])
                     ver = None if src is None \
                         else src.host_output_version()
+                ck = (key, seg.devkey)
                 if ver is not None and isinstance(val, np.ndarray):
-                    hit = self._h2d_cache.get(key)
+                    hit = self._h2d_cache.get(ck)
                     if hit is not None and hit[0] == ver and \
                             hit[1].shape == val.shape:
                         val = hit[1]
                     else:
-                        val = jax.device_put(np.ascontiguousarray(val))
-                        self._h2d_cache[key] = (ver, val)
+                        val = jax.device_put(np.ascontiguousarray(val),
+                                             seg.device0)
+                        self._h2d_cache[ck] = (ver, val)
+                elif seg.device0 is not None:
+                    val = jax.device_put(val, seg.device0)
                 ext_const[key] = val
             vv = self._valid.get(key, True)
             valid_stack[key] = np.full(
@@ -863,6 +896,8 @@ class Scheduler:
                       for n, f in flags.items()}
         state_sub = {m: self._state[m] for m in seg.state_modules
                      if m in self._state}
+        if seg.device0 is not None:
+            state_sub = jax.device_put(state_sub, seg.device0)
         outs, valids, final_state, mets = seg.burst_fn(
             state_sub, ext_stack, ext_const, valid_stack, gate_stack)
         burst_outs.update(outs)
@@ -924,14 +959,19 @@ class Scheduler:
                     src = self._modules.get(k.split(":", 1)[0])
                     ver = None if src is None \
                         else src.host_output_version()
+                    ck = (k, seg.devkey)
                     if ver is not None and isinstance(val, np.ndarray):
-                        hit = self._h2d_cache.get(k)
+                        hit = self._h2d_cache.get(ck)
                         if hit is not None and hit[0] == ver and \
                                 hit[1].shape == val.shape:
                             val = hit[1]
                         else:
-                            val = jax.device_put(val)
-                            self._h2d_cache[k] = (ver, val)
+                            val = jax.device_put(val, seg.device0)
+                            self._h2d_cache[ck] = (ver, val)
+                    elif seg.device0 is not None:
+                        # cross-backend boundary (e.g. a tpu-segment
+                        # output feeding a cpu-device segment)
+                        val = jax.device_put(val, seg.device0)
                     ext_vals[k] = val
                     # keep device validity scalars on device — forcing
                     # them to host bools would sync the pipeline every
@@ -942,6 +982,8 @@ class Scheduler:
                 gate_flags = self._gate_flags_for(seg)
                 state_sub = {m: self._state[m] for m in seg.state_modules
                              if m in self._state}
+                if seg.device0 is not None:
+                    state_sub = jax.device_put(state_sub, seg.device0)
                 out_vals, out_valid, new_state, metrics = seg.fn(
                     state_sub, ext_vals, ext_valid, gate_flags)
                 self._latest.update(out_vals)
@@ -1180,6 +1222,25 @@ class Scheduler:
 
             snap[name] = jax.tree_util.tree_map(leaf, st, mask)
         return snap
+
+    def state_restore_flat(self, flat: Dict[str, list]) -> None:
+        """Restore from flattened per-module leaf lists (the pickle-free
+        checkpoint container): leaves are unflattened against the
+        CURRENT graph's state structure, so nothing in the file decides
+        the tree shape.  Unknown module names are ignored."""
+        self._ensure_built()
+        snap: Dict[str, Any] = {}
+        for name, leaves in flat.items():
+            if name not in self._state:
+                continue
+            treedef = jax.tree_util.tree_structure(self._state[name])
+            if treedef.num_leaves != len(leaves):
+                raise GraphError(
+                    f"checkpoint state for '{name}' has "
+                    f"{len(leaves)} leaves; the graph expects "
+                    f"{treedef.num_leaves}")
+            snap[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.state_restore(snap)
 
     def state_restore(self, snap: Dict[str, Any]) -> None:
         """Load a ``state_snapshot`` back into the running graph.

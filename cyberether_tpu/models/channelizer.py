@@ -69,10 +69,16 @@ class Channelizer:
         self._Wr = jnp.asarray(W.real.astype(np.float32))
         self._Wi = jnp.asarray(W.imag.astype(np.float32))
         # v4 fused matrices: taps + DFT + interleaved lane permutation
-        from cyberether_tpu.ops.pallas_kernels import \
-            fold_channelizer_matrices
+        from cyberether_tpu.ops.pallas_kernels import (
+            fold_channelizer_matrices, perm_channelizer_matrix)
         self._bp4 = jnp.asarray(fold_channelizer_matrices(
             hp[::-1].astype(np.float32),
+            W.real.astype(np.float32), W.imag.astype(np.float32)))
+        # v5 split form: kernel-order interleaved-lane taps + one
+        # lane-permuted DFT matrix (FIR on VPU, DFT on MXU)
+        self._hp5 = jnp.asarray(
+            np.repeat(hp[::-1].astype(np.float32), 2, axis=1))
+        self._bperm5 = jnp.asarray(perm_channelizer_matrix(
             W.real.astype(np.float32), W.imag.astype(np.float32)))
         chan_rate = self.sample_rate / C
         kf = self.deviation / chan_rate
@@ -94,12 +100,15 @@ class Channelizer:
         return {"hist": jnp.zeros((Pt, 2 * C), dtype)}
 
     def step_pallas_v4(self, state, iq: jnp.ndarray,
-                       tile_m: int = 512, interpret: bool = False
+                       tile_m: int = 512, interpret: bool = False,
+                       kernel: str = "v5"
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
-        in-kernel decimation (see _channelize_kernel_v4)."""
-        from cyberether_tpu.ops.pallas_kernels import \
-            channelize_demod_decim
+        in-kernel decimation.  ``kernel`` picks the arithmetic layout:
+        "v5" (default, VPU FIR + one DFT matmul — 8x less MXU work) or
+        "v4" (taps folded into P DFT matmuls)."""
+        from cyberether_tpu.ops.pallas_kernels import (
+            channelize_demod_decim, channelize_demod_decim_v5)
 
         C, Pt = self.channels, self.taps_per_branch
         M = iq.shape[0]
@@ -112,18 +121,25 @@ class Channelizer:
             halos = jnp.concatenate([state["hist"][None], x2[idx]], 0)
         else:
             halos = state["hist"][None]
-        audio = channelize_demod_decim(
-            x2, halos, self._bp4, float(self._fm_ref),
-            self.audio_decim, tile_m=tile, interpret=interpret)
+        if kernel == "v5":
+            audio = channelize_demod_decim_v5(
+                x2, halos, self._hp5, self._bperm5,
+                float(self._fm_ref), self.audio_decim, tile_m=tile,
+                interpret=interpret)
+        else:
+            audio = channelize_demod_decim(
+                x2, halos, self._bp4, float(self._fm_ref),
+                self.audio_decim, tile_m=tile, interpret=interpret)
         return audio, {"hist": x2[M - Pt:]}
 
     def jitted_step_pallas_v4(self, tile_m: int = 512,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              kernel: str = "v5"):
         # no donation: the 4 KB hist state is not worth aliasing, and
         # donating a buffer the output views (hist = x2 slice) trips
         # INVALID_ARGUMENT on the axon backend
         return jax.jit(lambda s, iq: self.step_pallas_v4(
-            s, iq, tile_m, interpret))
+            s, iq, tile_m, interpret, kernel))
 
     def frames_for(self, samples: int) -> int:
         return samples // self.channels

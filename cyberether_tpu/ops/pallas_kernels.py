@@ -38,14 +38,21 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     Octant reduction + double-angle range reduction + minimax odd
     polynomial; max error ~2e-7 rad.  signbit (not <0) keeps
     atan2(+/-0, -0.0) = +/-pi consistent with XLA/IEEE.
+
+    ONE divide total: the range-reduction test ``lo/hi > tan(pi/8)``
+    is hoisted to ``lo > tan(pi/8)*hi`` and the reduced argument
+    ``(t-1)/(t+1)`` is computed as ``(lo-hi)/(lo+hi)`` (same value,
+    shares the single division) — VPU divides are the poly's most
+    expensive ops.
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    t = lo / jnp.maximum(hi, 1e-30)
-    red = t > jnp.float32(0.41421356)
-    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    red = lo > jnp.float32(0.41421356) * hi
+    num = jnp.where(red, lo - hi, lo)
+    den = jnp.where(red, lo + hi, hi)
+    u = num / jnp.maximum(den, 1e-30)
     z = u * u
     p = jnp.float32(6.1687607318e-02)
     p = p * z + jnp.float32(-1.0648017377e-01)
@@ -220,6 +227,114 @@ def _channelize_kernel_v4(body_ref, halo_ref, bp_ref, sel_ref,
                             preferred_element_type=jnp.float32)
 
 
+def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
+                          out_ref, win, yall, *,
+                          P: int, C: int, tile_m: int, D: int,
+                          ref_gain: float):
+    """Roofline variant: VPU polyphase FIR + ONE DFT matmul.
+
+    v4 folds the taps into P pre-multiplied DFT matrices and pays P
+    full (2C, 2C) matmuls per tile — 8x the minimal MXU work for the
+    flagship P=8.  Here the FIR is P shifted elementwise FMAs on the
+    VPU (z = sum_p win[p:p+rows] * hp[p]) and the MXU runs a single
+    (rows, 2C) @ (2C, 2C) lane-permuted DFT.  Everything else (parallel
+    grid, interleaved input rows, lag-frame trick, in-kernel selector
+    decimation) matches v4.
+
+    body: (tile_m, 2C) — raw interleaved iq rows
+    halo: (1, P, 2C)   — previous P rows (tile 0: carried history)
+    hp:   (P, 2C)      — kernel-order taps duplicated on re|im lanes
+    b:    (2C, 2C)     — lane-permuted DFT block matrix
+    sel:  (tile_m // D, tile_m) — boxcar mean selector
+    """
+    win[0:P, :] = halo_ref[0]
+    win[P:P + tile_m, :] = body_ref[:, :]
+
+    rows = tile_m + 1
+    z = win[0:rows, :] * hp_ref[0, :][None, :]
+    for p in range(1, P):
+        z = z + win[p:p + rows, :] * hp_ref[p, :][None, :]
+
+    yall[0:rows, :] = jnp.dot(z, b_ref[:, :],
+                              preferred_element_type=jnp.float32)
+
+    n = 2 * C
+    yr, yi = yall[1:rows, 0:C], yall[1:rows, C:n]
+    pr, pi_ = yall[0:tile_m, 0:C], yall[0:tile_m, C:n]
+    dr = pr * yr + pi_ * yi
+    di = pr * yi - pi_ * yr
+    demod = _atan2(di, dr) * ref_gain                  # (tile_m, C)
+    out_ref[:, :] = jnp.dot(sel_ref[:, :], demod,
+                            preferred_element_type=jnp.float32)
+
+
+def perm_channelizer_matrix(wr: np.ndarray, wi: np.ndarray
+                            ) -> np.ndarray:
+    """Lane-permuted real DFT block matrix for interleaved input rows
+    (the v4 permutation without the tap folding): row 2k <- row k of
+    [[Wr^T, Wi^T], [-Wi^T, Wr^T]], row 2k+1 <- row C+k."""
+    C = wr.shape[0]
+    b = np.concatenate(
+        [np.concatenate([wr.T, wi.T], axis=1),
+         np.concatenate([-wi.T, wr.T], axis=1)], axis=0)   # (2C, 2C)
+    perm = np.empty(2 * C, np.int64)
+    perm[0::2] = np.arange(C)
+    perm[1::2] = np.arange(C) + C
+    return b[perm].astype(np.float32)
+
+
+def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
+                              hp: jnp.ndarray, bperm: jnp.ndarray,
+                              ref_gain: float, decim: int,
+                              tile_m: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """v5 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio.
+
+    hp: (P, 2C) kernel-order taps duplicated on interleaved lanes
+    (``np.repeat(hp_rev, 2, axis=1)``); bperm: (2C, 2C) from
+    :func:`perm_channelizer_matrix`.
+    """
+    M, twoC = x2.shape
+    C = twoC // 2
+    P = int(hp.shape[0])
+    tile_m = min(tile_m, M)
+    assert M % tile_m == 0 and tile_m % decim == 0, (M, tile_m, decim)
+    grid_n = M // tile_m
+
+    sel = np.kron(np.eye(tile_m // decim, dtype=np.float32),
+                  np.full((1, decim), 1.0 / decim, np.float32))
+
+    return pl.pallas_call(
+        functools.partial(_channelize_kernel_v5, P=P, C=C,
+                          tile_m=tile_m, D=decim,
+                          ref_gain=float(ref_gain)),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, twoC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, twoC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, twoC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m // decim, tile_m),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m // decim, C),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M // decim, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m + P, twoC), jnp.float32),
+                        pltpu.VMEM((tile_m + 1, twoC), jnp.float32)],
+        # every grid step is independent (the lag frame is recomputed
+        # from the halo) — parallel semantics lets Mosaic overlap tiles
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x2, halos, hp, bperm, jnp.asarray(sel))
+
+
 def channelize_demod_decim(x2: jnp.ndarray, halos: jnp.ndarray,
                            bp: jnp.ndarray, ref_gain: float,
                            decim: int, tile_m: int = 512,
@@ -263,6 +378,8 @@ def channelize_demod_decim(x2: jnp.ndarray, halos: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((M // decim, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_m + P, twoC), jnp.float32),
                         pltpu.VMEM((tile_m + 1, twoC), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x2, halos, bp.reshape(P * twoC, twoC), jnp.asarray(sel))
 
@@ -375,6 +492,8 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
         out_specs=pl.BlockSpec((tile_b, tile_k), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(iq[:, :, 0], iq[:, :, 1],
       jnp.asarray(win, jnp.float32).reshape(1, n),
@@ -506,6 +625,8 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
         out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, 128), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)
     return out.reshape(n)

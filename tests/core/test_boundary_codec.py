@@ -164,6 +164,15 @@ def test_checkpoint_resume_continues_stream(rng, tmp_path):
     got = np.concatenate(first + rest)
     np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
 
+    # the container is pickle-free: a plain zip of YAML + JSON + npz
+    # (np.load with allow_pickle=False), so loading untrusted files
+    # never executes code
+    import zipfile
+    with zipfile.ZipFile(ckpt) as z:
+        names = set(z.namelist())
+        assert {"topology.yaml", "manifest.json", "state.npz"} <= names
+        assert b"pickle" not in z.read("state.npz")[:200]
+
 
 def test_compute_burst_matches_sequential(rng):
     """compute_burst(k): one scanned dispatch must equal k sequential

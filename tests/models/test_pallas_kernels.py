@@ -89,9 +89,11 @@ def test_channelize_demod_kernel_v2_matches_xla_path():
                                atol=1e-4)
 
 
-def test_channelize_demod_kernel_v4_matches_xla_path():
-    """Production variant: interleaved lanes + parallel grid +
-    in-kernel decimation."""
+@pytest.mark.parametrize("kernel", ["v4", "v5"])
+def test_channelize_demod_kernel_v4_matches_xla_path(kernel):
+    """Production variants: interleaved lanes + parallel grid +
+    in-kernel decimation (v4: tap-folded DFT matmuls; v5: VPU FIR +
+    one DFT matmul)."""
     model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
                         sample_rate=8e5)
     frames = 1024    # tile 512 -> 2 grid steps
@@ -100,7 +102,8 @@ def test_channelize_demod_kernel_v4_matches_xla_path():
                                        jnp.asarray(iq))
     got_audio, got_state = model.step_pallas_v4(model.init_state_v4(),
                                                 jnp.asarray(iq),
-                                                interpret=True)
+                                                interpret=True,
+                                                kernel=kernel)
     np.testing.assert_allclose(np.asarray(got_audio),
                                np.asarray(ref_audio), atol=1e-4)
     np.testing.assert_array_equal(
