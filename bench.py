@@ -251,11 +251,11 @@ def bench_flowgraph_channelizer() -> float:
                    if fg.block_state(b).value != "complete"}
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
-        k = 8
+        k = 32
         fg.compute_burst(k, timeout=60.0)    # compile the scan
         fg.scheduler.synchronize()
         t0 = time.perf_counter()
-        bursts = 4
+        bursts = 3
         for _ in range(bursts):
             assert fg.compute_burst(k, timeout=60.0) == k
         fg.scheduler.synchronize()

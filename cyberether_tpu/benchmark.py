@@ -38,6 +38,7 @@ class Case:
     inputs: Callable[[], Dict[str, np.ndarray]]
     axes: Dict[str, SignalAxes] = field(default_factory=dict)
     attrs: Dict[str, Dict[str, Any]] = field(default_factory=dict)
+    provider: str = "generic"     # module provider key (xla/mxu/pallas)
 
 
 @dataclass
@@ -72,7 +73,8 @@ def run(component: Optional[str] = None,
 
 
 def _run_case(case: Case, min_epoch: float) -> Measurement:
-    ctx = TestContext(case.component, dict(case.config))
+    ctx = TestContext(case.component, dict(case.config),
+                      provider=case.provider)
     arrays = case.inputs()
     for port, arr in arrays.items():
         ctx.set_input(port, arr, axes=case.axes.get(port),
@@ -218,6 +220,39 @@ def _register_builtin() -> None:
     register_case(Case("comparator", "F32-65536", {},
                        lambda: {"input0": _f32(65536),
                                 "input1": _f32(65536, 1)}))
+    # provider variants (the reference registers per-provider module
+    # implementations; these cover the mxu/pallas fast paths)
+    for n in (4096, 8192):   # mxu radix-split needs two factors <= 128
+        register_case(Case("fft", f"CF32-{n}-mxu", {"forward": True},
+                           lambda n=n: {"signal": _cf32(n)},
+                           provider="mxu"))
+
+    def _chan_in():
+        return {"buffer": _f32(8192 * 64 * 2).reshape(8192, 64, 2)}
+
+    register_case(Case("channelizer", "F32-8192x64-pallas",
+                       {"tapsPerBranch": 8, "audioDecim": 16,
+                        "tileM": 2048},
+                       _chan_in, provider="pallas",
+                       axes={"buffer": SignalAxes(sample=0, channel=1)}))
+
+    def _wbfm_in():
+        return {"buffer": _f32(1_280_000 * 2).reshape(1_280_000, 2)}
+
+    register_case(Case("wbfm", "F32-1.28M-pallas", {},
+                       _wbfm_in, provider="pallas",
+                       axes={"buffer": SignalAxes(sample=0)}))
+
+    def _spec_in():
+        return {"buffer": _f32(512 * 2048 * 2).reshape(512, 2048, 2)}
+
+    for bf16 in (False, True):
+        register_case(Case("spectrum",
+                           f"F32-512x2048-pallas{'-bf16' if bf16 else ''}",
+                           {"bf16": bf16}, _spec_in,
+                           provider="pallas",
+                           axes={"buffer": SignalAxes(batch=0,
+                                                      sample=1)}))
 
 
 _register_builtin()

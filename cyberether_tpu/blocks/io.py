@@ -278,6 +278,11 @@ class SoapyModule(Module):
         ns = int(self.config["numberOfTimeSamples"])
         return {"signal": data.reshape(nb, ns)}
 
+    def host_wait(self, timeout: float) -> None:
+        """Scheduler wait hook: block in the ring (the reference's
+        CircularBuffer::waitForSize) instead of spinning."""
+        self._ring.wait_for_size(self._block, timeout=timeout)
+
 
 class _TestToneDriver:
     """Deterministic synthetic SDR for tests/benches: complex tone at
@@ -401,6 +406,9 @@ class WebsocketModule(Module):
         nb = int(self.config["numberOfBatches"])
         ns = int(self.config["numberOfTimeSamples"])
         return {"signal": data.reshape(nb, ns)}
+
+    def host_wait(self, timeout: float) -> None:
+        self._ring.wait_for_size(self._block, timeout=timeout)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,29 @@ def _last_axis_view(spec: TensorSpec):
     return sample
 
 
+def _axes_meta(spec: TensorSpec, width: int, range_min: float,
+               range_max: float) -> Dict[str, Any]:
+    """Axis extents for client-side ticks/labels/cursor readout (the
+    reference's axis component + lineplot cursor,
+    /root/reference/src/domains/visualization/lineplot/
+    module_impl.cc:281-458 and src/render/components/axis*).
+
+    x: frequency span from the link's sampleRate/frequency attributes
+    (bin index when absent); y: the display dB range."""
+    sr = spec.attributes.get("sampleRate")
+    fc = float(spec.attributes.get("frequency", 0.0) or 0.0)
+    if sr:
+        sr = float(sr)
+        x = {"min": fc - sr / 2, "max": fc + sr / 2,
+             "unit": "Hz", "label": "frequency"}
+    else:
+        x = {"min": 0.0, "max": float(width), "unit": "bin",
+             "label": "bin"}
+    return {"x": x, "y": {"min": float(range_min),
+                          "max": float(range_max),
+                          "unit": "dB", "label": "power"}}
+
+
 # ---------------------------------------------------------------------------
 # lineplot (visualization/lineplot)
 # ---------------------------------------------------------------------------
@@ -50,7 +73,9 @@ class LineplotModule(Module):
         Field("decimation", "int", 1),
         Field("numberOfVerticalLines", "int", 11),
         Field("numberOfHorizontalLines", "int", 5),
-        Field("thickness", "float", 1.0))
+        Field("thickness", "float", 1.0),
+        Field("rangeMin", "float", -100.0),
+        Field("rangeMax", "float", 0.0))
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
@@ -91,7 +116,12 @@ class LineplotModule(Module):
         line = np.asarray(outputs["surface"])
         return {"line": line, "kind": "lineplot",
                 "grid": (int(self.config["numberOfVerticalLines"]),
-                         int(self.config["numberOfHorizontalLines"]))}
+                         int(self.config["numberOfHorizontalLines"])),
+                "thickness": float(self.config["thickness"]),
+                "axes": _axes_meta(self.input_specs["signal"],
+                                   self._width,
+                                   self.config["rangeMin"],
+                                   self.config["rangeMax"])}
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +136,9 @@ class WaterfallModule(Module):
     schema = Schema(Field("height", "int", 512),
                     Field("interpolate", "bool", True),
                     Field("zoom", "float", 1.0),
-                    Field("offset", "int", 0))
+                    Field("offset", "int", 0),
+                    Field("rangeMin", "float", -100.0),
+                    Field("rangeMax", "float", 0.0))
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
@@ -139,12 +171,23 @@ class WaterfallModule(Module):
         buf = np.asarray(outputs["surface"])
         zoom = max(float(self.config["zoom"]), 1.0)
         off = int(self.config["offset"])
+        w = buf.shape[1]
+        x0_frac, x1_frac = 0.0, 1.0
         if zoom > 1.0:
-            w = buf.shape[1]
             span = max(int(w / zoom), 1)
             off = min(max(off, 0), w - span)
             buf = buf[:, off:off + span]
-        return {"frame": apply_colormap(buf), "kind": "waterfall"}
+            x0_frac, x1_frac = off / w, (off + span) / w
+        axes = _axes_meta(self.input_specs["signal"], w,
+                          self.config["rangeMin"],
+                          self.config["rangeMax"])
+        fx0, fx1 = axes["x"]["min"], axes["x"]["max"]
+        axes["x"]["min"] = fx0 + (fx1 - fx0) * x0_frac
+        axes["x"]["max"] = fx0 + (fx1 - fx0) * x1_frac
+        axes["y"] = {"min": 0.0, "max": float(buf.shape[0]),
+                     "unit": "line", "label": "history"}
+        return {"frame": apply_colormap(buf), "kind": "waterfall",
+                "axes": axes}
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +231,10 @@ class SpectrogramModule(Module):
     def present_data(self, outputs, state):
         heat = np.asarray(outputs["surface"])
         mx = heat.max() or 1.0
-        return {"frame": apply_colormap(heat / mx), "kind": "spectrogram"}
+        axes = _axes_meta(self.input_specs["signal"], self._width,
+                          -100.0, 0.0)
+        return {"frame": apply_colormap(heat / mx),
+                "kind": "spectrogram", "axes": axes}
 
 
 # ---------------------------------------------------------------------------

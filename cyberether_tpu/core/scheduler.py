@@ -204,6 +204,9 @@ class Scheduler:
         self._state: Dict[str, Any] = {}
         self._latest: Dict[str, Any] = {}          # boundary outputs
         self._valid: Dict[str, Any] = {}           # per-link validity
+        # last array dispatched per device key — synchronize() blocks
+        # only on these (in-order execution drains the rest)
+        self._sync_anchor: Dict[str, Any] = {}
         self._metrics: Dict[str, Dict[str, Any]] = {}
         self._sources: List[str] = []
         self._sinks: List[str] = []
@@ -680,20 +683,31 @@ class Scheduler:
         pacing of the reference).  Returns name -> outputs or None."""
         deadline = None if timeout is None else time.monotonic() + timeout
         pending = {name: None for name in self._sources}
+        wait = 0.0005
         while True:
             all_ready = True
+            blocker = None
             for name in self._sources:
                 if pending[name] is None:
                     out = self._modules[name].host_poll()
                     if out is None:
                         all_ready = False
+                        blocker = name
                     else:
                         pending[name] = out
             if all_ready:
                 return {k: v for k, v in pending.items()}
             if deadline is not None and time.monotonic() >= deadline:
                 return None
-            time.sleep(0.0005)
+            # prefer blocking IN the source (the reference's
+            # CircularBuffer::waitForSize) over spinning; sources
+            # without a wait hook get an exponential-backoff sleep
+            waiter = getattr(self._modules[blocker], "host_wait", None)
+            if waiter is not None:
+                waiter(min(wait * 16, 0.05))
+            else:
+                time.sleep(wait)
+            wait = min(wait * 2, 0.01)
 
     def _gate_flags_for(self, seg: DeviceSegment) -> Dict[str, Any]:
         flags = {}
@@ -902,6 +916,11 @@ class Scheduler:
             state_sub, ext_stack, ext_const, valid_stack, gate_stack)
         burst_outs.update(outs)
         burst_valid.update(valids)
+        for pool in (outs, final_state):
+            leaves = jax.tree_util.tree_leaves(pool)
+            if leaves:
+                self._sync_anchor[seg.devkey] = leaves[-1]
+                break
         last = jax.tree_util.tree_map(lambda a: a[-1], outs)
         self._latest.update(last)
         self._valid.update(
@@ -989,6 +1008,11 @@ class Scheduler:
                 self._latest.update(out_vals)
                 self._valid.update(out_valid)
                 self._state.update(new_state)
+                for pool in (out_vals, new_state):
+                    leaves = jax.tree_util.tree_leaves(pool)
+                    if leaves:
+                        self._sync_anchor[seg.devkey] = leaves[-1]
+                        break
                 for mname, met in metrics.items():
                     self._metrics[mname] = met
             else:
@@ -1035,15 +1059,18 @@ class Scheduler:
                                 self._valid[f"{name}:{port}"] = True
 
     def synchronize(self) -> None:
-        """Block until all dispatched device work is complete."""
-        for v in self._latest.values():
-            jax.tree_util.tree_map(
-                lambda a: a.block_until_ready()
-                if hasattr(a, "block_until_ready") else a, v)
-        for st in self._state.values():
-            jax.tree_util.tree_map(
-                lambda a: a.block_until_ready()
-                if hasattr(a, "block_until_ready") else a, st)
+        """Block until all dispatched device work is complete.
+
+        PJRT executes programs in submission order per device, so
+        blocking on the LAST value dispatched to each device drains the
+        whole queue — one host<->device round trip per device instead
+        of one per array (each round trip costs ~25 ms through the
+        axon tunnel; the naive per-array loop took 270+ ms/cycle and
+        dominated every flowgraph benchmark)."""
+        for a in self._sync_anchor.values():
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+        self._sync_anchor.clear()
 
     # ------------------------------------------------------------------
     # present (SURFACE modules -> display data)

@@ -44,12 +44,12 @@ svg{width:100%;height:100%;display:block}
  padding:4px 10px;cursor:pointer}
 #side button:hover{border-color:var(--acc)}
 #side button.danger:hover{border-color:var(--err);color:var(--err)}
-#surfaces{height:190px;background:var(--panel);
+#surfaces{height:232px;background:var(--panel);
  border-top:1px solid var(--edge);display:flex;gap:8px;padding:6px;
  overflow-x:auto}
 .surface{text-align:center;flex-shrink:0}
-.surface img{height:140px;border:1px solid var(--edge);
- image-rendering:pixelated}
+.surface canvas{border:1px solid var(--edge);background:#0d0f12;
+ cursor:crosshair}
 .surface .cap{color:var(--dim);font-size:11px}
 #toast{position:absolute;bottom:12px;left:50%;
  transform:translateX(-50%);background:#2a2e36;color:var(--txt);
@@ -464,29 +464,298 @@ async function boot() {
   const ws = new WebSocket(
     `ws${location.protocol === "https:" ? "s" : ""}://` +
     `${location.host}/api/v1/stream${tq}`);
-  ws.onmessage = (ev) => {
-    const msg = JSON.parse(ev.data);
-    if (msg.type === "frames") {
-      for (const [name, f] of Object.entries(msg.frames)) {
-        let div = document.getElementById("s_" + name);
-        if (!div) {
-          div = document.createElement("div");
-          div.className = "surface"; div.id = "s_" + name;
-          div.innerHTML = `<img id="i_${name}">` +
-            `<div class="cap">${name}</div>`;
-          document.getElementById("surfaces").appendChild(div);
-        }
-        if (f.png) document.getElementById("i_" + name).src =
-          "data:image/png;base64," + f.png;
-      }
-    } else if (msg.type === "view") {
-      view = msg.view;
-      if (!drag && !wire) render();
+  ws.binaryType = "arraybuffer";
+  ws.onmessage = async (ev) => {
+    if (typeof ev.data === "string") {
+      const msg = JSON.parse(ev.data);
+      if (msg.type === "view") { view = msg.view;
+        if (!drag && !wire) render(); }
+      return;
     }
+    const dv = new DataView(ev.data);
+    const hlen = dv.getUint32(0, true);
+    const header = JSON.parse(new TextDecoder().decode(
+      new Uint8Array(ev.data, 4, hlen)));
+    const payload = ev.data.slice(4 + hlen);
+    await presentSurface(header, payload);
   };
   ws.onclose = () => document.getElementById("status")
     .textContent = "stream disconnected";
   document.getElementById("status").textContent = "connected";
+}
+
+// ---- surface rendering: axes + grid + cursor readout ---------------
+// (client-side analog of the reference's lineplot thick-line kernel,
+// axis ticks and cursor — visualization/lineplot/module_impl.cc)
+const SW = 380, SH = 186, MARGIN = {l: 52, r: 8, t: 6, b: 22};
+const surfState = {};   // name -> {header, data, bitmap, cursor}
+
+function surfCanvas(name) {
+  let st = surfState[name];
+  if (!st) {
+    const div = document.createElement("div");
+    div.className = "surface"; div.id = "s_" + name;
+    const cv2 = document.createElement("canvas");
+    cv2.width = SW; cv2.height = SH;
+    const cap = document.createElement("div");
+    cap.className = "cap"; cap.textContent = name;
+    div.appendChild(cv2); div.appendChild(cap);
+    document.getElementById("surfaces").appendChild(div);
+    st = surfState[name] = {canvas: cv2, cursor: null};
+    cv2.addEventListener("pointermove", (ev) => {
+      const r = cv2.getBoundingClientRect();
+      st.cursor = [ev.clientX - r.left, ev.clientY - r.top];
+      drawSurface(name);
+    });
+    cv2.addEventListener("pointerleave", () => {
+      st.cursor = null; drawSurface(name);
+    });
+  }
+  return st;
+}
+
+const fmtUnit = (v, unit) => {
+  if (unit === "Hz") {
+    const a = Math.abs(v);
+    if (a >= 1e9) return (v / 1e9).toFixed(3) + " GHz";
+    if (a >= 1e6) return (v / 1e6).toFixed(3) + " MHz";
+    if (a >= 1e3) return (v / 1e3).toFixed(1) + " kHz";
+    return v.toFixed(0) + " Hz";
+  }
+  if (unit === "dB") return v.toFixed(1) + " dB";
+  if (unit === "deg") return v.toFixed(3) + "°";
+  return v.toFixed(1) + (unit ? " " + unit : "");
+};
+
+async function presentSurface(header, payload) {
+  const st = surfCanvas(header.name);
+  st.header = header;
+  if (header.enc === "f32") {
+    st.data = new Float32Array(payload);
+  } else if (header.enc === "jpeg") {
+    st.bitmap = await createImageBitmap(
+      new Blob([payload], {type: "image/jpeg"}));
+  }
+  drawSurface(header.name);
+}
+
+function plotRect() {
+  return [MARGIN.l, MARGIN.t, SW - MARGIN.l - MARGIN.r,
+          SH - MARGIN.t - MARGIN.b];
+}
+
+function drawAxes(g, axes, nv, nh) {
+  const [px, py, pw, ph] = plotRect();
+  g.strokeStyle = "#2a2e36"; g.fillStyle = "#8a8f98";
+  g.font = "10px ui-monospace"; g.lineWidth = 1;
+  const x = axes && axes.x, y = axes && axes.y;
+  for (let i = 0; i < nv; i++) {
+    const fx = i / (nv - 1), gx = px + fx * pw;
+    g.beginPath(); g.moveTo(gx, py); g.lineTo(gx, py + ph); g.stroke();
+    if (x && (i === 0 || i === nv - 1 || i === (nv - 1) / 2)) {
+      const v = x.min + fx * (x.max - x.min);
+      g.textAlign = i === 0 ? "left" : (i === nv - 1 ? "right"
+        : "center");
+      g.fillText(fmtUnit(v, x.unit), gx, SH - 8);
+    }
+  }
+  for (let i = 0; i < nh; i++) {
+    const fy = i / (nh - 1), gy = py + fy * ph;
+    g.beginPath(); g.moveTo(px, gy); g.lineTo(px + pw, gy); g.stroke();
+    if (y) {
+      const v = y.max - fy * (y.max - y.min);
+      g.textAlign = "right";
+      g.fillText(fmtUnit(v, y.unit), px - 4, gy + 3);
+    }
+  }
+  g.strokeStyle = "#40454f";
+  g.strokeRect(px, py, pw, ph);
+}
+
+function cursorReadout(g, st, toData) {
+  if (!st.cursor) return;
+  const [cx, cy] = st.cursor;
+  const [px, py, pw, ph] = plotRect();
+  if (cx < px || cx > px + pw || cy < py || cy > py + ph) return;
+  g.strokeStyle = "#ffc85788"; g.lineWidth = 1;
+  g.beginPath(); g.moveTo(cx, py); g.lineTo(cx, py + ph); g.stroke();
+  g.beginPath(); g.moveTo(px, cy); g.lineTo(px + pw, cy); g.stroke();
+  const txt = toData((cx - px) / pw, (cy - py) / ph);
+  g.font = "11px ui-monospace"; g.textAlign = "left";
+  const tw = g.measureText(txt).width + 8;
+  const bx = Math.min(cx + 8, px + pw - tw);
+  g.fillStyle = "#000000aa"; g.fillRect(bx, py + 4, tw, 15);
+  g.fillStyle = "#ffc857"; g.fillText(txt, bx + 4, py + 15);
+}
+
+function drawSurface(name) {
+  const st = surfState[name];
+  if (!st || !st.header) return;
+  const g = st.canvas.getContext("2d");
+  const h = st.header, axes = h.axes;
+  g.fillStyle = "#0d0f12"; g.fillRect(0, 0, SW, SH);
+  const [px, py, pw, ph] = plotRect();
+  if (h.kind === "lineplot" && st.data) {
+    const grid = h.grid || [11, 5];
+    drawAxes(g, axes, grid[0], grid[1]);
+    g.strokeStyle = "#4cc2ff"; g.lineWidth = h.thickness || 1.2;
+    g.beginPath();
+    const n = st.data.length;
+    for (let i = 0; i < n; i++) {
+      const v = Math.min(Math.max(st.data[i], 0), 1);
+      const gx = px + (i / (n - 1)) * pw, gy = py + (1 - v) * ph;
+      i ? g.lineTo(gx, gy) : g.moveTo(gx, gy);
+    }
+    g.stroke();
+    cursorReadout(g, st, (fx, fy) => {
+      const i = Math.min(Math.round(fx * (n - 1)), n - 1);
+      const xv = axes ? axes.x.min + fx * (axes.x.max - axes.x.min)
+        : i;
+      const yv = axes ? axes.y.min + st.data[i]
+        * (axes.y.max - axes.y.min) : st.data[i];
+      return `${fmtUnit(xv, axes ? axes.x.unit : "")}  ` +
+        `${fmtUnit(yv, axes ? axes.y.unit : "")}`;
+    });
+  } else if (h.kind === "map") {
+    drawMap(g, st);
+  } else if (st.bitmap) {
+    g.drawImage(st.bitmap, px, py, pw, ph);
+    const nv = 5, nh = 2;
+    if (h.kind === "waterfall" || h.kind === "spectrogram") {
+      g.strokeStyle = "#40454f"; g.strokeRect(px, py, pw, ph);
+      g.fillStyle = "#8a8f98"; g.font = "10px ui-monospace";
+      for (let i = 0; i < nv; i++) {
+        const fx = i / (nv - 1), gx = px + fx * pw;
+        g.beginPath(); g.moveTo(gx, py + ph);
+        g.lineTo(gx, py + ph + 4); g.strokeStyle = "#8a8f98";
+        g.stroke();
+        if (axes && (i === 0 || i === nv - 1 || i * 2 === nv - 1)) {
+          const v = axes.x.min + fx * (axes.x.max - axes.x.min);
+          g.textAlign = i === 0 ? "left"
+            : (i === nv - 1 ? "right" : "center");
+          g.fillText(fmtUnit(v, axes.x.unit), gx, SH - 8);
+        }
+      }
+      cursorReadout(g, st, (fx, fy) => {
+        const xv = axes ? axes.x.min + fx * (axes.x.max - axes.x.min)
+          : fx;
+        return fmtUnit(xv, axes ? axes.x.unit : "");
+      });
+    } else {
+      g.strokeStyle = "#40454f"; g.strokeRect(px, py, pw, ph);
+      if (h.kind === "constellation") {
+        g.strokeStyle = "#2a2e36";
+        g.beginPath(); g.moveTo(px + pw / 2, py);
+        g.lineTo(px + pw / 2, py + ph); g.stroke();
+        g.beginPath(); g.moveTo(px, py + ph / 2);
+        g.lineTo(px + pw, py + ph / 2); g.stroke();
+        g.fillStyle = "#8a8f98"; g.font = "10px ui-monospace";
+        g.textAlign = "left"; g.fillText("I", px + pw - 10, py + ph / 2 - 4);
+        g.fillText("Q", px + pw / 2 + 4, py + 10);
+        cursorReadout(g, st, (fx, fy) =>
+          `I ${(fx * 3 - 1.5).toFixed(2)}  Q ${(1.5 - fy * 3).toFixed(2)}`);
+      }
+    }
+  }
+}
+
+// coarse world coastline (lon,lat polylines) for the geomap backdrop —
+// deliberately low-res; the reference ships full geodata
+// (resources/geodata + render/components geomap)
+const COAST = [
+  [[-165,60],[-150,59],[-131,54],[-125,48],[-124,40],[-117,33],
+   [-110,24],[-105,20],[-97,16],[-90,14],[-83,9],[-77,7],[-81,25],
+   [-80,32],[-75,35],[-70,43],[-60,47],[-55,52],[-65,60],[-78,62],
+   [-85,66],[-110,68],[-130,70],[-156,71],[-165,60]],
+  [[-77,7],[-79,0],[-81,-5],[-75,-15],[-70,-20],[-71,-30],[-73,-40],
+   [-74,-50],[-68,-55],[-65,-50],[-62,-40],[-58,-34],[-48,-28],
+   [-40,-22],[-35,-8],[-50,0],[-60,5],[-64,10],[-72,11],[-77,7]],
+  [[-17,15],[-16,22],[-10,31],[-6,35],[10,37],[20,32],[32,31],
+   [43,12],[51,12],[40,-5],[35,-20],[20,-35],[12,-18],[9,-1],
+   [-8,5],[-17,15]],
+  [[-10,36],[-9,44],[0,47],[4,52],[8,54],[12,56],[20,60],[30,60],
+   [40,67],[60,69],[90,73],[110,73],[140,72],[160,70],[170,66],
+   [162,59],[156,51],[142,46],[130,42],[122,39],[121,31],[110,20],
+   [105,10],[103,1],[98,8],[92,22],[88,22],[80,13],[72,19],[67,24],
+   [57,25],[48,30],[35,36],[30,31],[20,32],[10,37],[-6,35],[-10,36]],
+  [[115,-21],[113,-26],[115,-34],[129,-32],[138,-35],[147,-38],
+   [153,-28],[146,-19],[142,-11],[136,-12],[132,-11],[122,-17],
+   [115,-21]],
+  [[-43,60],[-52,66],[-55,72],[-45,78],[-25,71],[-32,68],[-40,65],
+   [-43,60]],
+];
+
+function drawMap(g, st) {
+  const h = st.header;
+  const [px, py, pw, ph] = plotRect();
+  const located = (h.aircraft || []).filter(
+    a => a.lat !== null && a.lon !== null);
+  let lat0 = 0, lon0 = 0, span = 90;
+  if (located.length) {
+    lat0 = located.reduce((s, a) => s + a.lat, 0) / located.length;
+    lon0 = located.reduce((s, a) => s + a.lon, 0) / located.length;
+    span = Math.max(0.5, ...located.map(a =>
+      Math.max(Math.abs(a.lat - lat0), Math.abs(a.lon - lon0)))) * 1.4;
+  }
+  const toXY = (lon, lat) => [
+    px + ((lon - (lon0 - span * pw / ph)) / (2 * span * pw / ph)) * pw,
+    py + ((lat0 + span - lat) / (2 * span)) * ph];
+  // graticule
+  g.strokeStyle = "#23272e"; g.lineWidth = 1;
+  const step = span > 40 ? 30 : (span > 8 ? 10 : (span > 2 ? 1 : 0.5));
+  for (let lo = Math.floor((lon0 - span * 3) / step) * step;
+       lo <= lon0 + span * 3; lo += step) {
+    const [x1, y1] = toXY(lo, lat0 - span), [x2, y2] =
+      toXY(lo, lat0 + span);
+    g.beginPath(); g.moveTo(x1, y1); g.lineTo(x2, y2); g.stroke();
+  }
+  for (let la = Math.floor((lat0 - span) / step) * step;
+       la <= lat0 + span; la += step) {
+    const [x1, y1] = toXY(lon0 - span * 3, la), [x2, y2] =
+      toXY(lon0 + span * 3, la);
+    g.beginPath(); g.moveTo(x1, y1); g.lineTo(x2, y2); g.stroke();
+  }
+  // coastline backdrop
+  g.strokeStyle = "#3a5f46"; g.lineWidth = 1;
+  g.save(); g.beginPath(); g.rect(px, py, pw, ph); g.clip();
+  for (const line of COAST) {
+    g.beginPath();
+    line.forEach(([lo, la], i) => {
+      const [x, y] = toXY(lo, la);
+      i ? g.lineTo(x, y) : g.moveTo(x, y);
+    });
+    g.stroke();
+  }
+  // aircraft markers with heading vectors + callsign labels
+  for (const a of located) {
+    const [x, y] = toXY(a.lon, a.lat);
+    g.fillStyle = "#51d88a";
+    g.beginPath(); g.arc(x, y, 3, 0, 6.3); g.fill();
+    if (a.heading_deg !== null && a.heading_deg !== undefined) {
+      const r = a.heading_deg * Math.PI / 180;
+      g.strokeStyle = "#ffc857"; g.lineWidth = 1.5;
+      g.beginPath(); g.moveTo(x, y);
+      g.lineTo(x + 9 * Math.sin(r), y - 9 * Math.cos(r)); g.stroke();
+    }
+    g.fillStyle = "#d6d9de"; g.font = "10px ui-monospace";
+    g.textAlign = "left";
+    const lbl = (a.callsign || a.icao || "") +
+      (a.altitude_ft ? ` ${Math.round(a.altitude_ft / 100)}FL` : "");
+    g.fillText(lbl, x + 6, y - 5);
+  }
+  g.restore();
+  g.strokeStyle = "#40454f"; g.strokeRect(px, py, pw, ph);
+  const stats = h.stats || {};
+  g.fillStyle = "#8a8f98"; g.font = "10px ui-monospace";
+  g.textAlign = "left";
+  g.fillText(`${located.length}/${(h.aircraft || []).length} aircraft` +
+    (stats.df17 !== undefined ? `  df17:${stats.df17}` : ""),
+    px + 4, SH - 8);
+  cursorReadout(g, st, (fx, fy) => {
+    const lon = (lon0 - span * pw / ph) + fx * 2 * span * pw / ph;
+    const lat = (lat0 + span) - fy * 2 * span;
+    return `${lat.toFixed(3)}° ${lon.toFixed(3)}°`;
+  });
 }
 boot();
 </script></body></html>"""

@@ -10,7 +10,22 @@ surface, src/instance_remote_socket.cc:17-58):
 - DELETE /api/v1/flowgraph/{fg}/block/{name}
 - POST /api/v1/flowgraph/{fg}/connect          {name,port,link}
 - GET  /api/v1/metrics            metrics + timings
-- WS   /api/v1/stream             pushes surface frames (PNG base64)
+- WS   /api/v1/stream             surface frames
+
+Streaming protocol (the efficient-transport analog of the reference's
+hardware-encoded WebRTC video, instance_remote_impl.cc:387-483,746-900;
+this image has zero egress, so the transport is binary WebSocket):
+
+- default: per-surface BINARY messages
+  ``u32le header_len | header JSON | payload``, where enc is
+  "jpeg" (RGBA frames re-encoded as quality-82 JPEG, ~10-30x smaller
+  than the legacy base64 PNG), "f32" (raw lineplot samples — the
+  client draws the line, axes and cursor itself), or none (map:
+  aircraft records ride the header).  Surfaces are DIRTY-TRACKED by a
+  subsampled crc32 fingerprint — unchanged surfaces send nothing.
+  Flowgraph views arrive as TEXT messages on the same socket.
+- ``?legacy=1``: the original JSON + base64-PNG messages (the /simple
+  page).
 """
 
 from __future__ import annotations
@@ -19,8 +34,10 @@ import asyncio
 import base64
 import io
 import json
+import struct
 import threading
-from typing import Any, Dict, Optional
+import zlib
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -39,7 +56,8 @@ h3{margin:4px 0} pre{color:#8c8}
 <div id="surfaces"></div>
 <h3>flowgraph</h3><pre id="view"></pre>
 <script>
-const ws = new WebSocket(`ws://${location.host}/api/v1/stream`);
+const q = location.search ? location.search + "&legacy=1" : "?legacy=1";
+const ws = new WebSocket(`ws://${location.host}/api/v1/stream${q}`);
 ws.onmessage = (ev) => {
   const msg = JSON.parse(ev.data);
   if (msg.type === "frames") {
@@ -98,9 +116,67 @@ def _frame_to_png_b64(data: Dict[str, Any]) -> Optional[str]:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _fingerprint(data: Dict[str, Any]) -> int:
+    """Cheap per-surface content fingerprint for dirty tracking."""
+    arr = data.get("frame")
+    if arr is None:
+        arr = data.get("line")
+    if arr is None:
+        return zlib.crc32(json.dumps(
+            data.get("aircraft", []), sort_keys=True,
+            default=str).encode())
+    a = np.ascontiguousarray(arr).reshape(-1)
+    step = max(1, a.size // 4096)
+    return zlib.crc32(a[::step].tobytes())
+
+
+def _encode_binary(name: str, data: Dict[str, Any]
+                   ) -> Optional[Tuple[bytes, bytes]]:
+    """One surface -> (header JSON bytes, payload bytes)."""
+    kind = data.get("kind", "frame")
+    header: Dict[str, Any] = {"name": name, "kind": kind}
+    if "axes" in data:
+        header["axes"] = _jsonable(data["axes"])
+    payload = b""
+    if kind == "map":
+        header["aircraft"] = _jsonable(data.get("aircraft", []))
+        header["stats"] = _jsonable(data.get("stats", {}))
+        header["enc"] = "none"
+    elif "line" in data:
+        line = np.asarray(data["line"], np.float32)
+        header.update(enc="f32", n=int(line.size),
+                      grid=_jsonable(data.get("grid")),
+                      thickness=float(data.get("thickness", 1.0)))
+        payload = np.ascontiguousarray(line).tobytes()
+    elif "frame" in data:
+        try:
+            from PIL import Image
+        except ImportError:   # pragma: no cover
+            return None
+        arr = np.asarray(data["frame"])
+        if arr.ndim == 3 and arr.shape[-1] == 4:
+            img = Image.fromarray(arr[..., :3], "RGB")
+        elif arr.ndim == 3 and arr.shape[-1] == 3:
+            img = Image.fromarray(arr, "RGB")
+        elif arr.ndim == 2:
+            lo, hi = float(arr.min()), float(arr.max())
+            img = Image.fromarray(
+                (255 * (arr - lo) / max(hi - lo, 1e-9))
+                .astype(np.uint8))
+        else:
+            return None
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=82)
+        header.update(enc="jpeg", w=img.width, h=img.height)
+        payload = buf.getvalue()
+    else:
+        return None
+    return json.dumps(header).encode(), payload
+
+
 class RemoteServer:
     def __init__(self, instance, host: str = "0.0.0.0",
-                 port: int = 8765, fps: float = 10.0,
+                 port: int = 8765, fps: float = 30.0,
                  token: str = ""):
         """``token``: when set, every request must carry
         ``?token=<token>`` (the reference's consumer-token/approval
@@ -369,26 +445,44 @@ class RemoteServer:
         self._check_token(request)
         from aiohttp import web
 
+        legacy = request.query.get("legacy") == "1"
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         self._clients.add(ws)
+        loop = asyncio.get_running_loop()
+        last_fp: Dict[str, int] = {}
         try:
             period = 1.0 / self.fps
             tick = 0
             while not ws.closed and not self._stop.is_set():
-                frames: Dict[str, Any] = {}
-                for fg in list(self.instance.flowgraphs.values()):
-                    for name, data in fg.present().items():
-                        png = await asyncio.get_running_loop() \
-                            .run_in_executor(None, _frame_to_png_b64,
-                                             data)
-                        if png:
-                            frames[name] = {"png": png,
-                                            "kind": data.get("kind")}
-                if frames:
-                    await ws.send_str(json.dumps(
-                        {"type": "frames", "frames": frames}))
-                if tick % 10 == 0:
+                if legacy:
+                    frames: Dict[str, Any] = {}
+                    for fg in list(self.instance.flowgraphs.values()):
+                        for name, data in fg.present().items():
+                            png = await loop.run_in_executor(
+                                None, _frame_to_png_b64, data)
+                            if png:
+                                frames[name] = {"png": png,
+                                                "kind": data.get("kind")}
+                    if frames:
+                        await ws.send_str(json.dumps(
+                            {"type": "frames", "frames": frames}))
+                else:
+                    for fg in list(self.instance.flowgraphs.values()):
+                        for name, data in fg.present().items():
+                            fp = _fingerprint(data)
+                            if last_fp.get(name) == fp:
+                                continue   # dirty tracking: unchanged
+                            last_fp[name] = fp
+                            enc = await loop.run_in_executor(
+                                None, _encode_binary, name, data)
+                            if enc is None:
+                                continue
+                            header, payload = enc
+                            await ws.send_bytes(
+                                struct.pack("<I", len(header))
+                                + header + payload)
+                if tick % (10 if legacy else 30) == 0:
                     views = {n: fg.view() for n, fg in
                              self.instance.flowgraphs.items()}
                     await ws.send_str(json.dumps(

@@ -91,14 +91,14 @@ def test_remote_reconfigure(served_instance):
     assert out["config"]["height"] == 64
 
 
-def test_stream_delivers_frames(served_instance):
+def test_stream_delivers_frames_legacy(served_instance):
     import asyncio
 
     import websockets
 
     async def grab():
         async with websockets.connect(
-                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                f"ws://127.0.0.1:{PORT}/api/v1/stream?legacy=1",
                 max_size=None) as ws:
             for _ in range(20):
                 msg = json.loads(await asyncio.wait_for(ws.recv(),
@@ -111,6 +111,43 @@ def test_stream_delivers_frames(served_instance):
     assert msg is not None
     assert "wtf" in msg["frames"]
     assert msg["frames"]["wtf"]["png"]
+
+
+def test_stream_binary_protocol(served_instance):
+    """Default stream: per-surface binary messages
+    (u32le header_len | header JSON | payload) with dirty tracking —
+    the efficient-transport analog of the reference's WebRTC encode
+    path (instance_remote_impl.cc:746-900)."""
+    import asyncio
+    import struct
+
+    import websockets
+
+    async def grab():
+        frames = {}
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            for _ in range(30):
+                msg = await asyncio.wait_for(ws.recv(), timeout=5)
+                if isinstance(msg, str):
+                    continue   # view JSON rides as text
+                (hlen,) = struct.unpack_from("<I", msg, 0)
+                header = json.loads(msg[4:4 + hlen].decode())
+                frames[header["name"]] = (header, msg[4 + hlen:])
+                if "wtf" in frames:
+                    return frames
+        return frames
+
+    frames = asyncio.run(grab())
+    assert "wtf" in frames
+    header, payload = frames["wtf"]
+    assert header["kind"] == "waterfall"
+    assert header["enc"] == "jpeg"
+    assert payload[:2] == b"\xff\xd8"          # JPEG SOI marker
+    # binary jpeg must be far smaller than the legacy base64 PNG
+    assert len(payload) < 64 * 1024
+    assert "axes" in header and "x" in header["axes"]
 
 
 def test_registry_endpoint(served_instance):
