@@ -234,7 +234,7 @@ def bench_flowgraph_channelizer() -> float:
     cost is the kernel plus scan overhead, not the tunnel dispatch."""
     from cyberether_tpu import Flowgraph
 
-    frames = 1 << 16        # 4.2 Msamp/cycle, 8 cycles per burst
+    frames = 1 << 17        # 8.4 Msamp/cycle — same step as the raw model
     rng = np.random.default_rng(0)
     buf = rng.standard_normal((frames, 64, 2)).astype(np.float32)
     fg = Flowgraph()
@@ -253,16 +253,26 @@ def bench_flowgraph_channelizer() -> float:
             raise RuntimeError(f"flowgraph did not run: {errored}")
         k = 32
         fg.compute_burst(k, timeout=60.0)    # compile the scan
-        fg.scheduler.synchronize()
-        t0 = time.perf_counter()
-        bursts = 3
-        for _ in range(bursts):
-            assert fg.compute_burst(k, timeout=60.0) == k
-        fg.scheduler.synchronize()
-        dt = (time.perf_counter() - t0) / (bursts * k)
+
+        def run_bursts(n):
+            fg.scheduler.synchronize()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                assert fg.compute_burst(k, timeout=60.0) == k
+            fg.scheduler.synchronize()
+            return time.perf_counter() - t0
+
+        run_bursts(1)                        # warm
+        # differential over burst counts cancels the fixed dispatch +
+        # final d2h sync (~25 ms on axon) — same methodology as
+        # chain_time for the raw model; per-call numbers also logged
+        t1 = min(run_bursts(1) for _ in range(3))
+        t4 = min(run_bursts(4) for _ in range(3))
+        dt = (t4 - t1) / (3 * k)
         rate = frames * 64 / dt
         log(f"flowgraph channelizer burst[{k}]: {rate/1e6:.1f} Msamp/s "
-            f"({dt*1e3:.2f} ms/cycle incl. host loop)")
+            f"({dt*1e3:.2f} ms/cycle steady-state; "
+            f"one-burst incl. sync {t1/k*1e3:.2f} ms/cycle)")
         return rate
     finally:
         fg.stop()
@@ -300,12 +310,19 @@ def bench_flowgraph_spectrum() -> float:
             f"({dt*1e3:.2f} ms/cycle incl. host loop)")
         k = 16
         fg.compute_burst(k, timeout=10.0)
-        fg.scheduler.synchronize()
-        t0 = time.perf_counter()
-        for _ in range(4):
-            assert fg.compute_burst(k, timeout=10.0) == k
-        fg.scheduler.synchronize()
-        dtb = (time.perf_counter() - t0) / (4 * k)
+
+        def run_bursts(nb_):
+            fg.scheduler.synchronize()
+            t0 = time.perf_counter()
+            for _ in range(nb_):
+                assert fg.compute_burst(k, timeout=10.0) == k
+            fg.scheduler.synchronize()
+            return time.perf_counter() - t0
+
+        run_bursts(1)
+        t1 = min(run_bursts(1) for _ in range(3))
+        t4 = min(run_bursts(4) for _ in range(3))
+        dtb = (t4 - t1) / (3 * k)
         rb = nb * n / dtb
         log(f"flowgraph spectrum burst[{k}]: {rb/1e6:.1f} Msamp/s "
             f"({dtb*1e3:.2f} ms/cycle)")

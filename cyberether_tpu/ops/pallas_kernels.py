@@ -460,7 +460,18 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     2 x 4 n^2 bytes per batch tile — hence the bigger default tile_b
     for bf16, whose matrices are half the bytes).  ``bf16`` runs the
     matmuls in bfloat16 with f32 accumulation (display grade; raises
-    the spectral noise floor to ~-40 dBFS)."""
+    the spectral noise floor to ~-40 dBFS).
+
+    Why bf16 is only a few percent faster here (measured r2: 6.75 vs
+    6.36 Gsamp/s), not the naive 2x: with tile_b=256 the C/S stream is
+    amortized over twice the batch rows, so per input sample the kernel
+    moves 8 B of x/win and 2*4*n^2/(tile_b*n) = n/32 B of matrices —
+    at n=2048 that's 64 B/sample bf16 vs 128+8 at tile_b=128 f32, but
+    the kernel is then MXU-bound, and this chip's measured bf16 matmul
+    peak is only ~1.3x f32 (293 vs 226 Tflop/s, v5p-class MXU — see
+    CLAUDE.md platform notes), not the 2x a v5e would give.  The knob
+    stays because bf16 does win and halves VMEM pressure, enabling the
+    larger batch tile."""
     B, n, _two = iq.shape
     if bf16 and tile_b == 128:
         tile_b = 256

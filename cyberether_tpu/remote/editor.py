@@ -11,7 +11,11 @@ flowgraph's ``meta.node`` channel (YAML v2 layout)."""
 EDITOR_PAGE = r"""<!DOCTYPE html>
 <html><head><title>CyberEther-TPU</title><meta charset="utf-8"><style>
 :root{--bg:#14161a;--panel:#1d2026;--edge:#31353d;--txt:#d6d9de;
- --dim:#8a8f98;--acc:#4cc2ff;--ok:#51d88a;--err:#ff6b6b;--warn:#ffc857}
+ --dim:#8a8f98;--acc:#4cc2ff;--ok:#51d88a;--err:#ff6b6b;--warn:#ffc857;
+ --node:#20242b;--surf:#0d0f12}
+body.light{--bg:#f2f3f5;--panel:#e7e9ec;--edge:#c4c8cf;--txt:#23262b;
+ --dim:#6b717c;--acc:#0077cc;--ok:#1a9e55;--err:#cc3333;--warn:#a97700;
+ --node:#ffffff;--surf:#fafbfc}
 *{box-sizing:border-box}
 body{margin:0;background:var(--bg);color:var(--txt);
  font:13px/1.4 ui-monospace,Menlo,Consolas,monospace;height:100vh;
@@ -48,15 +52,33 @@ svg{width:100%;height:100%;display:block}
  border-top:1px solid var(--edge);display:flex;gap:8px;padding:6px;
  overflow-x:auto}
 .surface{text-align:center;flex-shrink:0}
-.surface canvas{border:1px solid var(--edge);background:#0d0f12;
+.surface canvas{border:1px solid var(--edge);background:var(--surf);
  cursor:crosshair}
 .surface .cap{color:var(--dim);font-size:11px}
 #toast{position:absolute;bottom:12px;left:50%;
- transform:translateX(-50%);background:#2a2e36;color:var(--txt);
+ transform:translateX(-50%);background:var(--panel);color:var(--txt);
  border:1px solid var(--edge);border-radius:6px;padding:6px 14px;
  opacity:0;transition:opacity .25s;pointer-events:none;z-index:10}
+#modalbg{position:fixed;inset:0;background:#0009;display:none;
+ align-items:center;justify-content:center;z-index:20}
+#modal{background:var(--panel);border:1px solid var(--edge);
+ border-radius:8px;min-width:480px;max-width:80vw;max-height:80vh;
+ display:flex;flex-direction:column}
+#modalhead{display:flex;justify-content:space-between;padding:8px 14px;
+ border-bottom:1px solid var(--edge);color:var(--acc);font-weight:bold}
+#modalhead button{background:none;border:none;color:var(--dim);
+ cursor:pointer;font-size:14px}
+#modalbody{padding:12px 14px;overflow:auto}
+#modalbody table{border-collapse:collapse;width:100%}
+#modalbody td,#modalbody th{border:1px solid var(--edge);
+ padding:3px 8px;text-align:right}
+#modalbody th:first-child,#modalbody td:first-child{text-align:left}
+#modalbody textarea{width:640px;height:360px;font:inherit}
+.md h1,.md h2,.md h3{color:var(--acc);margin:4px 0}
+.md code{background:var(--bg);padding:0 4px;border-radius:3px}
+.md p{margin:4px 0}
 .node{cursor:grab}
-.node rect.body{fill:#20242b;stroke:var(--edge);stroke-width:1.2;rx:6}
+.node rect.body{fill:var(--node);stroke:var(--edge);stroke-width:1.2;rx:6}
 .node.sel rect.body{stroke:var(--acc);stroke-width:2}
 .node text{fill:var(--txt);pointer-events:none}
 .node text.t{font-weight:bold}
@@ -74,6 +96,12 @@ svg{width:100%;height:100%;display:block}
  <select id="fgsel"></select>
  <button id="addbtn">+ block</button>
  <button id="savebtn" title="persist node layout">save layout</button>
+ <select id="exsel" title="example flowgraphs"></select>
+ <button id="openex">open</button>
+ <button id="benchbtn">benchmark</button>
+ <button id="yamlbtn">yaml</button>
+ <button id="themebtn" title="toggle light/dark">◐</button>
+ <button id="helpbtn">?</button>
  <span id="status" style="color:var(--dim)"></span>
 </div>
 <div id="main">
@@ -83,6 +111,11 @@ svg{width:100%;height:100%;display:block}
    <defs></defs><g id="links"></g><g id="nodes"></g>
    <path id="ghost" class="link ghost" stroke="#888" d=""/>
  </svg><div id="toast"></div></div>
+ <div id="modalbg"><div id="modal">
+  <div id="modalhead"><span id="modaltitle"></span>
+   <button id="modalclose">✕</button></div>
+  <div id="modalbody"></div>
+ </div></div>
  <div id="side"><h3>inspector</h3>
   <div id="insp" style="color:var(--dim)">select a node</div></div>
 </div>
@@ -120,6 +153,105 @@ function toast(msg, err) {
   t.style.opacity = 1; clearTimeout(t._h);
   t._h = setTimeout(() => t.style.opacity = 0, err ? 4500 : 1800);
 }
+
+// ---- modal + toolbar (the compositor's modals: benchmark, settings,
+// examples, info — src/compositor/default/presenters/modal/) ---------
+function showModal(title, html) {
+  document.getElementById("modaltitle").textContent = title;
+  document.getElementById("modalbody").innerHTML = html;
+  document.getElementById("modalbg").style.display = "flex";
+}
+function hideModal() {
+  document.getElementById("modalbg").style.display = "none";
+}
+document.getElementById("modalclose").onclick = hideModal;
+document.getElementById("modalbg").addEventListener("pointerdown",
+  (ev) => { if (ev.target.id === "modalbg") hideModal(); });
+document.addEventListener("keydown",
+  (ev) => { if (ev.key === "Escape") hideModal(); });
+
+document.getElementById("themebtn").onclick = () => {
+  document.body.classList.toggle("light");
+  localStorage.setItem("ce_theme",
+    document.body.classList.contains("light") ? "light" : "dark");
+};
+if (localStorage.getItem("ce_theme") === "light")
+  document.body.classList.add("light");
+
+document.getElementById("helpbtn").onclick = () => showModal("help",
+  `<div class="md"><h3>node editor</h3>
+   <p>drag a block type from the left panel onto the canvas · drag an
+   output port onto an input port to connect · drag off an input port
+   to disconnect · select a node to edit its config on the right</p>
+   <h3>surfaces</h3>
+   <p>plots stream along the bottom; hover for a cursor readout with
+   axis units</p>
+   <h3>api</h3>
+   <p><code>/api/v1/flowgraphs · registry · metrics · benchmark ·
+   examples · flowgraph/{fg}/yaml</code></p></div>`);
+
+document.getElementById("benchbtn").onclick = async () => {
+  try {
+    const comps = await api("benchmarks");
+    showModal("benchmark",
+      `<div class="row"><select id="benchsel">` +
+      comps.map(c => `<option>${c}</option>`).join("") +
+      `</select> <button id="benchrun">run</button></div>` +
+      `<div id="benchout" style="margin-top:8px;color:var(--dim)">` +
+      `pick a component — runs on the live backend</div>`);
+    document.getElementById("benchrun").onclick = async () => {
+      const c = document.getElementById("benchsel").value;
+      const out = document.getElementById("benchout");
+      out.textContent = `running ${c}…`;
+      try {
+        const res = await apiSend("POST", "benchmark", {component: c});
+        out.innerHTML = `<table><tr><th>case</th><th>ops/s</th>` +
+          `<th>ms/op</th><th>samples/s</th></tr>` + res.map(m =>
+            `<tr><td>${m.component} ${m.variant}</td>` +
+            `<td>${(m.ops_per_sec || 0).toFixed(1)}</td>` +
+            `<td>${(m.ms_per_op || 0).toFixed(3)}</td>` +
+            `<td>${m.samples_per_sec ?
+              (m.samples_per_sec / 1e6).toFixed(1) + " M" : "—"}</td></tr>`
+          ).join("") + `</table>`;
+      } catch (e) { out.textContent = "failed: " + e.message; }
+    };
+  } catch (e) { toast("benchmark list failed: " + e.message, true); }
+};
+
+document.getElementById("yamlbtn").onclick = async () => {
+  try {
+    const r = await fetch(`/api/v1/flowgraph/${fgName}/yaml${tq}`);
+    if (!r.ok) throw new Error(await r.text());
+    const text = await r.text();
+    showModal(`flowgraph yaml — ${fgName}`,
+      `<textarea id="yamltext" spellcheck="false"></textarea>
+       <div class="row" style="margin-top:8px">
+        <button id="yamlimport">import (replace graph)</button>
+        <button id="yamlcopy">copy</button></div>`);
+    document.getElementById("yamltext").value = text;
+    document.getElementById("yamlcopy").onclick = () =>
+      navigator.clipboard.writeText(
+        document.getElementById("yamltext").value)
+        .then(() => toast("copied"));
+    document.getElementById("yamlimport").onclick = async () => {
+      try {
+        await apiSend("POST", "flowgraph/import",
+          {name: fgName, yaml: document.getElementById("yamltext").value});
+        hideModal(); toast("imported"); sel = null; boot();
+      } catch (e) { toast("import failed: " + e.message, true); }
+    };
+  } catch (e) { toast("yaml export failed: " + e.message, true); }
+};
+
+document.getElementById("openex").onclick = async () => {
+  const ex = document.getElementById("exsel").value;
+  if (!ex) return;
+  try {
+    await apiSend("POST", "flowgraph/import",
+      {name: fgName || "main", example: ex});
+    toast(`opened example ${ex}`); sel = null; boot();
+  } catch (e) { toast("open failed: " + e.message, true); }
+};
 
 // ---- geometry ------------------------------------------------------
 const NW = 168, RH = 16, HDR = 34;
@@ -253,10 +385,24 @@ function renderInspector() {
   for (const f of fields) {
     const v = b.config[f.name] !== undefined ? b.config[f.name]
       : f.default;
-    html += `<div class="row"><label>${f.name} <i>(${f.type})</i>` +
-      `${f.help ? " — " + f.help : ""}</label>` +
-      `<input data-cfg="${f.name}" value='${v === null ||
-        v === undefined ? "" : JSON.stringify(v)}'></div>`;
+    const label = `<label>${f.name} <i>(${f.type})</i>` +
+      `${f.help ? " — " + f.help : ""}</label>`;
+    // code/markdown fields get a monospace multi-line editor (the
+    // compositor's python/markdown field editors)
+    if (f.name === "code" || f.name === "content" ||
+        (typeof v === "string" && v.includes("\n"))) {
+      const esc = (v || "").replace(/&/g, "&amp;").replace(/</g, "&lt;");
+      html += `<div class="row">${label}<textarea data-cfg-raw=` +
+        `"${f.name}" rows="8" spellcheck="false">${esc}</textarea></div>`;
+    } else {
+      html += `<div class="row">${label}` +
+        `<input data-cfg="${f.name}" value='${v === null ||
+          v === undefined ? "" : JSON.stringify(v)}'></div>`;
+    }
+  }
+  if (b.type === "note") {
+    const md = b.config.content || "";
+    html += `<h3>preview</h3><div class="md">${mdToHtml(md)}</div>`;
   }
   const extra = Object.fromEntries(Object.entries(b.config)
     .filter(([k]) => !known.has(k)));
@@ -290,6 +436,21 @@ function renderInspector() {
   };
 }
 
+// minimal markdown renderer for note blocks (the reference's Sakura
+// markdown view — render/sakura retained markdown component)
+function mdToHtml(md) {
+  const esc = md.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+  return esc.split(/\n\n+/).map(par => {
+    const h = par.match(/^(#{1,3})\s+(.*)$/m);
+    if (h) return `<h${h[1].length}>${h[2]}</h${h[1].length}>`;
+    return "<p>" + par
+      .replace(/\*\*([^*]+)\*\*/g, "<b>$1</b>")
+      .replace(/\*([^*]+)\*/g, "<i>$1</i>")
+      .replace(/`([^`]+)`/g, "<code>$1</code>")
+      .replace(/\n/g, "<br>") + "</p>";
+  }).join("");
+}
+
 async function applyConfig() {
   const b = blocks()[sel]; if (!b) return;
   const cfg = {};
@@ -299,6 +460,8 @@ async function applyConfig() {
     try { cfg[inp.dataset.cfg] = JSON.parse(raw); }
     catch { cfg[inp.dataset.cfg] = raw; }
   }
+  for (const ta of document.querySelectorAll("[data-cfg-raw]"))
+    cfg[ta.dataset.cfgRaw] = ta.value;
   const extra = document.getElementById("cfgextra").value.trim();
   if (extra) try { Object.assign(cfg, JSON.parse(extra)); }
   catch { toast("extra config is not valid JSON", true); return; }
@@ -455,6 +618,13 @@ async function boot() {
   try { registry = await api("registry"); } catch (e) {
     toast("registry load failed: " + e.message, true);
   }
+  try {
+    const ex = await api("examples");
+    document.getElementById("exsel").innerHTML =
+      `<option value="">examples…</option>` +
+      Object.entries(ex).map(([n, t]) =>
+        `<option value="${n}">${t || n}</option>`).join("");
+  } catch (e) {}
   renderPicker();
   await refresh();
   setInterval(async () => {

@@ -229,7 +229,10 @@ class RemoteServer:
                             self._connect)
         app.router.add_get("/api/v1/stream", self._stream)
         app.router.add_post("/api/v1/benchmark", self._benchmark)
+        app.router.add_get("/api/v1/benchmarks", self._benchmarks)
         app.router.add_get("/api/v1/examples", self._examples)
+        app.router.add_get("/api/v1/flowgraph/{fg}/yaml", self._yaml_export)
+        app.router.add_post("/api/v1/flowgraph/import", self._yaml_import)
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, self.host, self.port)
@@ -431,6 +434,14 @@ class RemoteServer:
             None, lambda: benchmark.run(component))
         return web.json_response([m.__dict__ for m in results])
 
+    async def _benchmarks(self, request):
+        self._check_token(request)
+        from aiohttp import web
+
+        from cyberether_tpu import benchmark
+
+        return web.json_response(benchmark.list_components())
+
     async def _examples(self, request):
         self._check_token(request)
         from aiohttp import web
@@ -440,6 +451,50 @@ class RemoteServer:
         return web.json_response({
             name: registry.example(name).title
             for name in registry.list_examples()})
+
+    async def _yaml_export(self, request):
+        """Flowgraph -> YAML v2 text (the compositor's export action,
+        flowgraph.cc exportToFile)."""
+        self._check_token(request)
+        from aiohttp import web
+
+        fg = self._fg(request)
+        if fg is None:
+            raise web.HTTPNotFound
+        return web.Response(text=fg.to_yaml(),
+                            content_type="text/yaml")
+
+    async def _yaml_import(self, request):
+        """Open a flowgraph from YAML text or a registered example
+        (the compositor's open-example / import actions).  Replaces an
+        existing flowgraph of the same name."""
+        self._check_token(request)
+        from aiohttp import web
+
+        body = await self._body(request)
+        name = body.get("name", "main")
+        text = body.get("yaml")
+        if not text and body.get("example"):
+            from cyberether_tpu.core.registry import registry
+
+            try:
+                text = registry.example(body["example"]).yaml_text
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+        if not text:
+            raise web.HTTPBadRequest(text="need 'yaml' or 'example'")
+        loop = asyncio.get_running_loop()
+        try:
+            def do_import():
+                if name in self.instance.flowgraphs:
+                    self.instance.flowgraph_destroy(name)
+                return self.instance.flowgraph_import(text, name=name)
+
+            fg = await loop.run_in_executor(None, do_import)
+        except Exception as e:
+            raise web.HTTPBadRequest(text=str(e))
+        return web.json_response({"ok": True, "name": name,
+                                  "blocks": list(fg.records)})
 
     async def _stream(self, request):
         self._check_token(request)

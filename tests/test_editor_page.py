@@ -1,0 +1,128 @@
+"""Static sanity checks on the editor single-page app.
+
+No JS engine ships in this image, so this is a delimiter-balance scan
+(string/template/comment aware) over the inline <script> — it catches
+the common editing failures (unbalanced braces/parens/backticks) that
+would otherwise only surface in a browser.
+"""
+
+import re
+
+from cyberether_tpu.remote.editor import EDITOR_PAGE
+
+
+def _script_of(page: str) -> str:
+    m = re.search(r"<script>(.*)</script>", page, re.S)
+    assert m, "no inline script"
+    return m.group(1)
+
+
+def _scan(js: str):
+    """Yield structural delimiters outside strings/comments/regexes."""
+    i, n = 0, len(js)
+    stack = []
+    line = 1
+    prev_significant = ""
+    while i < n:
+        c = js[i]
+        if c == "\n":
+            line += 1
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < n and js[i] != q:
+                if js[i] == "\\":
+                    i += 1
+                elif js[i] == "\n":
+                    raise AssertionError(
+                        f"unterminated {q}-string at line {line}")
+                i += 1
+            prev_significant = q
+        elif c == "`":
+            # template literal: may contain ${...} nesting
+            i += 1
+            depth = 0
+            while i < n:
+                if js[i] == "\\":
+                    i += 1
+                elif js[i] == "\n":
+                    line += 1
+                elif js[i] == "$" and i + 1 < n and js[i + 1] == "{":
+                    depth += 1
+                    i += 1
+                elif js[i] == "}" and depth:
+                    depth -= 1
+                elif js[i] == "`" and depth == 0:
+                    break
+                i += 1
+            assert i < n, f"unterminated template literal near line {line}"
+            prev_significant = "`"
+        elif c == "/" and i + 1 < n and js[i + 1] == "/":
+            i = js.find("\n", i)
+            if i < 0:
+                break
+            continue
+        elif c == "/" and i + 1 < n and js[i + 1] == "*":
+            end = js.find("*/", i)
+            assert end >= 0, f"unterminated comment at line {line}"
+            line += js.count("\n", i, end)
+            i = end + 1
+        elif c == "/" and prev_significant in "=([{,;!&|?:" or (
+                c == "/" and prev_significant == "n"
+                and js[max(0, i - 6):i] == "return"):
+            # regex literal
+            i += 1
+            in_class = False
+            while i < n:
+                if js[i] == "\\":
+                    i += 1
+                elif js[i] == "[":
+                    in_class = True
+                elif js[i] == "]":
+                    in_class = False
+                elif js[i] == "/" and not in_class:
+                    break
+                elif js[i] == "\n":
+                    raise AssertionError(
+                        f"unterminated regex at line {line}")
+                i += 1
+            prev_significant = "/"
+        else:
+            if c in "([{":
+                stack.append((c, line))
+            elif c in ")]}":
+                assert stack, f"unmatched '{c}' at line {line}"
+                o, oline = stack.pop()
+                want = {")": "(", "]": "[", "}": "{"}[c]
+                assert o == want, (
+                    f"'{o}' from line {oline} closed by '{c}' "
+                    f"at line {line}")
+            if not c.isspace():
+                prev_significant = c
+        i += 1
+    assert not stack, f"unclosed '{stack[-1][0]}' from line {stack[-1][1]}"
+
+
+def test_editor_script_delimiters_balance():
+    _scan(_script_of(EDITOR_PAGE))
+
+
+def test_editor_page_has_ui_entry_points():
+    for needle in ("benchbtn", "yamlbtn", "themebtn", "helpbtn",
+                   "exsel", "modalbg", "mdToHtml", "drawSurface",
+                   "drawMap", "cursorReadout"):
+        assert needle in EDITOR_PAGE, needle
+
+
+def test_editor_ids_referenced_exist():
+    """Every getElementById target must exist as an id= in the DOM or
+    be created dynamically (surfaces, toasts)."""
+    script = _script_of(EDITOR_PAGE)
+    html = EDITOR_PAGE[:EDITOR_PAGE.index("<script>")]
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    dynamic = {"cfgextra", "apply", "del", "benchsel", "benchrun",
+               "benchout", "yamltext", "yamlimport", "yamlcopy"}
+    dynamic |= {i for i in re.findall(
+        r'getElementById\("([a-z]+)_" ?\+', script)}
+    for ref in re.findall(r'getElementById\("([^"]+)"\)', script):
+        assert ref in ids or ref in dynamic or "_" in ref, ref

@@ -191,6 +191,39 @@ def test_remote_examples_endpoint(served_instance):
     assert "signal-generator" in out
 
 
+def test_remote_benchmarks_list(served_instance):
+    out = _get("/api/v1/benchmarks")
+    assert "fft" in out and len(out) >= 23
+
+
+def test_remote_yaml_roundtrip(served_instance):
+    """Export the live graph as YAML, re-import it over itself, and
+    re-export: the graph must survive (compositor export/import)."""
+    import urllib.request as _u
+
+    with _u.urlopen(f"http://127.0.0.1:{PORT}"
+                    "/api/v1/flowgraph/main/yaml", timeout=5) as r:
+        text = r.read().decode()
+    assert "signal_generator" in text and "spectrum_engine" in text
+    out = _post("/api/v1/flowgraph/import", {"name": "main",
+                                             "yaml": text})
+    assert out["ok"] and "gen" in out["blocks"]
+    with _u.urlopen(f"http://127.0.0.1:{PORT}"
+                    "/api/v1/flowgraph/main/yaml", timeout=5) as r:
+        text2 = r.read().decode()
+    assert "signal_generator" in text2
+
+
+def test_remote_open_example(served_instance):
+    out = _post("/api/v1/flowgraph/import",
+                {"name": "demo", "example": "signal-generator"})
+    assert out["ok"] and out["name"] == "demo"
+    assert "demo" in served_instance.flowgraphs
+    views = _get("/api/v1/flowgraphs")
+    assert "demo" in views
+    served_instance.flowgraph_destroy("demo")
+
+
 def test_instance_frame_capture(served_instance, tmp_path):
     import time as _t
 
