@@ -165,6 +165,48 @@ class Instance:
                 written.append(path)
         return written
 
+    def capture_video(self, directory: str, seconds: float = 2.0,
+                      fps: float = 10.0) -> List[str]:
+        """Record every surface for ``seconds`` into an animated GIF
+        per surface (the Viewport::FrameCapture→encoder pipeline of the
+        reference remote path, src/viewport/capture/vulkan.cc, reduced
+        to a host-side encoder — no hardware codec in this image)."""
+        import base64
+        import io as _io
+        import os
+
+        from PIL import Image
+
+        from cyberether_tpu.remote.server import _frame_to_png_b64
+
+        os.makedirs(directory, exist_ok=True)
+        frames: Dict[str, List[Any]] = {}
+        period = 1.0 / fps
+        t_end = time.monotonic() + seconds
+        while time.monotonic() < t_end:
+            t0 = time.monotonic()
+            for fg_name, surfs in self.present().items():
+                for name, data in surfs.items():
+                    png = _frame_to_png_b64(data)
+                    if png is None:
+                        continue
+                    img = Image.open(
+                        _io.BytesIO(base64.b64decode(png))).convert("P")
+                    frames.setdefault(f"{fg_name}_{name}", []).append(img)
+            dt = time.monotonic() - t0
+            if dt < period:
+                time.sleep(period - dt)
+        written: List[str] = []
+        for key, imgs in frames.items():
+            if not imgs:
+                continue
+            path = os.path.join(
+                directory, key.replace("/", "_") + ".gif")
+            imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                         duration=int(1000 / fps), loop=0)
+            written.append(path)
+        return written
+
     def destroy(self) -> None:
         self.stop()
         self.flowgraphs.clear()

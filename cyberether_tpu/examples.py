@@ -82,6 +82,87 @@ graph:
     input: {buffer: '${graph.fm.output.signal}'}
 """
 
+OVERLAP_ADD = """
+version: 2
+title: Overlap-Add
+summary: Frequency-domain FIR built from primitive blocks
+  (pad/fft/multiply/ifft/unpad/overlap_add — the chain the
+  filter_engine block abstracts).
+graph:
+  - name: note
+    module: note
+    config:
+      content: |-
+        # Overlap-Add Example
+        Filters a signal in the frequency domain with a FIR filter,
+        using `unpad` + `overlap_add` to stitch block boundaries
+        without artifacts.  The `Overlap-Save Filter` example wraps
+        this whole chain in one `filter_engine` block.
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      numberOfTimeSamples: 8000
+      numberOfBatches: 8
+  - name: taps
+    module: filter_taps
+    config:
+      sampleRate: 2000000
+      bandwidth: 500000
+      center: '[0]'
+      taps: 65
+  - name: pad_sig
+    module: pad
+    config: {size: 64, axis: 1}
+    input: {unpadded: '${graph.soapy.output.signal}'}
+  - name: pad_flt
+    module: pad
+    config: {size: 7999, axis: 1}
+    input: {unpadded: '${graph.taps.output.coeffs}'}
+  - name: fft_sig
+    module: fft
+    config: {forward: true}
+    input: {signal: '${graph.pad_sig.output.padded}'}
+  - name: fft_flt
+    module: fft
+    config: {forward: true}
+    input: {signal: '${graph.pad_flt.output.padded}'}
+  - name: mul
+    module: multiply
+    input:
+      a: '${graph.fft_sig.output.signal}'
+      b: '${graph.fft_flt.output.signal}'
+  - name: axes
+    module: signal_axes
+    config: {axes: 'batch=0,sample=1'}
+    input: {buffer: '${graph.mul.output.product}'}
+  - name: ifft
+    module: fft
+    config: {forward: false}
+    input: {signal: '${graph.axes.output.buffer}'}
+  - name: norm
+    module: multiply_constant
+    config: {constant: 0.000124007936507936}
+    input: {factor: '${graph.ifft.output.signal}'}
+  - name: unpad
+    module: unpad
+    config: {size: 64, axis: 1}
+    input: {padded: '${graph.norm.output.product}'}
+  - name: ola
+    module: overlap_add
+    input:
+      buffer: '${graph.unpad.output.unpadded}'
+      overlap: '${graph.unpad.output.pad}'
+  - name: spec
+    module: spectrum_engine
+    config: {enableAgc: true, enableScale: true}
+    input: {buffer: '${graph.ola.output.buffer}'}
+  - name: wtf
+    module: waterfall
+    input: {signal: '${graph.spec.output.buffer}'}
+"""
+
 OVERLAP_SAVE = """
 version: 2
 title: Overlap-Save Filter
@@ -214,6 +295,7 @@ def register_examples() -> None:
                               SPECTRUM_ANALYZER)
     registry.register_example("simple-fm", "Simple FM Receiver",
                               FM_RECEIVER)
+    registry.register_example("overlap-add", "Overlap-Add", OVERLAP_ADD)
     registry.register_example("overlap-save", "Overlap-Save Filter",
                               OVERLAP_SAVE)
 

@@ -514,51 +514,49 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
 
 @functools.lru_cache(maxsize=8)
 def _wbfm_bands(hkey: bytes):
-    """Current and one-sample-delayed FIR band matrices (256, 128) for
-    a 256-sample [prev_row | cur_row] window producing 128 outputs."""
+    """FIR band matrix (256, 128): a 256-sample [prev_row | cur_row]
+    window producing 128 outputs."""
     hv = np.frombuffer(hkey, np.float32)
     T = hv.shape[0]
     A = np.zeros((256, 128), np.float32)
-    B = np.zeros((256, 128), np.float32)
     for j in range(128):
         for k in range(T):
             A[128 + j - k, j] = hv[k]
-            if 127 + j - k >= 0:
-                B[127 + j - k, j] = hv[k]
-    return A, B
+    return A
 
 
-def _wbfm_kernel(xpr_ref, xcr_ref, xpi_ref, xci_ref, a_ref, b_ref,
-                 out_ref, *, ref_gain: float, xm_refs=()):
+def _wbfm_kernel(xpr_ref, xcr_ref, xpi_ref, xci_ref, hr_ref, hi_ref,
+                 a_ref, out_ref, *, ref_gain: float):
     """One grid step: ``tile_r`` rows of 128 samples each.
 
-    y  = FIR(x)      = [xp | xc] @ A           (banded MXU matmuls)
-    yd = FIR(x)[i-1] = [xp | xc] @ B (+ h[T-1]*x[i-129] in column 0)
-    demod = atan2(Im(yd* . y), Re(yd* . y)) * ref_gain
-
-    The delayed output comes from a SECOND band matrix instead of a
-    sequential lag carry — every grid step is independent, so Mosaic
-    can pipeline the tiles freely.  The single window-underflow sample
-    of column 0 (nonzero h[T-1] only) arrives precomputed in xm_refs.
+    y  = FIR(x) = [xp | xc] @ A                (banded MXU matmuls)
+    yd = y[i-1] — the SAME y lane/sublane-rolled one sample back in
+         row-major order (exact value reuse, no second matmul); the
+         tile's first sample takes its predecessor from a precomputed
+         per-tile halo scalar (h*_ref)
+    demod = atan2(Im(yd^* . y), Re(yd^* . y)) * ref_gain
     """
     a1, a2 = a_ref[0:128, :], a_ref[128:256, :]
-    b1, b2 = b_ref[0:128, :], b_ref[128:256, :]
 
-    def fir(xp, xc, m1, m2):
-        return (jnp.dot(xp, m1, preferred_element_type=jnp.float32)
-                + jnp.dot(xc, m2, preferred_element_type=jnp.float32))
+    def fir(xp, xc):
+        return (jnp.dot(xp, a1, preferred_element_type=jnp.float32)
+                + jnp.dot(xc, a2, preferred_element_type=jnp.float32))
 
-    xpr, xcr = xpr_ref[:, :], xcr_ref[:, :]
-    xpi, xci = xpi_ref[:, :], xci_ref[:, :]
-    yr = fir(xpr, xcr, a1, a2)
-    yi = fir(xpi, xci, a1, a2)
-    pr = fir(xpr, xcr, b1, b2)
-    pi_ = fir(xpi, xci, b1, b2)
-    if xm_refs:
-        xmr_ref, xmi_ref = xm_refs
-        col = jax.lax.broadcasted_iota(jnp.int32, yr.shape, 1)
-        pr = jnp.where(col == 0, pr + xmr_ref[:, 0:1], pr)
-        pi_ = jnp.where(col == 0, pi_ + xmi_ref[:, 0:1], pi_)
+    yr = fir(xpr_ref[:, :], xcr_ref[:, :])
+    yi = fir(xpi_ref[:, :], xci_ref[:, :])
+
+    col = jax.lax.broadcasted_iota(jnp.int32, yr.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, yr.shape, 0)
+
+    def delayed(y, halo):
+        s = pltpu.roll(y, 1, 1)            # [r, c] = y[r, c-1 (wrap)]
+        u = pltpu.roll(s, 1, 0)            # [r, 0] = y[r-1, 127]
+        d = jnp.where(col == 0, u, s)
+        return jnp.where((col == 0) & (row == 0), halo, d)
+
+    t = pl.program_id(0)
+    pr = delayed(yr, hr_ref[0, t])
+    pi_ = delayed(yi, hi_ref[0, t])
     dr = pr * yr + pi_ * yi
     di = pr * yi - pi_ * yr
     out_ref[:, :] = _atan2(di, dr) * jnp.float32(ref_gain)
@@ -577,21 +575,24 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
     Returns demod (n,) float32; the caller handles audio decimation
     (XLA reshape+mean) and the new history (``x[:, -K:]``).
 
-    The discriminator's lag-1 sample y[i-1] is itself a FIR output, so
-    it is produced by a one-sample-shifted band matrix — at f32 both
-    paths see bit-identical partial products, and the kernel stays
-    embarrassingly parallel across the grid.
-    """
+    The discriminator's lag-1 sample y[i-1] is the FIR output itself
+    rolled one sample back inside the tile (bit-identical reuse); each
+    tile's first sample gets its predecessor from a per-tile halo FIR
+    scalar computed on the XLA side.  Rows are zero-padded up to a
+    ``tile_r`` multiple rather than shrinking the tile (small tiles
+    were a measured 4x kernel slowdown at nf % 512 != 0)."""
     T = int(taps.shape[-1])
     K = T - 1
     assert T <= 129, "wbfm_fused supports up to 129 taps"
     n = x.shape[-1]
     assert n % 128 == 0, n
     nf = n // 128
-    while tile_r > 1 and nf % tile_r:
-        tile_r //= 2
     h = np.asarray(taps, np.float32)
-    A, B = _wbfm_bands(h.tobytes())
+    A = _wbfm_bands(h.tobytes())
+
+    tile_r = max(1, min(tile_r, nf))
+    pad = (-nf) % tile_r
+    nfp = nf + pad
 
     # rows of the current block and the rows one frame back (row 0's
     # previous frame is the zero-padded history)
@@ -600,47 +601,52 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
         [jnp.zeros((2, 128 - K), jnp.float32), hist.astype(jnp.float32)],
         axis=-1) if K < 128 else hist.astype(jnp.float32)
     xp = jnp.concatenate([hrow[:, None, :], xc[:, :-1, :]], axis=1)
+    if pad:
+        z = jnp.zeros((2, pad, 128), jnp.float32)
+        xc = jnp.concatenate([xc, z], axis=1)
+        xp = jnp.concatenate([xp, z], axis=1)
+
+    # per-tile halo: y[i*tile_r*128 - 1] for each grid step i.  Tile 0
+    # takes the FIR at sample -1 (pure history); later tiles window the
+    # input directly.  ntiles is small (n / (tile_r*128)), so these are
+    # static slices at trace time.
+    ntiles = nfp // tile_r
+    ext = jnp.concatenate([hist.astype(jnp.float32), x], axis=-1)
+    h_rev = jnp.asarray(h[::-1].copy())
+    halos = []
+    for t in range(ntiles):
+        p = t * tile_r * 128 - 1 + K          # index into ext
+        lo = p - K                            # window [lo, p] = T samples
+        if lo < 0:
+            w = jnp.concatenate(
+                [jnp.zeros((2, -lo), jnp.float32), ext[:, :p + 1]],
+                axis=-1)
+        else:
+            w = jax.lax.dynamic_slice_in_dim(ext, lo, T, axis=1)
+        halos.append(w @ h_rev)
+    halo = jnp.stack(halos, axis=1)           # (2, ntiles)
+
     x_spec = pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, ntiles), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
     m_spec = pl.BlockSpec((256, 128), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    in_specs = [x_spec, x_spec, x_spec, x_spec]
-    inputs = [xp[0], xc[0], xp[1], xc[1]]
-    if float(h[T - 1]) != 0.0:
-        # xm[r] = h[T-1] * x[r*128 - 129] — the one sample below the
-        # 256-window that column 0 of the delayed band needs (zero for
-        # r == 0; with Blackman-windowed taps h[T-1] == 0 and this
-        # branch never runs)
-        extk = jnp.concatenate([hist.astype(jnp.float32), x], axis=-1)
-        tail = extk[:, K - 1::128][:, :nf - 1] * jnp.float32(h[T - 1])
-        xm = jnp.concatenate(
-            [jnp.zeros((2, 1), jnp.float32), tail], axis=-1)   # (2, nf)
-        inputs += [xm[0][:, None], xm[1][:, None]]
-        xm_spec = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-        in_specs += [xm_spec, xm_spec]
-
-        def kern(xpr, xcr, xpi, xci, xmr, xmi, a, b, out):
-            _wbfm_kernel(xpr, xcr, xpi, xci, a, b, out,
-                         ref_gain=float(ref_gain), xm_refs=(xmr, xmi))
-    else:
-        kern = functools.partial(_wbfm_kernel,
-                                 ref_gain=float(ref_gain))
-    in_specs += [m_spec, m_spec]
-    inputs += [jnp.asarray(A), jnp.asarray(B)]
 
     out = pl.pallas_call(
-        kern,
-        grid=(nf // tile_r,),
-        in_specs=in_specs,
+        functools.partial(_wbfm_kernel, ref_gain=float(ref_gain)),
+        grid=(ntiles,),
+        in_specs=[x_spec, x_spec, x_spec, x_spec, h_spec, h_spec,
+                  m_spec],
         out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nfp, 128), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(*inputs)
-    return out.reshape(n)
+    )(xp[0], xc[0], xp[1], xc[1], halo[0:1], halo[1:2],
+      jnp.asarray(A))
+    return out.reshape(nfp * 128)[:n]
 
 
 def channelize_demod(ext: jnp.ndarray, hp: jnp.ndarray,

@@ -175,6 +175,87 @@ def test_channelizer64_example_computes():
         fg.stop()
 
 
+def test_overlap_add_primitive_chain_matches_convolution(rng):
+    """The overlap-add example's primitive chain (pad/fft/multiply/
+    ifft/unpad/overlap_add) must equal direct time-domain convolution
+    across block boundaries (the reference's overlap-add.yml teaching
+    example)."""
+    import numpy as np
+
+    n, taps, blocks = 512, 33, 3
+    h = (rng.standard_normal(taps)
+         + 1j * rng.standard_normal(taps)).astype(np.complex64)
+    x = (rng.standard_normal(blocks * n)
+         + 1j * rng.standard_normal(blocks * n)).astype(np.complex64)
+    conv = n + taps - 1
+    fg = Flowgraph.from_yaml(f"""
+version: 2
+graph:
+  - name: src
+    module: dti
+    config: {{shape: [1, {n}], dataType: CF32}}
+  - name: flt
+    module: dti
+    config: {{shape: [1, {taps}], dataType: CF32}}
+  - name: pad_sig
+    module: pad
+    config: {{size: {taps - 1}, axis: 1}}
+    input: {{unpadded: '${{graph.src.output.buffer}}'}}
+  - name: pad_flt
+    module: pad
+    config: {{size: {n - 1}, axis: 1}}
+    input: {{unpadded: '${{graph.flt.output.buffer}}'}}
+  - name: fft_sig
+    module: fft
+    config: {{forward: true}}
+    input: {{signal: '${{graph.pad_sig.output.padded}}'}}
+  - name: fft_flt
+    module: fft
+    config: {{forward: true}}
+    input: {{signal: '${{graph.pad_flt.output.padded}}'}}
+  - name: mul
+    module: multiply
+    input:
+      a: '${{graph.fft_sig.output.signal}}'
+      b: '${{graph.fft_flt.output.signal}}'
+  - name: axes
+    module: signal_axes
+    config: {{axes: 'batch=0,sample=1'}}
+    input: {{buffer: '${{graph.mul.output.product}}'}}
+  - name: ifft
+    module: fft
+    config: {{forward: false}}
+    input: {{signal: '${{graph.axes.output.buffer}}'}}
+  - name: norm
+    module: multiply_constant
+    config: {{constant: {1.0 / conv}}}
+    input: {{factor: '${{graph.ifft.output.signal}}'}}
+  - name: unpad
+    module: unpad
+    config: {{size: {taps - 1}, axis: 1}}
+    input: {{padded: '${{graph.norm.output.product}}'}}
+  - name: ola
+    module: overlap_add
+    input:
+      buffer: '${{graph.unpad.output.unpadded}}'
+      overlap: '${{graph.unpad.output.pad}}'
+""")
+    try:
+        fg.records["flt"].build.modules["flt/m"].attach_buffer(
+            h[None, :])
+        src = fg.records["src"].build.modules["src/m"]
+        got = []
+        for b in range(blocks):
+            src.attach_buffer(x[None, b * n:(b + 1) * n])
+            assert fg.compute(timeout=20.0)
+            got.append(np.asarray(fg.scheduler.output("ola.buffer"))[0])
+        want = np.convolve(x, h)[:blocks * n]
+        np.testing.assert_allclose(np.concatenate(got), want,
+                                   atol=2e-3)
+    finally:
+        fg.stop()
+
+
 def test_all_reference_examples_import():
     """Every example flowgraph shipped with the reference parses and
     builds (soapy/audio device-dependent blocks may sit incomplete but

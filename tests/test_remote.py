@@ -238,6 +238,29 @@ def test_instance_frame_capture(served_instance, tmp_path):
     assert all(os.path.getsize(p) > 100 for p in written)
 
 
+def test_instance_capture_video(served_instance, tmp_path):
+    import threading
+
+    # retune the generator mid-capture so the waterfall scene changes
+    # (PIL merges identical consecutive GIF frames)
+    fg = served_instance.flowgraphs["main"]
+    t = threading.Timer(0.4, lambda: fg.block_reconfigure(
+        "gen", {"frequency": 250e3}))
+    t.start()
+    paths = served_instance.capture_video(str(tmp_path), seconds=1.2,
+                                          fps=5.0)
+    t.join()
+    assert paths and all(p.endswith(".gif") for p in paths)
+    import os
+
+    from PIL import Image
+
+    for p in paths:
+        assert os.path.getsize(p) > 200
+        with Image.open(p) as img:
+            assert img.format == "GIF" and img.n_frames >= 2
+
+
 def test_token_auth():
     import urllib.error
 
