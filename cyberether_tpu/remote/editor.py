@@ -256,6 +256,9 @@ document.getElementById("openex").onclick = async () => {
 // ---- geometry ------------------------------------------------------
 const NW = 168, RH = 16, HDR = 34;
 function nodeH(b) {
+  if (b.type === "note" && (b.config || {}).content)
+    return HDR + Math.min(160, 14 +
+      (b.config.content.split("\n").length) * 13);
   return HDR + Math.max(inPorts(b).length, outPorts(b).length) * RH + 8;
 }
 function inPorts(b) {
@@ -364,6 +367,17 @@ function render() {
         class: "pl", "text-anchor": "end"}, g);
       l.textContent = p;
     });
+    if (b.type === "note" && (b.config || {}).content) {
+      // markdown rendered inside the node (Sakura markdown view)
+      const fo = el("foreignObject",
+        {x: 6, y: HDR - 4, width: NW - 12, height: h - HDR}, g);
+      const div = document.createElement("div");
+      div.className = "md";
+      div.style.cssText = "font-size:9px;overflow:hidden;" +
+        "pointer-events:none;color:var(--txt)";
+      div.innerHTML = mdToHtml(b.config.content);
+      fo.appendChild(div);
+    }
   }
   renderInspector();
 }
