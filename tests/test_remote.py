@@ -239,22 +239,42 @@ def test_instance_frame_capture(served_instance, tmp_path):
 
 
 def test_instance_capture_video(served_instance, tmp_path):
-    import threading
-
-    # retune the generator mid-capture so the waterfall scene changes
-    # (PIL merges identical consecutive GIF frames)
-    fg = served_instance.flowgraphs["main"]
-    t = threading.Timer(0.4, lambda: fg.block_reconfigure(
-        "gen", {"frequency": 250e3}))
-    t.start()
-    paths = served_instance.capture_video(str(tmp_path), seconds=1.2,
-                                          fps=5.0)
-    t.join()
-    assert paths and all(p.endswith(".gif") for p in paths)
     import os
+    import threading
 
     from PIL import Image
 
+    # retune the generator mid-capture so the waterfall scene changes
+    # (PIL merges identical consecutive GIF frames).  Under full-suite
+    # load the compute thread may starve, so retry with longer windows.
+    fg = served_instance.flowgraphs["main"]
+    freqs = [250e3, 125e3, 375e3]
+    last_paths = []
+    for attempt, seconds in enumerate((1.2, 2.5, 5.0)):
+        freq = freqs[attempt % len(freqs)]
+        timers = [
+            threading.Timer(dt, lambda f=f: fg.block_reconfigure(
+                "gen", {"frequency": f}))
+            for dt, f in ((seconds * 0.3, freq), (seconds * 0.6, freq / 2))
+        ]
+        for t in timers:
+            t.start()
+        paths = served_instance.capture_video(str(tmp_path), seconds=seconds,
+                                              fps=5.0)
+        for t in timers:
+            t.join()
+        last_paths = paths
+        if not paths:
+            continue
+        ok = True
+        for p in paths:
+            with Image.open(p) as img:
+                if img.format != "GIF" or img.n_frames < 2:
+                    ok = False
+        if ok:
+            break
+    paths = last_paths
+    assert paths and all(p.endswith(".gif") for p in paths)
     for p in paths:
         assert os.path.getsize(p) > 200
         with Image.open(p) as img:
