@@ -163,6 +163,112 @@ graph:
     input: {signal: '${graph.spec.output.buffer}'}
 """
 
+OVERLAP_ADD_FOLD = """
+version: 2
+title: Overlap-Add-Fold
+summary: Two-station frequency-domain FIR with fold resampling
+  (reference examples/flowgraphs/overlap-add-fold.yml).
+graph:
+  - name: note
+    module: note
+    config:
+      content: |-
+        # Overlap-Add-Fold Example
+        Continuation of the `Overlap-Add` example: a `fold` block sums
+        the spectrum aliases before the IFFT, resampling each station
+        by 10x and shrinking the IFFT from 8100 to 810 bins.  The
+        `Multi FM` example abstracts this whole chain in one `filter`
+        block.
+  - name: soapy
+    module: soapy
+    config:
+      deviceString: 'test'
+      sampleRate: 2000000
+      frequency: 96900000
+      numberOfTimeSamples: 8000
+      numberOfBatches: 8
+  - name: taps
+    module: filter_taps
+    config:
+      sampleRate: 2000000
+      bandwidth: 200000
+      center: '[400000, -400000]'
+      taps: 101
+  - name: pad_sig
+    module: pad
+    config: {size: 100, axis: 1}
+    input: {unpadded: '${graph.soapy.output.signal}'}
+  - name: pad_flt
+    module: pad
+    config: {size: 7999, axis: 1}
+    input: {unpadded: '${graph.taps.output.coeffs}'}
+  - name: fft_sig
+    module: fft
+    config: {forward: true}
+    input: {signal: '${graph.pad_sig.output.padded}'}
+  - name: fft_flt
+    module: fft
+    config: {forward: true}
+    input: {signal: '${graph.pad_flt.output.padded}'}
+  - name: exp
+    module: expand_dims
+    config: {axis: 1}
+    input: {buffer: '${graph.fft_sig.output.signal}'}
+  - name: mul
+    module: multiply
+    input:
+      a: '${graph.exp.output.buffer}'
+      b: '${graph.fft_flt.output.signal}'
+  - name: axes
+    module: signal_axes
+    config: {axes: 'batch=0,channel=1,sample=2'}
+    input: {buffer: '${graph.mul.output.product}'}
+  - name: fold
+    module: fold
+    config: {size: 810, offset: 0}
+    input: {buffer: '${graph.axes.output.buffer}'}
+  - name: ifft
+    module: fft
+    config: {forward: false}
+    input: {signal: '${graph.fold.output.buffer}'}
+  - name: norm
+    module: multiply_constant
+    config: {constant: 0.0012345679012345679}
+    input: {factor: '${graph.ifft.output.signal}'}
+  - name: unpad
+    module: unpad
+    config: {size: 10, axis: 2}
+    input: {padded: '${graph.norm.output.product}'}
+  - name: ola
+    module: overlap_add
+    input:
+      buffer: '${graph.unpad.output.unpadded}'
+      overlap: '${graph.unpad.output.pad}'
+  - name: sl1
+    module: slice
+    config: {slice: '[:, 1, :]', contiguous: true}
+    input: {buffer: '${graph.ola.output.buffer}'}
+  - name: ax1
+    module: signal_axes
+    config: {axes: 'batch=0,sample=1'}
+    input: {buffer: '${graph.sl1.output.buffer}'}
+  - name: spec
+    module: spectrum_engine
+    config: {enableAgc: true, enableScale: true}
+    input: {buffer: '${graph.ax1.output.buffer}'}
+  - name: wtf
+    module: waterfall
+    input: {signal: '${graph.spec.output.buffer}'}
+  - name: fm
+    module: fm
+    config: {sampleRate: 200000}
+    input: {signal: '${graph.ax1.output.buffer}'}
+  - name: audio
+    module: audio
+    config: {inSampleRate: 200000, outSampleRate: 48000}
+    input: {buffer: '${graph.fm.output.signal}'}
+"""
+
 OVERLAP_SAVE = """
 version: 2
 title: Overlap-Save Filter
@@ -296,6 +402,8 @@ def register_examples() -> None:
     registry.register_example("simple-fm", "Simple FM Receiver",
                               FM_RECEIVER)
     registry.register_example("overlap-add", "Overlap-Add", OVERLAP_ADD)
+    registry.register_example("overlap-add-fold", "Overlap-Add-Fold",
+                              OVERLAP_ADD_FOLD)
     registry.register_example("overlap-save", "Overlap-Save Filter",
                               OVERLAP_SAVE)
 

@@ -256,6 +256,98 @@ graph:
         fg.stop()
 
 
+def test_overlap_add_fold_chain_matches_decimated_convolution(rng):
+    """The overlap-add-fold example's chain (pad/fft/multiply/fold/
+    ifft/unpad/overlap_add) must equal direct convolution decimated by
+    the fold ratio, across block boundaries and for both filter heads
+    (the reference's overlap-add-fold.yml teaching example)."""
+    import numpy as np
+
+    n, taps, blocks, decim = 800, 101, 3, 10
+    pad = taps - 1                       # 100; N = 900, fold size 90
+    N = n + pad
+    size = N // decim
+    heads = 2
+    h = (rng.standard_normal((heads, taps))
+         + 1j * rng.standard_normal((heads, taps))).astype(np.complex64)
+    x = (rng.standard_normal(blocks * n)
+         + 1j * rng.standard_normal(blocks * n)).astype(np.complex64)
+    fg = Flowgraph.from_yaml(f"""
+version: 2
+graph:
+  - name: src
+    module: dti
+    config: {{shape: [1, {n}], dataType: CF32}}
+  - name: flt
+    module: dti
+    config: {{shape: [{heads}, {taps}], dataType: CF32}}
+  - name: pad_sig
+    module: pad
+    config: {{size: {pad}, axis: 1}}
+    input: {{unpadded: '${{graph.src.output.buffer}}'}}
+  - name: pad_flt
+    module: pad
+    config: {{size: {n - 1}, axis: 1}}
+    input: {{unpadded: '${{graph.flt.output.buffer}}'}}
+  - name: fft_sig
+    module: fft
+    config: {{forward: true}}
+    input: {{signal: '${{graph.pad_sig.output.padded}}'}}
+  - name: fft_flt
+    module: fft
+    config: {{forward: true}}
+    input: {{signal: '${{graph.pad_flt.output.padded}}'}}
+  - name: exp
+    module: expand_dims
+    config: {{axis: 1}}
+    input: {{buffer: '${{graph.fft_sig.output.signal}}'}}
+  - name: mul
+    module: multiply
+    input:
+      a: '${{graph.exp.output.buffer}}'
+      b: '${{graph.fft_flt.output.signal}}'
+  - name: axes
+    module: signal_axes
+    config: {{axes: 'batch=0,channel=1,sample=2'}}
+    input: {{buffer: '${{graph.mul.output.product}}'}}
+  - name: fold
+    module: fold
+    config: {{size: {size}, offset: 0}}
+    input: {{buffer: '${{graph.axes.output.buffer}}'}}
+  - name: ifft
+    module: fft
+    config: {{forward: false}}
+    input: {{signal: '${{graph.fold.output.buffer}}'}}
+  - name: norm
+    module: multiply_constant
+    config: {{constant: {1.0 / size}}}
+    input: {{factor: '${{graph.ifft.output.signal}}'}}
+  - name: unpad
+    module: unpad
+    config: {{size: {pad // decim}, axis: 2}}
+    input: {{padded: '${{graph.norm.output.product}}'}}
+  - name: ola
+    module: overlap_add
+    input:
+      buffer: '${{graph.unpad.output.unpadded}}'
+      overlap: '${{graph.unpad.output.pad}}'
+""")
+    try:
+        fg.records["flt"].build.modules["flt/m"].attach_buffer(h)
+        src = fg.records["src"].build.modules["src/m"]
+        got = []
+        for b in range(blocks):
+            src.attach_buffer(x[None, b * n:(b + 1) * n])
+            assert fg.compute(timeout=20.0)
+            got.append(np.asarray(fg.scheduler.output("ola.buffer")))
+        out = np.concatenate(got, axis=-1)      # (1, heads, blocks*n/decim)
+        for j in range(heads):
+            want = np.convolve(x, h[j])[::decim][:blocks * n // decim]
+            np.testing.assert_allclose(out[0, j], want, atol=2e-3)
+    finally:
+        fg.stop()
+
+
 def test_all_reference_examples_import():
     """Every example flowgraph shipped with the reference parses and
     builds (soapy/audio device-dependent blocks may sit incomplete but
