@@ -165,10 +165,11 @@ def bench_spectrum() -> float:
     iq = jax.device_put(pipe.make_input())
     best = 0.0
     for name, stepfn in (
+            ("pallas-ct", lambda x: pipe.step_pallas_ct(x)),
             ("pallas-f32", lambda x: pipe.step_pallas(x)),
             ("pallas-bf16", lambda x: pipe.step_pallas(x, bf16=True)),
             ("dft-f32", lambda x: pipe.step_dft(x)),
-            ("xla-fft", lambda x: pipe.step(x))):
+            ("mxu-4step", lambda x: pipe.step(x))):
         try:
             def mk(n, stepfn=stepfn):
                 @jax.jit

@@ -197,7 +197,8 @@ class SpectrumFusedModule(Module):
     output_ports = ("spectrum",)
     schema = Schema(Field("rangeMin", "float", -100.0),
                     Field("rangeMax", "float", 0.0),
-                    Field("bf16", "bool", False))
+                    Field("bf16", "bool", False),
+                    Field("algorithm", "str", "auto"))
 
     def validate(self) -> None:
         spec = self.input_specs["buffer"]
@@ -215,6 +216,18 @@ class SpectrumFusedModule(Module):
         if n > 128 and n % 128:
             raise ValidationError(
                 f"fft size ({n}) must be a multiple of 128")
+        algo = str(self.config["algorithm"])
+        if algo not in ("auto", "ct", "dft"):
+            raise ValidationError(
+                f"algorithm must be auto/ct/dft, got {algo}")
+        # ct = the Cooley-Tukey kernel (16x fewer MXU flops at n=2048),
+        # opt-in until hardware-validated; auto currently = dft (bf16
+        # only exists on the full-DFT path — its win is halved matrix
+        # bytes)
+        self._use_ct = algo == "ct"
+        if algo == "ct" and (n % 128 or n // 128 > 32):
+            raise ValidationError(
+                f"algorithm=ct needs fft size = m*128, m<=32 (got {n})")
         from cyberether_tpu.models.spectrum import SpectrumPipeline
 
         self._pipe = SpectrumPipeline(
@@ -230,8 +243,12 @@ class SpectrumFusedModule(Module):
         iq = inputs["buffer"]
         if self._complex_in:
             iq = _split_complex(iq)
-        out = self._pipe.step_pallas(iq, bf16=bool(self.config["bf16"]),
-                                     interpret=_interpret())
+        if self._use_ct:
+            out = self._pipe.step_pallas_ct(iq, interpret=_interpret())
+        else:
+            out = self._pipe.step_pallas(
+                iq, bf16=bool(self.config["bf16"]),
+                interpret=_interpret())
         return {"spectrum": out}, state
 
 

@@ -80,6 +80,18 @@ class SpectrumPipeline:
             float(self._scale), float(self._offset),
             bf16=bf16, interpret=interpret)
 
+    def step_pallas_ct(self, iq: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+        """Fused Cooley-Tukey kernel (n = m x 128): the m-point stage
+        on the VPU, the 128-point stage on the MXU — ~16x fewer MXU
+        flops than the full-DFT kernel at n=2048."""
+        from cyberether_tpu.ops.pallas_kernels import spectrum_fused_ct
+
+        return spectrum_fused_ct(
+            iq, np.asarray(self._win), float(self._coeff),
+            float(self._scale), float(self._offset),
+            interpret=interpret)
+
     def step_dft(self, iq: jnp.ndarray,
                  bf16: bool = False) -> jnp.ndarray:
         """XLA path of the same single-matmul full DFT (lets XLA

@@ -512,6 +512,130 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     return out
 
 
+def _axpy(acc, x, c: float):
+    """acc + c*x with trace-time specialization for c in {0, +-1} (the
+    16-point DFT stage is full of exact zeros/units; Mosaic does not
+    constant-fold multiplies by immediates)."""
+    if c == 0.0:
+        return acc
+    t = x if c == 1.0 else (-x if c == -1.0 else x * jnp.float32(c))
+    return t if acc is None else acc + t
+
+
+def _snap(v: float) -> float:
+    for s in (0.0, 1.0, -1.0):
+        if abs(v - s) < 1e-12:
+            return s
+    return v
+
+
+def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
+                        c_ref, s_ref, out_ref, *, m: int, coeff: float,
+                        scale: float, offset: float):
+    """One grid cell: tile_b spectra, Cooley-Tukey n = m x 128.
+
+    With n = 128*n1 + n2 and k = k1 + m*k2 (k1 < m, k2 < 128):
+
+        X[k1 + m k2] = sum_n2 W128^(n2 k2) * Wn^(n2 k1)
+                       * [ sum_n1 Wm^(n1 k1) x[128 n1 + n2] ]
+
+    Stage 1 contracts the m chunks (static 128-wide column slices) on
+    the VPU with trace-time-constant Wm scalars; the twiddle is a
+    broadcast row multiply; stage 2 is one (tile_b,128)@(128,128)
+    complex matmul per k1 on the MXU — 16x fewer MXU flops than the
+    full-DFT kernel at n=2048.  The output block for fixed k1 is the
+    contiguous column slice [128 k1, 128 k1 + 128) in PERMUTED order;
+    the caller un-permutes with an XLA transpose of the final f32
+    display values (the epilogue is order-independent)."""
+    xr = xr_ref[:, :] * win_ref[0, :]
+    xi = xi_ref[:, :] * win_ref[0, :]
+    c128 = c_ref[:, :]
+    s128 = s_ref[:, :]
+    f32 = jnp.float32
+    for k1 in range(m):
+        ar = ai = None
+        for n1 in range(m):
+            ang = 2.0 * np.pi * ((n1 * k1) % m) / m
+            cr = _snap(float(np.cos(ang)))
+            ci = _snap(float(-np.sin(ang)))
+            xcr = xr[:, n1 * 128:(n1 + 1) * 128]
+            xci = xi[:, n1 * 128:(n1 + 1) * 128]
+            ar = _axpy(_axpy(ar, xcr, cr), xci, -ci)
+            ai = _axpy(_axpy(ai, xci, cr), xcr, ci)
+        tr = twr_ref[k1:k1 + 1, :]                 # (1, 128) broadcast
+        ti = twi_ref[k1:k1 + 1, :]
+        br = ar * tr - ai * ti
+        bi = ar * ti + ai * tr
+        yr = (jnp.dot(br, c128, preferred_element_type=f32)
+              + jnp.dot(bi, s128, preferred_element_type=f32))
+        yi = (jnp.dot(bi, c128, preferred_element_type=f32)
+              - jnp.dot(br, s128, preferred_element_type=f32))
+        mag2 = yr * yr + yi * yi
+        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+        norm = db * f32(scale) + f32(offset)
+        out_ref[:, k1 * 128:(k1 + 1) * 128] = \
+            0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+
+@functools.lru_cache(maxsize=8)
+def _ct_mats(n: int):
+    """Twiddle (m, 128) and 128-DFT (128, 128) matrices, numpy."""
+    m = n // 128
+    n2 = np.arange(128)
+    k1 = np.arange(m)
+    ang_t = 2.0 * np.pi * np.outer(k1, n2) / n
+    jk = np.outer(n2, n2) % 128
+    ang_d = 2.0 * np.pi * jk / 128
+    return (np.cos(ang_t).astype(np.float32),
+            (-np.sin(ang_t)).astype(np.float32),
+            np.cos(ang_d).astype(np.float32),
+            np.sin(ang_d).astype(np.float32))
+
+
+def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
+                      scale: float, offset: float, tile_b: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused spectrum via in-kernel Cooley-Tukey (n = m x 128):
+    (B, n, 2) float32 -> (B, n) float32 in [0, 1], natural bin order.
+
+    Versus :func:`spectrum_fused` (full-DFT matmul, 16.4 kflop/sample
+    at n=2048) this kernel does ~1.2 kflop/sample: the MXU runs only
+    the 128-point stage and the m-point stage rides the VPU over
+    static column slices (no Mosaic-hostile reshapes).  The XLA-level
+    4-step (ops/mxu_fft.py) loses its flop advantage to HBM transpose
+    round trips; here all stages stay VMEM-resident."""
+    B, n, _two = iq.shape
+    assert n % 128 == 0, n
+    m = n // 128
+    assert m <= 32, f"n={n} needs m<=32 128-chunks (got {m})"
+    tile_b = min(tile_b, B)
+    assert B % tile_b == 0, (B, tile_b)
+    twr, twi, cmat, smat = _ct_mats(n)
+
+    x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    perm = pl.pallas_call(
+        functools.partial(_spectrum_ct_kernel, m=m, coeff=float(coeff),
+                          scale=float(scale), offset=float(offset)),
+        grid=(B // tile_b,),
+        in_specs=[x_spec, x_spec, full(1, n), full(m, 128),
+                  full(m, 128), full(128, 128), full(128, 128)],
+        out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(iq[:, :, 0], iq[:, :, 1],
+      jnp.asarray(win, jnp.float32).reshape(1, n),
+      jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(cmat), jnp.asarray(smat))
+    # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
+    return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
+
+
 @functools.lru_cache(maxsize=8)
 def _wbfm_bands(hkey: bytes):
     """FIR band matrix (256, 128): a 256-sample [prev_row | cur_row]
@@ -606,25 +730,26 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
         xc = jnp.concatenate([xc, z], axis=1)
         xp = jnp.concatenate([xp, z], axis=1)
 
-    # per-tile halo: y[i*tile_r*128 - 1] for each grid step i.  Tile 0
-    # takes the FIR at sample -1 (pure history); later tiles window the
-    # input directly.  ntiles is small (n / (tile_r*128)), so these are
-    # static slices at trace time.
+    # per-tile halo: y[i*tile_r*128 - 1] for each grid step i — the FIR
+    # output at the sample just before the tile (col 127 of row
+    # i*tile_r - 1; tile 0's "row -1" is the zero-padded history row).
+    # Computed with the SAME banded matmul the kernel runs so the MXU
+    # numerics match bit-for-bit: a plain dot differs by ~1e-3 in the
+    # lag-1 value, which shows up as a per-tile-boundary discriminator
+    # error (measured 2.8e-3 rad on device).  ntiles is small, so the
+    # stacked window matmul is trivial work.
     ntiles = nfp // tile_r
-    ext = jnp.concatenate([hist.astype(jnp.float32), x], axis=-1)
-    h_rev = jnp.asarray(h[::-1].copy())
-    halos = []
-    for t in range(ntiles):
-        p = t * tile_r * 128 - 1 + K          # index into ext
-        lo = p - K                            # window [lo, p] = T samples
-        if lo < 0:
-            w = jnp.concatenate(
-                [jnp.zeros((2, -lo), jnp.float32), ext[:, :p + 1]],
-                axis=-1)
-        else:
-            w = jax.lax.dynamic_slice_in_dim(ext, lo, T, axis=1)
-        halos.append(w @ h_rev)
-    halo = jnp.stack(halos, axis=1)           # (2, ntiles)
+    aj = jnp.asarray(A)
+    wp_rows = [jnp.zeros((2, 128), jnp.float32)] + [
+        xp[:, t * tile_r - 1, :] for t in range(1, ntiles)]
+    wc_rows = [hrow] + [xc[:, t * tile_r - 1, :]
+                        for t in range(1, ntiles)]
+    wp = jnp.stack(wp_rows, axis=0).reshape(ntiles * 2, 128)
+    wc = jnp.stack(wc_rows, axis=0).reshape(ntiles * 2, 128)
+    hy = (jnp.dot(wp, aj[0:128], preferred_element_type=jnp.float32)
+          + jnp.dot(wc, aj[128:256],
+                    preferred_element_type=jnp.float32))[:, 127]
+    halo = hy.reshape(ntiles, 2).T            # (2, ntiles)
 
     x_spec = pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)

@@ -107,21 +107,25 @@ def test_spectrum_block_matches_model():
 
     pipe = SpectrumPipeline(fft_size=256, batches=8)
     iq = pipe.make_input()
-    ref = pipe.step_pallas(jnp.asarray(iq), interpret=True)
-
-    fg = Flowgraph()
-    fg.block_create("src", "dti", {"shape": [8, 256, 2],
-                                   "dataType": "F32"})
-    fg.block_create("spec", "spectrum", {},
-                    {"buffer": "${graph.src.output.buffer}"})
-    try:
-        fg.records["src"].build.modules["src/m"].attach_buffer(iq)
-        assert fg.compute(timeout=30.0)
-        fg.scheduler.synchronize()
-        got = np.asarray(fg.scheduler.output("spec.spectrum"))
-        np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
-    finally:
-        fg.stop()
+    # algorithm=ct picks the Cooley-Tukey kernel; auto/dft pin the
+    # full-DFT kernel — each must match its model path exactly
+    for algo, ref in (
+            ("ct", pipe.step_pallas_ct(jnp.asarray(iq),
+                                       interpret=True)),
+            ("auto", pipe.step_pallas(jnp.asarray(iq), interpret=True))):
+        fg = Flowgraph()
+        fg.block_create("src", "dti", {"shape": [8, 256, 2],
+                                       "dataType": "F32"})
+        fg.block_create("spec", "spectrum", {"algorithm": algo},
+                        {"buffer": "${graph.src.output.buffer}"})
+        try:
+            fg.records["src"].build.modules["src/m"].attach_buffer(iq)
+            assert fg.compute(timeout=30.0)
+            fg.scheduler.synchronize()
+            got = np.asarray(fg.scheduler.output("spec.spectrum"))
+            np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+        finally:
+            fg.stop()
 
 
 def test_channelizer_block_complex_input():

@@ -214,6 +214,36 @@ def test_spectrum_fused_kernel_matches_model():
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
+def test_spectrum_ct_kernel_matches_model():
+    """Cooley-Tukey fused kernel vs the exact-math model (sinusoid
+    input — checks bin ORDER as well as values: a wrong un-permute
+    moves the carrier peak)."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=8,
+                            use_mxu_fft=False, fast_math=False)
+    iq = pipe.make_input(seed=6)
+    ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
+    got = np.asarray(pipe.step_pallas_ct(jnp.asarray(iq),
+                                         interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    assert (np.argmax(got, axis=-1) == np.argmax(ref, axis=-1)).all()
+
+
+def test_spectrum_ct_kernel_n256():
+    """Non-flagship size (m=2) exercises the smallest CT split."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=256, batches=8,
+                            use_mxu_fft=False, fast_math=False)
+    rng = np.random.default_rng(9)
+    iq = (0.3 * rng.standard_normal((8, 256, 2))).astype(np.float32)
+    ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
+    got = np.asarray(pipe.step_pallas_ct(jnp.asarray(iq),
+                                         interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
 def test_spectrum_fused_kernel_bf16_display_grade():
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
