@@ -228,6 +228,12 @@ class SpectrumFusedModule(Module):
         if algo == "ct" and (n % 128 or n // 128 > 32):
             raise ValidationError(
                 f"algorithm=ct needs fft size = m*128, m<=32 (got {n})")
+        if algo == "ct" and bool(self.config["bf16"]):
+            # the CT kernel is f32-only; silently ignoring bf16 would
+            # mislead (ADVICE r2)
+            raise ValidationError(
+                "bf16 is only available on the dft algorithm "
+                "(algorithm=ct is f32-only)")
         from cyberether_tpu.models.spectrum import SpectrumPipeline
 
         self._pipe = SpectrumPipeline(

@@ -116,9 +116,14 @@ class Channelizer:
         tile = min(tile_m, M)
         grid = M // tile
         if grid > 1:
-            idx = (np.arange(1, grid)[:, None] * tile - Pt
-                   + np.arange(Pt)[None, :])
-            halos = jnp.concatenate([state["hist"][None], x2[idx]], 0)
+            # tile i's left halo = last P rows of tile i-1: a strided
+            # SLICE of the (grid, tile, 2C) view.  (A fancy-index
+            # gather here lowered to ~grid*P serialized dynamic-slices
+            # on TPU — measured >0.5 ms/step at grid=64, the round-2
+            # roofline gap — and exploded compile time when unrolled.)
+            x3 = x2.reshape(grid, tile, 2 * C)
+            halos = jnp.concatenate(
+                [state["hist"][None], x3[:-1, tile - Pt:, :]], axis=0)
         else:
             halos = state["hist"][None]
         if kernel == "v5":

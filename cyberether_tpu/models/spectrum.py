@@ -42,23 +42,28 @@ class SpectrumPipeline:
         self._scale = np.float32(1.0 / (hi - lo))
         self._offset = np.float32(-lo / (hi - lo))
 
-    def step(self, iq: jnp.ndarray) -> jnp.ndarray:
+    def step(self, iq: jnp.ndarray, win=None) -> jnp.ndarray:
         """iq: (batches, fft_size, 2) float32 re/im -> (batches,
-        fft_size) float32 normalized spectrum in [0, 1]."""
+        fft_size) float32 normalized spectrum in [0, 1].
+
+        ``win`` overrides the precomputed window (bench harnesses pass
+        a carry-perturbed copy so a stateless step chained under
+        ``lax.scan`` cannot be hoisted out of the loop)."""
         from cyberether_tpu.ops.fastmath import approx_log10, \
             approx_tanh
 
+        w = self._win if win is None else win
         if self.use_mxu_fft:
             from cyberether_tpu.ops.mxu_fft import fft_mxu_split
 
-            xr = iq[..., 0] * self._win
-            xi = iq[..., 1] * self._win
+            xr = iq[..., 0] * w
+            xi = iq[..., 1] * w
             yr, yi = fft_mxu_split(xr, xi)
             mag2 = jnp.maximum(yr * yr + yi * yi, 1e-60)
             db = (10.0 * (approx_log10(mag2) if self.fast_math
                           else jnp.log10(mag2))) + self._coeff
         else:
-            x = (iq[..., 0] + 1j * iq[..., 1]) * self._win
+            x = (iq[..., 0] + 1j * iq[..., 1]) * w
             spec = jnp.fft.fft(x, axis=-1)
             mag = jnp.maximum(jnp.abs(spec), 1e-30)
             db = (20.0 * (approx_log10(mag) if self.fast_math
@@ -69,31 +74,33 @@ class SpectrumPipeline:
                             else jnp.tanh(t))
 
     def step_pallas(self, iq: jnp.ndarray, bf16: bool = False,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, win=None) -> jnp.ndarray:
         """Whole pipeline as ONE fused Pallas kernel: k-tiled full-DFT
         matmul + |.|^2 + dB + range, VMEM-resident.  ``bf16`` trades
         ~0.03 dB for ~4x MXU rate (display grade)."""
         from cyberether_tpu.ops.pallas_kernels import spectrum_fused
 
         return spectrum_fused(
-            iq, np.asarray(self._win), float(self._coeff),
+            iq, np.asarray(self._win) if win is None else win,
+            float(self._coeff),
             float(self._scale), float(self._offset),
             bf16=bf16, interpret=interpret)
 
     def step_pallas_ct(self, iq: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False, win=None) -> jnp.ndarray:
         """Fused Cooley-Tukey kernel (n = m x 128): the m-point stage
         on the VPU, the 128-point stage on the MXU — ~16x fewer MXU
         flops than the full-DFT kernel at n=2048."""
         from cyberether_tpu.ops.pallas_kernels import spectrum_fused_ct
 
         return spectrum_fused_ct(
-            iq, np.asarray(self._win), float(self._coeff),
+            iq, np.asarray(self._win) if win is None else win,
+            float(self._coeff),
             float(self._scale), float(self._offset),
             interpret=interpret)
 
     def step_dft(self, iq: jnp.ndarray,
-                 bf16: bool = False) -> jnp.ndarray:
+                 bf16: bool = False, win=None) -> jnp.ndarray:
         """XLA path of the same single-matmul full DFT (lets XLA
         schedule the epilogue; compare against step_pallas)."""
         from cyberether_tpu.ops.fastmath import approx_log10, \
@@ -101,8 +108,9 @@ class SpectrumPipeline:
         from cyberether_tpu.ops.pallas_kernels import _dft_cs
 
         cmat, smat = _dft_cs(self.fft_size)
-        xr = iq[..., 0] * self._win
-        xi = iq[..., 1] * self._win
+        w = self._win if win is None else win
+        xr = iq[..., 0] * w
+        xi = iq[..., 1] * w
         c, sn = jnp.asarray(cmat), jnp.asarray(smat)
         if bf16:
             xr, xi = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)

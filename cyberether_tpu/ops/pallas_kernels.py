@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def _atan2(y: jnp.ndarray, x: jnp.ndarray,
+           recip: bool = False) -> jnp.ndarray:
     """atan2 from basic VPU ops (Mosaic has no atan2 primitive).
 
     Octant reduction + double-angle range reduction + minimax odd
@@ -43,7 +44,11 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     is hoisted to ``lo > tan(pi/8)*hi`` and the reduced argument
     ``(t-1)/(t+1)`` is computed as ``(lo-hi)/(lo+hi)`` (same value,
     shares the single division) — VPU divides are the poly's most
-    expensive ops.
+    expensive ops.  ``recip=True`` (Pallas kernels only) replaces even
+    that divide with the hardware approximate reciprocal + one
+    Newton-Raphson step (~1e-7 relative — below the poly's own error);
+    the exact divide was a measured ~25% of the channelizer demod
+    stage.
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)
@@ -52,7 +57,13 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     red = lo > jnp.float32(0.41421356) * hi
     num = jnp.where(red, lo - hi, lo)
     den = jnp.where(red, lo + hi, hi)
-    u = num / jnp.maximum(den, 1e-30)
+    dsafe = jnp.maximum(den, 1e-30)
+    if recip:
+        r = pl.reciprocal(dsafe, approx=True)
+        r = r * (jnp.float32(2.0) - dsafe * r)   # one Newton step
+        u = num * r
+    else:
+        u = num / dsafe
     z = u * u
     p = jnp.float32(6.1687607318e-02)
     p = p * z + jnp.float32(-1.0648017377e-01)
@@ -227,10 +238,14 @@ def _channelize_kernel_v4(body_ref, halo_ref, bp_ref, sel_ref,
                             preferred_element_type=jnp.float32)
 
 
-def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
+_V5_STAGES = ("fir", "dft", "lag", "atan", "sel")
+
+
+def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref,
                           out_ref, win, yall, *,
                           P: int, C: int, tile_m: int, D: int,
-                          ref_gain: float):
+                          ref_gain: float,
+                          stages: tuple = _V5_STAGES):
     """Roofline variant: VPU polyphase FIR + ONE DFT matmul.
 
     v4 folds the taps into P pre-multiplied DFT matrices and pays P
@@ -251,21 +266,42 @@ def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
     win[P:P + tile_m, :] = body_ref[:, :]
 
     rows = tile_m + 1
-    z = win[0:rows, :] * hp_ref[0, :][None, :]
-    for p in range(1, P):
-        z = z + win[p:p + rows, :] * hp_ref[p, :][None, :]
+    if "fir" in stages:
+        z = win[0:rows, :] * hp_ref[0, :][None, :]
+        for p in range(1, P):
+            z = z + win[p:p + rows, :] * hp_ref[p, :][None, :]
+    else:                       # profiling ablation (tools/)
+        z = win[0:rows, :]
 
-    yall[0:rows, :] = jnp.dot(z, b_ref[:, :],
-                              preferred_element_type=jnp.float32)
+    if "dft" in stages:
+        yall[0:rows, :] = jnp.dot(z, b_ref[:, :],
+                                  preferred_element_type=jnp.float32)
+    else:
+        yall[0:rows, :] = z
 
     n = 2 * C
     yr, yi = yall[1:rows, 0:C], yall[1:rows, C:n]
-    pr, pi_ = yall[0:tile_m, 0:C], yall[0:tile_m, C:n]
-    dr = pr * yr + pi_ * yi
-    di = pr * yi - pi_ * yr
-    demod = _atan2(di, dr) * ref_gain                  # (tile_m, C)
-    out_ref[:, :] = jnp.dot(sel_ref[:, :], demod,
-                            preferred_element_type=jnp.float32)
+    if "lag" in stages:
+        pr, pi_ = yall[0:tile_m, 0:C], yall[0:tile_m, C:n]
+        dr = pr * yr + pi_ * yi
+        di = pr * yi - pi_ * yr
+    else:
+        dr, di = yr, yi
+    if "atan" in stages:
+        demod = _atan2(di, dr, recip=True) * ref_gain  # (tile_m, C)
+    else:
+        demod = di + dr
+    if "sel" in stages:
+        # boxcar audio decimation as a leading-dim reshape + sum (a
+        # (tile/D, tile) selector MATMUL here was a measured 0.13 ms
+        # of the 0.36 ms step — K=tile contraction for a tiny output
+        # is the MXU's worst shape; the reshape splits the major dim
+        # only, which Mosaic lowers as a pure VPU reduction)
+        out_ref[:, :] = jnp.sum(
+            demod.reshape(tile_m // D, D, C), axis=1
+        ) * jnp.float32(1.0 / D)
+    else:
+        out_ref[:, :] = demod[0:tile_m // D, :]
 
 
 def perm_channelizer_matrix(wr: np.ndarray, wi: np.ndarray
@@ -287,7 +323,9 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                               hp: jnp.ndarray, bperm: jnp.ndarray,
                               ref_gain: float, decim: int,
                               tile_m: int = 512,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              stages: tuple = _V5_STAGES
+                              ) -> jnp.ndarray:
     """v5 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio.
 
     hp: (P, 2C) kernel-order taps duplicated on interleaved lanes
@@ -301,13 +339,10 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
     assert M % tile_m == 0 and tile_m % decim == 0, (M, tile_m, decim)
     grid_n = M // tile_m
 
-    sel = np.kron(np.eye(tile_m // decim, dtype=np.float32),
-                  np.full((1, decim), 1.0 / decim, np.float32))
-
     return pl.pallas_call(
         functools.partial(_channelize_kernel_v5, P=P, C=C,
                           tile_m=tile_m, D=decim,
-                          ref_gain=float(ref_gain)),
+                          ref_gain=float(ref_gain), stages=stages),
         grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),
@@ -318,8 +353,6 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((twoC, twoC), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m // decim, tile_m),
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m // decim, C),
                                lambda i: (i, 0),
@@ -332,7 +365,7 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x2, halos, hp, bperm, jnp.asarray(sel))
+    )(x2, halos, hp, bperm)
 
 
 def channelize_demod_decim(x2: jnp.ndarray, halos: jnp.ndarray,
@@ -512,27 +545,12 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     return out
 
 
-def _axpy(acc, x, c: float):
-    """acc + c*x with trace-time specialization for c in {0, +-1} (the
-    16-point DFT stage is full of exact zeros/units; Mosaic does not
-    constant-fold multiplies by immediates)."""
-    if c == 0.0:
-        return acc
-    t = x if c == 1.0 else (-x if c == -1.0 else x * jnp.float32(c))
-    return t if acc is None else acc + t
-
-
-def _snap(v: float) -> float:
-    for s in (0.0, 1.0, -1.0):
-        if abs(v - s) < 1e-12:
-            return s
-    return v
-
-
-def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
-                        c_ref, s_ref, out_ref, *, m: int, coeff: float,
-                        scale: float, offset: float):
-    """One grid cell: tile_b spectra, Cooley-Tukey n = m x 128.
+def _spectrum_ct_kernel(wmr_ref, wmi_ref, xr_ref, xi_ref, win_ref,
+                        twr_ref, twi_ref, c_ref, s_ref, out_ref, *,
+                        m: int, coeff: float, scale: float,
+                        offset: float):
+    """One grid cell (i, k1): tile_b spectra x ONE 128-bin output
+    block of the Cooley-Tukey split n = m x 128.
 
     With n = 128*n1 + n2 and k = k1 + m*k2 (k1 < m, k2 < 128):
 
@@ -540,53 +558,61 @@ def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                        * [ sum_n1 Wm^(n1 k1) x[128 n1 + n2] ]
 
     Stage 1 contracts the m chunks (static 128-wide column slices) on
-    the VPU with trace-time-constant Wm scalars; the twiddle is a
-    broadcast row multiply; stage 2 is one (tile_b,128)@(128,128)
-    complex matmul per k1 on the MXU — 16x fewer MXU flops than the
-    full-DFT kernel at n=2048.  The output block for fixed k1 is the
-    contiguous column slice [128 k1, 128 k1 + 128) in PERMUTED order;
-    the caller un-permutes with an XLA transpose of the final f32
-    display values (the epilogue is order-independent)."""
-    xr = xr_ref[:, :] * win_ref[0, :]
-    xi = xi_ref[:, :] * win_ref[0, :]
-    c128 = c_ref[:, :]
-    s128 = s_ref[:, :]
+    the VPU with Wm scalars read from SMEM (round-2's version baked
+    all m x m scalars in as trace-time constants, fully unrolling both
+    loops — the 213 KB MLIR crashed the Mosaic compile helper; making
+    k1 a GRID axis shrinks the kernel body 16x and compiles).  The x
+    block's index map ignores k1, so Mosaic keeps it VMEM-resident
+    across the k1 sweep.  The twiddle is a broadcast row multiply;
+    stage 2 is one (tile_b,128)@(128,128) complex matmul on the MXU —
+    16x fewer MXU flops than the full-DFT kernel at n=2048.  The
+    output block for fixed k1 is the contiguous column slice
+    [128 k1, 128 k1 + 128) in PERMUTED order; the caller un-permutes
+    with an XLA transpose of the final f32 display values (the
+    epilogue is order-independent)."""
+    k1 = pl.program_id(1)
     f32 = jnp.float32
-    for k1 in range(m):
-        ar = ai = None
-        for n1 in range(m):
-            ang = 2.0 * np.pi * ((n1 * k1) % m) / m
-            cr = _snap(float(np.cos(ang)))
-            ci = _snap(float(-np.sin(ang)))
-            xcr = xr[:, n1 * 128:(n1 + 1) * 128]
-            xci = xi[:, n1 * 128:(n1 + 1) * 128]
-            ar = _axpy(_axpy(ar, xcr, cr), xci, -ci)
-            ai = _axpy(_axpy(ai, xci, cr), xcr, ci)
-        tr = twr_ref[k1:k1 + 1, :]                 # (1, 128) broadcast
-        ti = twi_ref[k1:k1 + 1, :]
-        br = ar * tr - ai * ti
-        bi = ar * ti + ai * tr
-        yr = (jnp.dot(br, c128, preferred_element_type=f32)
-              + jnp.dot(bi, s128, preferred_element_type=f32))
-        yi = (jnp.dot(bi, c128, preferred_element_type=f32)
-              - jnp.dot(br, s128, preferred_element_type=f32))
-        mag2 = yr * yr + yi * yi
-        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
-        norm = db * f32(scale) + f32(offset)
-        out_ref[:, k1 * 128:(k1 + 1) * 128] = \
-            0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+    wrow = win_ref[0, :]
+    ar = ai = None
+    for n1 in range(m):
+        wr = wmr_ref[k1, n1]                       # SMEM scalars
+        wi = wmi_ref[k1, n1]
+        xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128] \
+            * wrow[n1 * 128:(n1 + 1) * 128]
+        xci = xi_ref[:, n1 * 128:(n1 + 1) * 128] \
+            * wrow[n1 * 128:(n1 + 1) * 128]
+        t_r = xcr * wr - xci * wi
+        t_i = xci * wr + xcr * wi
+        ar = t_r if ar is None else ar + t_r
+        ai = t_i if ai is None else ai + t_i
+    tr = twr_ref[0:1, :]                           # (1, 128) broadcast
+    ti = twi_ref[0:1, :]
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+    yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32)
+          + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32))
+    yi = (jnp.dot(bi, c_ref[:, :], preferred_element_type=f32)
+          - jnp.dot(br, s_ref[:, :], preferred_element_type=f32))
+    mag2 = yr * yr + yi * yi
+    db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+    norm = db * f32(scale) + f32(offset)
+    out_ref[:, :] = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
 
 @functools.lru_cache(maxsize=8)
 def _ct_mats(n: int):
-    """Twiddle (m, 128) and 128-DFT (128, 128) matrices, numpy."""
+    """Stage-1 DFT (m, m), twiddle (m, 128) and 128-DFT (128, 128)
+    matrices, numpy."""
     m = n // 128
     n2 = np.arange(128)
     k1 = np.arange(m)
+    ang_m = 2.0 * np.pi * (np.outer(k1, k1) % m) / m
     ang_t = 2.0 * np.pi * np.outer(k1, n2) / n
     jk = np.outer(n2, n2) % 128
     ang_d = 2.0 * np.pi * jk / 128
-    return (np.cos(ang_t).astype(np.float32),
+    return (np.cos(ang_m).astype(np.float32),
+            (-np.sin(ang_m)).astype(np.float32),
+            np.cos(ang_t).astype(np.float32),
             (-np.sin(ang_t)).astype(np.float32),
             np.cos(ang_d).astype(np.float32),
             np.sin(ang_d).astype(np.float32))
@@ -608,27 +634,40 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     assert n % 128 == 0, n
     m = n // 128
     assert m <= 32, f"n={n} needs m<=32 128-chunks (got {m})"
+    # largest tile_b <= requested that divides B (ADVICE r2: a bare
+    # divisibility assert here failed validated shapes like B=384;
+    # fall back 256 -> 128 -> 64 ... -> B itself)
     tile_b = min(tile_b, B)
-    assert B % tile_b == 0, (B, tile_b)
-    twr, twi, cmat, smat = _ct_mats(n)
+    while tile_b > 8 and B % tile_b:
+        tile_b //= 2
+    if B % tile_b:
+        tile_b = B
+    wmr, wmi, twr, twi, cmat, smat = _ct_mats(n)
 
-    x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+    x_spec = pl.BlockSpec((tile_b, n), lambda i, k: (i, 0),
                           memory_space=pltpu.VMEM)
-    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i, k: (0, 0),
                                      memory_space=pltpu.VMEM)
     perm = pl.pallas_call(
         functools.partial(_spectrum_ct_kernel, m=m, coeff=float(coeff),
                           scale=float(scale), offset=float(offset)),
-        grid=(B // tile_b,),
-        in_specs=[x_spec, x_spec, full(1, n), full(m, 128),
-                  full(m, 128), full(128, 128), full(128, 128)],
-        out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+        grid=(B // tile_b, m),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  x_spec, x_spec, full(1, n),
+                  pl.BlockSpec((1, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  full(128, 128), full(128, 128)],
+        out_specs=pl.BlockSpec((tile_b, 128), lambda i, k: (i, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(iq[:, :, 0], iq[:, :, 1],
+    )(jnp.asarray(wmr), jnp.asarray(wmi),
+      iq[:, :, 0], iq[:, :, 1],
       jnp.asarray(win, jnp.float32).reshape(1, n),
       jnp.asarray(twr), jnp.asarray(twi),
       jnp.asarray(cmat), jnp.asarray(smat))
@@ -683,7 +722,7 @@ def _wbfm_kernel(xpr_ref, xcr_ref, xpi_ref, xci_ref, hr_ref, hi_ref,
     pi_ = delayed(yi, hi_ref[0, t])
     dr = pr * yr + pi_ * yi
     di = pr * yi - pi_ * yr
-    out_ref[:, :] = _atan2(di, dr) * jnp.float32(ref_gain)
+    out_ref[:, :] = _atan2(di, dr, recip=True) * jnp.float32(ref_gain)
 
 
 def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
