@@ -1,18 +1,44 @@
 #!/usr/bin/env python
 """Benchmark driver: 64-channel FM channelizer+demod throughput on one
 chip.  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Baseline: BASELINE.json north star — >1 Gsamp/s aggregate on v5e-16
 == 62.5 Msamp/s per chip.  vs_baseline = per-chip samples/s / 62.5e6.
 
-Timing methodology: the axon tunnel adds ~1 ms of per-dispatch overhead
-and ~25 ms per host<->device scalar fetch, so naive per-call timing
-under-reports kernel throughput by 2-3x.  Steady-state numbers chain k
-steps inside ONE jitted program (state threading serializes them) and
-report (t_k - t_1) / (k - 1); per-dispatch numbers are also logged for
-the record.  Production streaming uses the same chaining via the
-scheduler's burst mode (lax.scan over cycles).
+Timing methodology (ONE methodology, round 3)
+---------------------------------------------
+The axon tunnel adds ~1 ms of per-dispatch overhead and ~25 ms per
+host<->device scalar fetch, so naive per-call timing under-reports
+kernel throughput 2-3x.  Every steady-state number here comes from the
+same recipe:
+
+  1. build a ``lax.scan`` chain of k steps inside ONE jitted program —
+     the body compiles once, so cold compile is one kernel, not k
+     Python-unrolled copies (the round-2 736 s cold compile was exactly
+     that unrolling);
+  2. the scan carries a data dependency into every step — the module's
+     streaming state where one exists, else a carry-perturbed window —
+     so XLA can neither hoist the body out of the loop nor CSE steps
+     (the round-2 "42.5 Gsamp/s fused spectrum" was a hoisted
+     loop-invariant body measuring an empty scan);
+  3. report (t_k - t_1) / (k - 1): differencing two chain lengths
+     cancels dispatch + d2h latency exactly.
+
+Flowgraph burst numbers use the scheduler's ``compute_burst`` (a
+lax.scan over compiled cycles) on graphs whose per-cycle dependence is
+real (stateful blocks and/or device-side stateful sources), and are
+reconciled against the raw-model chain number of the same kernel —
+the run fails loudly if they disagree by more than the documented
+scheduler overhead.
+
+Roofline accounting: every kernel row reports achieved HBM GB/s and
+MXU MFU against the chip peaks MEASURED on this part (CLAUDE.md:
+~2.8 TB/s streaming, 226 Tflop/s f32 / 293 bf16 on 4096^3 matmuls).
+
+NO silent fallbacks: every registered provider must compile and
+produce a number on the bench hardware; anything that raises lands in
+the final JSON's "failures" list.
 """
 
 from __future__ import annotations
@@ -37,6 +63,15 @@ if os.environ.get("CYBERETHER_JAX_CACHE_DIR"):
 
 BASELINE_PER_CHIP = 62.5e6   # 1 Gsamp/s / 16 chips (v5e-16)
 
+# chip peaks measured on THIS part (round 2, CLAUDE.md): the tunnel
+# device is v5p-class, not the v5e the north star assumes
+MEAS_HBM_GBPS = 2800.0
+MEAS_F32_TFLOPS = 226.0
+MEAS_BF16_TFLOPS = 293.0
+
+RESULTS: list = []       # full per-config records -> bench_results.json
+FAILURES: list = []      # provider names that failed to run on hardware
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -54,44 +89,64 @@ def fetch_time(fn, *args, reps=5):
     return ts[len(ts) // 2]
 
 
-def chain_time(mk_chain, k=5, reps=3):
-    """True per-step time: (t(chain k) - t(chain 1)) / (k - 1).
+def scan_steady(make, k=33, reps=5):
+    """Steady-state per-step time of a scan chain + cold-compile time.
 
-    ``mk_chain(n)`` returns a jitted fn running n serialized steps and
-    returning a scalar.  Differencing cancels dispatch + d2h latency.
+    ``make(n)`` returns a zero-arg jitted callable running an n-step
+    ``lax.scan`` chain and returning a scalar.  Returns
+    ``(per_step_seconds, compile_seconds)``.
     """
-    t1 = fetch_time(mk_chain(1), reps=reps)
-    tk = fetch_time(mk_chain(k), reps=reps)
-    return max((tk - t1) / (k - 1), 1e-9)
-
-
-def dispatch_time(fn, make_args, steps=10, warmup=3):
-    """Wall time per dispatched call (includes tunnel overhead)."""
-    args = make_args()
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-        args = _regen(out, args)
-    jax.block_until_ready(out)
+    f1 = make(1)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-        args = _regen(out, args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    float(f1())
+    compile_s = time.perf_counter() - t0
+    fk = make(k)
+    float(fk())                       # compile the k-length program
+    t1 = fetch_time(f1, reps=reps)
+    tk = fetch_time(fk, reps=reps)
+    per = max((tk - t1) / (k - 1), 1e-9)
+    return per, compile_s
 
 
-def _regen(out, args):
-    if isinstance(out, tuple) and len(out) == 2 and \
-            isinstance(out[1], dict):
-        return (out[1],) + tuple(args[1:])
-    return args
+def record(name, samples, per_step, bytes_step=0, mxu_flops=0,
+           vpu_flops=0, bf16=False, compile_s=None, **extra):
+    """Log + archive one measurement; returns samples/s."""
+    rate = samples / per_step
+    peak = (MEAS_BF16_TFLOPS if bf16 else MEAS_F32_TFLOPS) * 1e12
+    gbps = bytes_step / per_step / 1e9
+    mfu = mxu_flops / per_step / peak
+    rec = dict(name=name, samples_per_step=samples,
+               ms_per_step=per_step * 1e3, msamp_s=rate / 1e6,
+               bytes_step=bytes_step, mxu_flops=mxu_flops,
+               vpu_flops=vpu_flops,
+               achieved_gbps=round(gbps, 1),
+               hbm_fraction=round(gbps / MEAS_HBM_GBPS, 3),
+               mfu=round(mfu, 4), **extra)
+    if compile_s is not None:
+        rec["compile_s"] = round(compile_s, 1)
+    RESULTS.append(rec)
+    parts = [f"{name}: {rate/1e6:.1f} Msamp/s/chip "
+             f"({per_step*1e3:.3f} ms/step"]
+    if bytes_step:
+        parts.append(f", {gbps:.0f} GB/s = "
+                     f"{gbps/MEAS_HBM_GBPS:.0%} HBM")
+    if mxu_flops:
+        parts.append(f", {mfu:.1%} MFU")
+    if compile_s is not None:
+        parts.append(f", compile {compile_s:.1f}s")
+    log("".join(parts) + ")")
+    return rate
+
+
+def fail(name, e):
+    FAILURES.append(name)
+    log(f"{name} FAILED:", repr(e)[:400])
 
 
 # ----------------------------------------------------------------------
 def bench_channelizer_pallas() -> float:
     """Primary metric: the fused v5 kernel (VPU FIR + one DFT matmul),
-    tile 2048, steady-state."""
+    steady-state via the scan chain (state carry = real dependency)."""
     from cyberether_tpu.models.channelizer import Channelizer
 
     model = Channelizer(channels=64, taps_per_branch=8, audio_decim=16)
@@ -99,35 +154,54 @@ def bench_channelizer_pallas() -> float:
     rng = np.random.default_rng(1)
     iq = jax.device_put(rng.standard_normal(
         (frames, model.channels, 2)).astype(np.float32))
+    C, D, Pt = model.channels, model.audio_decim, model.taps_per_branch
 
-    def mk(n):
-        @jax.jit
-        def f(iq):
-            st = model.init_state_v4()
-            acc = jnp.float32(0)
-            out = iq
-            for _ in range(n):
-                audio, st = model.step_pallas_v4(st, out, tile_m=2048)
-                acc = acc + jnp.sum(audio[:4, :4])
-                out = out + acc * 1e-20
-            return acc
-        return lambda: f(iq)
+    tiles = [int(t) for t in os.environ.get(
+        "CYB_BENCH_TILES", "2048").split(",")]
+    best, best_tile, best_compile = 0.0, tiles[0], None
+    for tile in tiles:
+        def mk(n, tile=tile):
+            @jax.jit
+            def f(iq):
+                def body(carry, _):
+                    st, acc = carry
+                    audio, st = model.step_pallas_v4(st, iq,
+                                                     tile_m=tile)
+                    return (st, acc + audio[0, 0]), None
+                carry, _ = jax.lax.scan(
+                    body, (model.init_state_v4(), jnp.float32(0)),
+                    None, length=n)
+                return carry[1]
+            return lambda: f(iq)
 
+        per, compile_s = scan_steady(mk)
+        grid = frames // tile
+        rate = record(
+            f"channelizer-pallas[v5,tile={tile}]", frames * C, per,
+            bytes_step=(frames * 128 + grid * Pt * 128
+                        + frames // D * C) * 4,
+            mxu_flops=grid * 2 * 128 * ((tile + 1) * 128
+                                        + (tile // D) * 64 * tile // 128),
+            vpu_flops=grid * (tile + 1) * 128 * 2 * Pt,
+            compile_s=compile_s)
+        if rate > best:
+            best, best_tile, best_compile = rate, tile, compile_s
+
+    # per-dispatch number for the record (includes tunnel overhead)
+    step = model.jitted_step_pallas_v4(tile_m=best_tile)
+    st = model.init_state_v4()
+    out = None
+    for _ in range(3):
+        out, st = step(st, iq)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    float(mk(1)())
-    log(f"channelizer first-step (compile) {time.perf_counter()-t0:.1f}s")
-    per = chain_time(mk)
-    samples = frames * model.channels
-    rate = samples / per
-    log(f"channelizer-pallas[v5]: {rate/1e6:.1f} Msamp/s/chip "
-        f"steady-state ({per*1e3:.3f} ms / {samples/1e6:.1f} Msamp)")
-
-    step = model.jitted_step_pallas_v4(tile_m=2048)
-    dt = dispatch_time(lambda s, x: step(s, x),
-                       lambda: (model.init_state_v4(), iq))
+    for _ in range(10):
+        out, st = step(st, iq)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 10
     log(f"channelizer-pallas[v5] per-dispatch: "
-        f"{samples/dt/1e6:.1f} Msamp/s ({dt*1e3:.2f} ms)")
-    return rate
+        f"{frames*64/dt/1e6:.1f} Msamp/s ({dt*1e3:.2f} ms)")
+    return best
 
 
 def bench_channelizer_xla() -> float:
@@ -142,54 +216,67 @@ def bench_channelizer_xla() -> float:
     def mk(n):
         @jax.jit
         def f(iq):
-            state = model.init_state()
-            acc = jnp.float32(0)
-            out = iq
-            for _ in range(n):
-                audio, state = model.step(state, out)
-                acc = acc + jnp.sum(audio[:4, :4])
-                out = out + acc * 1e-20
-            return acc
+            def body(carry, _):
+                st, acc = carry
+                audio, st = model.step(st, iq)
+                return (st, acc + audio[0, 0]), None
+            carry, _ = jax.lax.scan(
+                body, (model.init_state(), jnp.float32(0)),
+                None, length=n)
+            return carry[1]
         return lambda: f(iq)
 
-    per = chain_time(mk)
-    rate = frames * model.channels / per
-    log(f"channelizer[xla]: {rate/1e6:.1f} Msamp/s/chip steady-state")
-    return rate
+    per, compile_s = scan_steady(mk)
+    return record("channelizer[xla]", frames * 64, per,
+                  bytes_step=frames * 128 * 4 * 3,  # transpose r/t + out
+                  compile_s=compile_s)
 
 
 def bench_spectrum() -> float:
+    """All registered spectrum providers.  Stateless pipeline: the
+    carry perturbs the window (O(n) work) so the scan body depends on
+    the previous step — hoist-proof at negligible cost."""
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 
     pipe = SpectrumPipeline(fft_size=2048, batches=4096)
     iq = jax.device_put(pipe.make_input())
+    win0 = jnp.asarray(np.asarray(pipe._win))
+    B, n = pipe.batches, pipe.fft_size
+    io_bytes = (B * n * 3) * 4               # in 2 planes + out
+    dft_flops = 8 * B * n * n                # 4 (B,n)@(n,n) matmuls
+    ct_flops = (B // 128) * (n // 128) * 4 * 2 * 128 * 128 * 128
     best = 0.0
-    for name, stepfn in (
-            ("pallas-ct", lambda x: pipe.step_pallas_ct(x)),
-            ("pallas-f32", lambda x: pipe.step_pallas(x)),
-            ("pallas-bf16", lambda x: pipe.step_pallas(x, bf16=True)),
-            ("dft-f32", lambda x: pipe.step_dft(x)),
-            ("mxu-4step", lambda x: pipe.step(x))):
+    for name, stepfn, extra in (
+            ("pallas-ct", lambda x, w: pipe.step_pallas_ct(x, win=w),
+             dict(mxu_flops=ct_flops)),
+            ("pallas-f32", lambda x, w: pipe.step_pallas(x, win=w),
+             dict(mxu_flops=dft_flops)),
+            ("pallas-bf16",
+             lambda x, w: pipe.step_pallas(x, bf16=True, win=w),
+             dict(mxu_flops=dft_flops, bf16=True)),
+            ("dft-f32", lambda x, w: pipe.step_dft(x, win=w),
+             dict(mxu_flops=dft_flops)),
+            ("mxu-4step", lambda x, w: pipe.step(x, win=w), {})):
         try:
-            def mk(n, stepfn=stepfn):
+            def mk(k, stepfn=stepfn):
                 @jax.jit
-                def f(x):
-                    acc = jnp.float32(0)
-                    out = x
-                    for _ in range(n):
-                        s = stepfn(out)
-                        acc = acc + jnp.sum(s[:2, :2])
-                        out = out + acc * 1e-20
+                def f(x, w):
+                    def body(acc, _):
+                        wp = w * (1 + acc * jnp.float32(1e-30))
+                        s = stepfn(x, wp)
+                        return acc + s[0, 0], None
+                    acc, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                          length=k)
                     return acc
-                return lambda: f(iq)
+                return lambda: f(iq, win0)
 
-            per = chain_time(mk)
-            rate = pipe.batches * pipe.fft_size / per
-            log(f"spectrum[{name}]: {rate/1e6:.1f} Msamp/s/chip "
-                f"steady-state")
+            per, compile_s = scan_steady(mk)
+            rate = record(f"spectrum[{name}]", B * n, per,
+                          bytes_step=io_bytes, compile_s=compile_s,
+                          **extra)
             best = max(best, rate)
         except Exception as e:
-            log(f"spectrum[{name}] failed:", repr(e)[:300])
+            fail(f"spectrum[{name}]", e)
     return best
 
 
@@ -202,40 +289,63 @@ def bench_wbfm() -> float:
         try:
             rx = WbfmReceiver(fir_impl="fft", fast_atan2=True)
             iq = jax.device_put(rx.make_input(n))
+            stepfn = rx.step_pallas if impl == "pallas" else rx.step
 
-            def mk(k, rx=rx, impl=impl, iq=iq):
-                stepfn = rx.step_pallas if impl == "pallas" else rx.step
-
+            def mk(k, stepfn=stepfn):
                 @jax.jit
                 def f(x):
-                    st = rx.init_state()
-                    acc = jnp.float32(0)
-                    out = x
-                    for _ in range(k):
-                        audio, st = stepfn(st, out)
-                        acc = acc + jnp.sum(audio[:4])
-                        out = out + acc * 1e-20
-                    return acc
+                    def body(carry, _):
+                        st, acc = carry
+                        audio, st = stepfn(st, x)
+                        return (st, acc + audio[0]), None
+                    carry, _ = jax.lax.scan(
+                        body, (rx.init_state(), jnp.float32(0)),
+                        None, length=k)
+                    return carry[1]
                 return lambda: f(iq)
 
-            per = chain_time(mk)
-            rate = n / per
-            log(f"wbfm[{impl}]: {rate/1e6:.1f} Msamp/s/chip "
-                f"steady-state")
+            per, compile_s = scan_steady(mk)
+            extra = dict(
+                bytes_step=n * 4 * 5,       # xp+xc planes + demod out
+                mxu_flops=(n // 128) * 4 * 2 * 128 * 128,
+            ) if impl == "pallas" else {}
+            rate = record(f"wbfm[{impl}]", n, per,
+                          compile_s=compile_s, **extra)
             best = max(best, rate)
         except Exception as e:
-            log(f"wbfm[{impl}] failed:", repr(e)[:300])
+            fail(f"wbfm[{impl}]", e)
     return best
 
 
-def bench_flowgraph_channelizer() -> float:
-    """Flowgraph-compiled channelizer (VERDICT r1 item 2): a YAML-able
-    graph through the scheduler must land within ~20% of the raw model.
-    Burst mode scans the compiled segment over cycles, so the per-cycle
-    cost is the kernel plus scan overhead, not the tunnel dispatch."""
+# ----------------------------------------------------------------------
+def _burst_rate(fg, k, cycles_samples, warm=2):
+    """Differential burst timing: (t(4 bursts) - t(1 burst)) / (3k)
+    cancels the fixed dispatch + final-sync d2h (~25 ms on axon)."""
+    for _ in range(warm):
+        assert fg.compute_burst(k, timeout=120.0) == k
+
+    def run_bursts(nb):
+        fg.scheduler.synchronize()
+        t0 = time.perf_counter()
+        for _ in range(nb):
+            assert fg.compute_burst(k, timeout=120.0) == k
+        fg.scheduler.synchronize()
+        return time.perf_counter() - t0
+
+    t1 = min(run_bursts(1) for _ in range(3))
+    t4 = min(run_bursts(4) for _ in range(3))
+    dt = (t4 - t1) / (3 * k)
+    return cycles_samples / dt, dt
+
+
+def bench_flowgraph_channelizer(raw_rate: float) -> float:
+    """Flowgraph-compiled channelizer: a YAML-able graph through the
+    scheduler must land within ~20% of the raw model chain (VERDICT r3
+    item 4 — the reconciliation gate).  The channelizer's hist state is
+    a real per-cycle recurrence, so the burst scan cannot be hoisted."""
     from cyberether_tpu import Flowgraph
 
-    frames = 1 << 17        # 8.4 Msamp/cycle — same step as the raw model
+    frames = 1 << 17        # 8.4 Msamp/cycle — same step as the model
     rng = np.random.default_rng(0)
     buf = rng.standard_normal((frames, 64, 2)).astype(np.float32)
     fg = Flowgraph()
@@ -247,97 +357,65 @@ def bench_flowgraph_channelizer() -> float:
                     provider="pallas")
     try:
         for _ in range(2):
-            ok = fg.compute(timeout=60.0)
+            ok = fg.compute(timeout=120.0)
         errored = {b: fg.block_error(b) for b in fg.records
                    if fg.block_state(b).value != "complete"}
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
-        k = 32
-        fg.compute_burst(k, timeout=60.0)    # compile the scan
-
-        def run_bursts(n):
-            fg.scheduler.synchronize()
-            t0 = time.perf_counter()
-            for _ in range(n):
-                assert fg.compute_burst(k, timeout=60.0) == k
-            fg.scheduler.synchronize()
-            return time.perf_counter() - t0
-
-        run_bursts(1)                        # warm
-        # differential over burst counts cancels the fixed dispatch +
-        # final d2h sync (~25 ms on axon) — same methodology as
-        # chain_time for the raw model; per-call numbers also logged
-        t1 = min(run_bursts(1) for _ in range(3))
-        t4 = min(run_bursts(4) for _ in range(3))
-        dt = (t4 - t1) / (3 * k)
-        rate = frames * 64 / dt
-        log(f"flowgraph channelizer burst[{k}]: {rate/1e6:.1f} Msamp/s "
-            f"({dt*1e3:.2f} ms/cycle steady-state; "
-            f"one-burst incl. sync {t1/k*1e3:.2f} ms/cycle)")
+        rate, dt = _burst_rate(fg, 32, frames * 64)
+        ratio = rate / raw_rate if raw_rate else float("nan")
+        record("flowgraph-channelizer-burst[32]", frames * 64, dt,
+               burst_vs_chain=round(ratio, 3))
+        log(f"reconciliation: flowgraph burst / raw chain = {ratio:.2f}"
+            " (same kernel, same step size; must be in [0.8, 1.25])")
+        if raw_rate and not (0.8 <= ratio <= 1.25):
+            fail("reconciliation[channelizer]",
+                 RuntimeError(f"burst/chain ratio {ratio:.2f} outside "
+                              "[0.8, 1.25] — methodologies disagree"))
         return rate
     finally:
         fg.stop()
 
 
 def bench_flowgraph_spectrum() -> float:
-    """Compiled-graph spectrum incl. host loop (framework overhead).
-
-    Two graphs: the spectrum_engine composite (small cycle — shows the
-    per-cycle framework floor) and the fused provider="pallas" spectrum
-    block at the SAME 8.4 Msamp step the raw model bench uses, so the
-    flowgraph number is apples-to-apples with bench_spectrum."""
-    best = _bench_flowgraph_spectrum_engine()
-    try:
-        best = max(best, _bench_flowgraph_spectrum_fused())
-    except Exception as e:
-        log("flowgraph fused spectrum failed:", repr(e)[:300])
-    return best
-
-
-def _bench_flowgraph_spectrum_fused() -> float:
+    """Compiled-graph spectrum with an HONEST per-cycle dependency: a
+    device-side stateful signal_generator source (phase accumulator)
+    feeds reshape -> fused spectrum, so every burst cycle computes a
+    genuinely different spectrum (round 2 fed a settled dti constant
+    into a stateless block — XLA hoisted the body and reported a
+    physically impossible 42.5 Gsamp/s)."""
     from cyberether_tpu import Flowgraph
 
-    rng = np.random.default_rng(0)
     nb, n = 4096, 2048
-    buf = rng.standard_normal((nb, n, 2)).astype(np.float32)
     fg = Flowgraph()
-    fg.block_create("src", "dti", {"shape": [nb, n, 2],
-                                   "dataType": "F32"})
-    fg.records["src"].build.modules["src/m"].attach_buffer(buf)
+    fg.block_create("src", "signal_generator",
+                    {"signalType": "cosine", "signalDataType": "CF32",
+                     "bufferSize": nb * n, "sampleRate": 1e6,
+                     "frequency": 12345.0})
+    fg.block_create("rs", "reshape", {"shape": [nb, n]},
+                    {"buffer": "${graph.src.output.signal}"})
     fg.block_create("spec", "spectrum", {"bf16": True},
-                    {"buffer": "${graph.src.output.buffer}"},
+                    {"buffer": "${graph.rs.output.buffer}"},
                     provider="pallas")
     try:
         for _ in range(2):
-            ok = fg.compute(timeout=60.0)
+            ok = fg.compute(timeout=120.0)
         errored = {b: fg.block_error(b) for b in fg.records
                    if fg.block_state(b).value != "complete"}
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
-        k = 16
-        fg.compute_burst(k, timeout=60.0)
-
-        def run_bursts(nb_):
-            fg.scheduler.synchronize()
-            t0 = time.perf_counter()
-            for _ in range(nb_):
-                assert fg.compute_burst(k, timeout=60.0) == k
-            fg.scheduler.synchronize()
-            return time.perf_counter() - t0
-
-        run_bursts(1)
-        t1 = min(run_bursts(1) for _ in range(3))
-        t4 = min(run_bursts(4) for _ in range(3))
-        dtb = (t4 - t1) / (3 * k)
-        rb = nb * n / dtb
-        log(f"flowgraph fused spectrum burst[{k}]: {rb/1e6:.1f} Msamp/s "
-            f"({dtb*1e3:.2f} ms/cycle)")
-        return rb
+        rate, dt = _burst_rate(fg, 16, nb * n)
+        record("flowgraph-spectrum-burst[16] (incl. siggen source)",
+               nb * n, dt)
+        return rate
     finally:
         fg.stop()
 
 
-def _bench_flowgraph_spectrum_engine() -> float:
+def bench_flowgraph_spectrum_engine() -> float:
+    """The spectrum_engine composite through per-cycle dispatch — the
+    per-cycle framework floor (host loop + tunnel), not a kernel
+    number."""
     from cyberether_tpu import Flowgraph
 
     rng = np.random.default_rng(0)
@@ -351,7 +429,7 @@ def _bench_flowgraph_spectrum_engine() -> float:
                     {"buffer": "${graph.src.output.buffer}"})
     try:
         for _ in range(3):
-            ok = fg.compute(timeout=10.0)
+            ok = fg.compute(timeout=30.0)
         errored = {b: fg.block_error(b) for b in fg.records
                    if fg.block_state(b).value != "complete"}
         if not ok or errored:
@@ -360,77 +438,86 @@ def _bench_flowgraph_spectrum_engine() -> float:
         t0 = time.perf_counter()
         steps = 20
         for _ in range(steps):
-            fg.compute(timeout=10.0)
+            fg.compute(timeout=30.0)
         fg.scheduler.synchronize()
         dt = (time.perf_counter() - t0) / steps
-        rate = nb * n / dt
-        log(f"flowgraph spectrum: {rate/1e6:.1f} Msamp/s "
-            f"({dt*1e3:.2f} ms/cycle incl. host loop)")
-        k = 16
-        fg.compute_burst(k, timeout=10.0)
-
-        def run_bursts(nb_):
-            fg.scheduler.synchronize()
-            t0 = time.perf_counter()
-            for _ in range(nb_):
-                assert fg.compute_burst(k, timeout=10.0) == k
-            fg.scheduler.synchronize()
-            return time.perf_counter() - t0
-
-        run_bursts(1)
-        t1 = min(run_bursts(1) for _ in range(3))
-        t4 = min(run_bursts(4) for _ in range(3))
-        dtb = (t4 - t1) / (3 * k)
-        rb = nb * n / dtb
-        log(f"flowgraph spectrum burst[{k}]: {rb/1e6:.1f} Msamp/s "
-            f"({dtb*1e3:.2f} ms/cycle)")
-        return max(rate, rb)
+        record("flowgraph-spectrum_engine per-dispatch", nb * n, dt)
+        return nb * n / dt
     finally:
         fg.stop()
 
 
 def main() -> None:
     log("devices:", jax.devices())
+    t_start = time.perf_counter()
     results = {}
     rate = 0.0
     try:
         rate = bench_channelizer_pallas()
         results["channelizer_pallas"] = rate
     except Exception as e:
-        log("pallas channelizer bench failed:", repr(e))
+        fail("channelizer-pallas", e)
     try:
         xla_rate = bench_channelizer_xla()
         results["channelizer_xla"] = xla_rate
         rate = max(rate, xla_rate)
     except Exception as e:
-        log("xla channelizer bench failed:", repr(e))
+        fail("channelizer-xla", e)
     if rate == 0.0:
         log("FATAL: no channelizer measurement")
     try:
-        fg_rate = bench_flowgraph_channelizer()
-        results["flowgraph_channelizer"] = fg_rate
-        if rate and fg_rate:
-            log(f"flowgraph/raw channelizer ratio: {fg_rate/rate:.2f}")
+        results["flowgraph_channelizer"] = \
+            bench_flowgraph_channelizer(results.get(
+                "channelizer_pallas", 0.0))
     except Exception as e:
-        log("flowgraph channelizer bench failed:", repr(e))
+        fail("flowgraph-channelizer", e)
     try:
         results["spectrum"] = bench_spectrum()
     except Exception as e:
-        log("spectrum bench failed:", repr(e))
+        fail("spectrum", e)
     try:
         results["wbfm"] = bench_wbfm()
     except Exception as e:
-        log("wbfm bench failed:", repr(e))
+        fail("wbfm", e)
     try:
         results["flowgraph_spectrum"] = bench_flowgraph_spectrum()
     except Exception as e:
-        log("flowgraph spectrum bench failed:", repr(e))
+        fail("flowgraph-spectrum", e)
+    try:
+        results["flowgraph_spectrum_engine"] = \
+            bench_flowgraph_spectrum_engine()
+    except Exception as e:
+        fail("flowgraph-spectrum-engine", e)
+
+    head = next((r for r in RESULTS
+                 if r["name"].startswith("channelizer-pallas")
+                 and r["msamp_s"] * 1e6 == rate), None)
+    archive = {
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        "device": str(jax.devices()[0]),
+        "peaks": {"hbm_gbps": MEAS_HBM_GBPS,
+                  "f32_tflops": MEAS_F32_TFLOPS,
+                  "bf16_tflops": MEAS_BF16_TFLOPS},
+        "failures": FAILURES,
+        "results": RESULTS,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_results.json"),
+                "w") as f:
+            json.dump(archive, f, indent=1)
+    except OSError as e:
+        log("could not archive bench_results.json:", e)
 
     print(json.dumps({
         "metric": "channelizer64_fm_samples_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(rate / BASELINE_PER_CHIP, 3),
+        "achieved_gbps": head["achieved_gbps"] if head else None,
+        "mfu": head["mfu"] if head else None,
+        "compile_s": head.get("compile_s") if head else None,
+        "failures": FAILURES,
     }), flush=True)
 
 

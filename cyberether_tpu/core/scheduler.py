@@ -586,7 +586,7 @@ class Scheduler:
         fn = jax.jit(segment_fn, donate_argnums=(0,))
 
         def burst_fn(state, ext_stack, ext_const, valid_stack,
-                     gate_stack):
+                     gate_stack, cycles):
             # ONE dispatch for k cycles: scan the segment over stacked
             # source buffers (leading cycle axis).  Defeats per-call
             # dispatch latency; nothing the interpreting reference
@@ -595,7 +595,7 @@ class Scheduler:
             # the versioned h2d cache as a single device buffer instead
             # of a k-fold stacked upload.
             def body(st, xs):
-                ev, vv, gf = xs
+                ev, vv, gf, _cyc = xs
                 ev = dict(ev)
                 ev.update(ext_const)
                 out_vals, out_valid, new_state, metrics = \
@@ -606,8 +606,12 @@ class Scheduler:
                 carried.update(new_state)
                 return carried, (out_vals, out_valid, metrics)
 
+            # ``cycles`` guarantees the scan always has an xs leaf of
+            # length k — a segment whose sources are all device-side
+            # (e.g. signal_generator) has no stacked external inputs
             final, (outs, valids, mets) = jax.lax.scan(
-                body, state, (ext_stack, valid_stack, gate_stack))
+                body, state,
+                (ext_stack, valid_stack, gate_stack, cycles))
             return outs, valids, final, mets
 
         # explicit placement only when the segment's device differs
@@ -913,7 +917,8 @@ class Scheduler:
         if seg.device0 is not None:
             state_sub = jax.device_put(state_sub, seg.device0)
         outs, valids, final_state, mets = seg.burst_fn(
-            state_sub, ext_stack, ext_const, valid_stack, gate_stack)
+            state_sub, ext_stack, ext_const, valid_stack, gate_stack,
+            np.zeros((k,), np.float32))
         burst_outs.update(outs)
         burst_valid.update(valids)
         for pool in (outs, final_state):
