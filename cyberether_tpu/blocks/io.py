@@ -315,6 +315,12 @@ def _open_sdr(cfg: Dict[str, Any]):
     ds = str(cfg.get("deviceString", ""))
     if ds.startswith("test") or ds == "":
         return _TestToneDriver(cfg)
+    if ds.startswith("remote="):
+        # network-attached SDR (the SoapyRemote capability,
+        # /root/reference/subprojects/soapyremote.wrap)
+        from cyberether_tpu.io.remote_sdr import RemoteSdrDevice
+
+        return RemoteSdrDevice(cfg)
     try:
         from cyberether_tpu.io.soapysdr import SoapyDevice
 

@@ -21,7 +21,11 @@ log = get_logger("native")
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_ROOT, "native")
+# CYBERETHER_NATIVE_DIR: prebuilt-library location for installed/
+# containerized deployments (the Dockerfile builds native/ at image
+# build time and points this at it)
+_NATIVE_DIR = os.environ.get("CYBERETHER_NATIVE_DIR",
+                             os.path.join(_ROOT, "native"))
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libceruntime.so")
 
 _lib = None
