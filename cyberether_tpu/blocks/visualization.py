@@ -132,13 +132,16 @@ class WaterfallModule(Module):
     module_type = "waterfall"
     taints = Taint.SURFACE
     input_ports = ("signal",)
-    output_ports = ("surface",)
+    output_ports = ("surface", "seq")
     schema = Schema(Field("height", "int", 512),
                     Field("interpolate", "bool", True),
                     Field("zoom", "float", 1.0),
                     Field("offset", "int", 0),
                     Field("rangeMin", "float", -100.0),
                     Field("rangeMax", "float", 0.0))
+    #: zoom/offset only affect present_data — live-updatable from the
+    #: editor's wheel/drag input events without a module rebuild
+    view_fields = ("zoom", "offset")
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
@@ -151,11 +154,17 @@ class WaterfallModule(Module):
     def create(self) -> Dict[str, TensorSpec]:
         h = int(self.config["height"])
         return {"surface": TensorSpec((h, self._width), DataType.F32,
-                                      self.device)}
+                                      self.device),
+                # total rows ever scrolled — the delta-stream codec's
+                # sync counter (an OUTPUT, not state: present_data must
+                # never touch device state, which is donated to the
+                # in-flight compute)
+                "seq": TensorSpec((), DataType.I32, self.device)}
 
     def init_state(self):
         h = int(self.config["height"])
-        return {"buf": jnp.zeros((h, self._width), jnp.float32)}
+        return {"buf": jnp.zeros((h, self._width), jnp.float32),
+                "seq": jnp.zeros((), jnp.int32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"]
@@ -165,7 +174,8 @@ class WaterfallModule(Module):
         buf = jnp.roll(state["buf"], -nr, axis=0)
         buf = jax.lax.dynamic_update_slice(buf, rows.astype(jnp.float32),
                                            (h - nr, 0))
-        return {"surface": buf}, {"buf": buf}
+        seq = state["seq"] + nr
+        return {"surface": buf, "seq": seq}, {"buf": buf, "seq": seq}
 
     def present_data(self, outputs, state):
         buf = np.asarray(outputs["surface"])
@@ -173,6 +183,7 @@ class WaterfallModule(Module):
         off = int(self.config["offset"])
         w = buf.shape[1]
         x0_frac, x1_frac = 0.0, 1.0
+        span = w
         if zoom > 1.0:
             span = max(int(w / zoom), 1)
             off = min(max(off, 0), w - span)
@@ -186,8 +197,15 @@ class WaterfallModule(Module):
         axes["x"]["max"] = fx0 + (fx1 - fx0) * x1_frac
         axes["y"] = {"min": 0.0, "max": float(buf.shape[0]),
                      "unit": "line", "label": "history"}
+        # scroll_seq: total rows ever pushed — the server's delta codec
+        # sends only rows since the last frame it shipped; view changes
+        # (zoom/offset) force a keyframe
+        seq = int(np.asarray(outputs["seq"])) if "seq" in outputs else 0
         return {"frame": apply_colormap(buf), "kind": "waterfall",
-                "axes": axes}
+                "axes": axes, "scroll_seq": seq,
+                "view": [int(off), int(span)],
+                "interactive": {"zoom": zoom, "offset": int(off),
+                                "width": int(w), "span": int(span)}}
 
 
 # ---------------------------------------------------------------------------

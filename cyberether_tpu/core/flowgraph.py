@@ -171,6 +171,38 @@ class Flowgraph:
             rec = self._require(name)
             rec.meta.update(meta)
 
+    def block_set_view(self, name: str,
+                       config: Dict[str, Any]) -> None:
+        """Live view-parameter update (zoom/offset/...): applied in
+        place to modules that declare the keys in ``view_fields``,
+        WITHOUT recreating the block or rebuilding the scheduler —
+        the reference's reload-free waterfall zoom/offset interaction
+        (src/domains/visualization/waterfall/, compositor views).
+        Raises for keys no module of the block declares as a view
+        field (those need :meth:`block_reconfigure`)."""
+        with self._lock:
+            rec = self._require(name)
+            if rec.build is None:
+                raise GraphError(f"block '{name}' is not built")
+            applied: set = set()
+            for mod in rec.build.modules.values():
+                vf = getattr(mod, "view_fields", ())
+                keys = [k for k in config if k in vf]
+                if not keys:
+                    continue
+                decoded = mod.schema.decode(
+                    {**mod.config,
+                     **{k: config[k] for k in keys}})
+                for k in keys:
+                    mod.config[k] = decoded[k]
+                    applied.add(k)
+            unknown = set(config) - applied
+            if unknown:
+                raise GraphError(
+                    f"not live view fields of '{name}': "
+                    f"{sorted(unknown)}")
+            rec.raw_config.update({k: config[k] for k in applied})
+
     def block_connect(self, name: str, port: str, link: str) -> None:
         """Set/replace an input link; ``link`` is '${graph.X.output.Y}' or
         'X.Y' shorthand, or '' to disconnect."""

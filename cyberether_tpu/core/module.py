@@ -53,6 +53,12 @@ class Module:
     output_ports: Tuple[str, ...] = ()
     #: names of scalar metrics published per cycle (read from state)
     metric_ports: Tuple[str, ...] = ()
+    #: config fields that only affect present_data (live view params:
+    #: zoom/offset...) — updatable in place via
+    #: ``Flowgraph.block_set_view`` without recreating the module (the
+    #: reference's reload-free waterfall interaction,
+    #: src/domains/visualization/waterfall/)
+    view_fields: Tuple[str, ...] = ()
 
     def __init__(self, name: str, raw_config: Optional[Dict[str, Any]],
                  input_specs: Dict[str, TensorSpec]):

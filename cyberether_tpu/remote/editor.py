@@ -74,6 +74,21 @@ svg{width:100%;height:100%;display:block}
  padding:3px 8px;text-align:right}
 #modalbody th:first-child,#modalbody td:first-child{text-align:left}
 #modalbody textarea{width:640px;height:360px;font:inherit}
+.codewrap{position:relative;border:1px solid var(--edge);
+ border-radius:4px;background:#0d0f12}
+.codewrap textarea{position:relative;display:block;width:100%;
+ box-sizing:border-box;background:transparent;color:transparent;
+ caret-color:var(--txt);border:none;resize:vertical;z-index:2;
+ font:12px/1.45 ui-monospace,monospace;padding:6px;margin:0;
+ white-space:pre;overflow:auto}
+.codewrap pre.codehl{position:absolute;inset:0;margin:0;z-index:1;
+ font:12px/1.45 ui-monospace,monospace;padding:6px;color:var(--txt);
+ white-space:pre;overflow:hidden;pointer-events:none}
+.codehl .kw{color:#c792ea}.codehl .str{color:#c3e88d}
+.codehl .cmt{color:#5c6370;font-style:italic}
+.codehl .num{color:#f78c6c}.codehl .dec{color:#ffcb6b}
+.codehl .fn{color:#82aaff}
+.codehl .errline{background:#e0607022;outline:1px solid #e0607066}
 .md h1,.md h2,.md h3{color:var(--acc);margin:4px 0}
 .md code{background:var(--bg);padding:0 4px;border-radius:3px}
 .md p{margin:4px 0}
@@ -169,6 +184,72 @@ document.getElementById("modalbg").addEventListener("pointerdown",
   (ev) => { if (ev.target.id === "modalbg") hideModal(); });
 document.addEventListener("keydown",
   (ev) => { if (ev.key === "Escape") hideModal(); });
+
+// ---- command palette (the Sakura palette widget,
+// include/jetstream/render/sakura/base.hh) — ctrl/cmd-K -------------
+function paletteCommands() {
+  const cmds = [];
+  for (const t of Object.keys(registry).sort())
+    cmds.push({label: `add block: ${t}`, run: () => addBlock(t)});
+  const ex = document.getElementById("exsel");
+  for (const o of ex.options)
+    if (o.value) cmds.push({label: `open example: ${o.value}`,
+      run: () => { ex.value = o.value;
+        document.getElementById("openex").click(); }});
+  cmds.push(
+    {label: "show: yaml", run: () =>
+      document.getElementById("yamlbtn").click()},
+    {label: "show: benchmark", run: () =>
+      document.getElementById("benchbtn").click()},
+    {label: "show: help", run: () =>
+      document.getElementById("helpbtn").click()},
+    {label: "toggle theme", run: () =>
+      document.getElementById("themebtn").click()},
+    {label: "save layout", run: () =>
+      document.getElementById("savebtn").click()});
+  return cmds;
+}
+
+function openPalette() {
+  showModal("command palette",
+    `<input id="palin" placeholder="type a command…" ` +
+    `style="width:420px"><div id="pallist" ` +
+    `style="margin-top:8px;max-height:320px;overflow:auto"></div>`);
+  const input = document.getElementById("palin");
+  const list = document.getElementById("pallist");
+  const cmds = paletteCommands();
+  let hi = 0, shown = [];
+  const renderList = () => {
+    const q = input.value.toLowerCase();
+    shown = cmds.filter(c => c.label.toLowerCase().includes(q))
+      .slice(0, 14);
+    hi = Math.min(hi, Math.max(shown.length - 1, 0));
+    list.innerHTML = shown.map((c, i) =>
+      `<div data-i="${i}" style="padding:3px 8px;cursor:pointer;` +
+      `border-radius:4px;${i === hi ?
+        "background:#2a2e36;color:var(--acc)" : ""}">` +
+      `${c.label}</div>`).join("") ||
+      `<div style="color:var(--dim)">no matches</div>`;
+    for (const el of list.children) {
+      el.onclick = () => { hideModal(); shown[+el.dataset.i].run(); };
+    }
+  };
+  input.addEventListener("input", () => { hi = 0; renderList(); });
+  input.addEventListener("keydown", (ev) => {
+    if (ev.key === "ArrowDown") { hi++; renderList(); ev.preventDefault(); }
+    else if (ev.key === "ArrowUp") {
+      hi = Math.max(hi - 1, 0); renderList(); ev.preventDefault(); }
+    else if (ev.key === "Enter" && shown[hi]) {
+      hideModal(); shown[hi].run(); }
+  });
+  renderList();
+  input.focus();
+}
+document.addEventListener("keydown", (ev) => {
+  if ((ev.ctrlKey || ev.metaKey) && ev.key.toLowerCase() === "k") {
+    ev.preventDefault(); openPalette();
+  }
+});
 
 document.getElementById("themebtn").onclick = () => {
   document.body.classList.toggle("light");
@@ -402,8 +483,16 @@ function renderInspector() {
     const label = `<label>${f.name} <i>(${f.type})</i>` +
       `${f.help ? " — " + f.help : ""}</label>`;
     // code/markdown fields get a monospace multi-line editor (the
-    // compositor's python/markdown field editors)
-    if (f.name === "code" || f.name === "content" ||
+    // compositor's python/markdown field editors); "code" gets the
+    // syntax-highlighted overlay (the reference's tree-sitter code
+    // editor, src/render/sakura/ + domains/core/python/module.hh)
+    if (f.name === "code") {
+      const esc = (v || "").replace(/&/g, "&amp;").replace(/</g, "&lt;");
+      html += `<div class="row">${label}<div class="codewrap">` +
+        `<pre class="codehl" id="hl_${f.name}"></pre>` +
+        `<textarea data-cfg-raw="${f.name}" data-hl="hl_${f.name}" ` +
+        `rows="10" spellcheck="false">${esc}</textarea></div></div>`;
+    } else if (f.name === "content" ||
         (typeof v === "string" && v.includes("\n"))) {
       const esc = (v || "").replace(/&/g, "&amp;").replace(/</g, "&lt;");
       html += `<div class="row">${label}<textarea data-cfg-raw=` +
@@ -440,6 +529,24 @@ function renderInspector() {
   html += `<div class="row"><button id="apply">apply</button>` +
     `<button id="del" class="danger">delete</button></div>`;
   insp.innerHTML = html;
+  // live syntax highlight for python code fields; the block's error
+  // line (parsed from the diagnostic) is tinted in the editor
+  for (const ta of insp.querySelectorAll("textarea[data-hl]")) {
+    const pre = document.getElementById(ta.dataset.hl);
+    const errLine = (() => {
+      const m = (b.error || "").match(/line (\d+)/);
+      return m ? parseInt(m[1], 10) : 0;
+    })();
+    const sync = () => {
+      pre.innerHTML = pyHighlight(ta.value, errLine);
+      pre.scrollTop = ta.scrollTop; pre.scrollLeft = ta.scrollLeft;
+    };
+    ta.addEventListener("input", sync);
+    ta.addEventListener("scroll", () => {
+      pre.scrollTop = ta.scrollTop; pre.scrollLeft = ta.scrollLeft;
+    });
+    sync();
+  }
   document.getElementById("apply").onclick = applyConfig;
   document.getElementById("del").onclick = async () => {
     try {
@@ -448,6 +555,46 @@ function renderInspector() {
       toast(`deleted ${sel}`); sel = null; refresh();
     } catch (e) { toast("delete failed: " + e.message, true); }
   };
+}
+
+// self-contained python tokenizer -> highlighted HTML (no CDN; the
+// reference embeds tree-sitter grammars, src/render/sakura/).  Strings
+// and comments tokenize first; keywords/numbers/decorators/calls are
+// regex passes over the remaining plain segments.
+const PY_KW = new RegExp("\\b(def|class|return|if|elif|else|for|" +
+  "while|import|from|as|with|try|except|finally|raise|pass|break|" +
+  "continue|lambda|yield|global|nonlocal|assert|del|not|and|or|in|" +
+  "is|None|True|False|async|await|self)\\b", "g");
+function pyHighlight(src, errLine) {
+  const esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+  const plain = s => esc(s)
+    .replace(PY_KW, '<span class="kw">$1</span>')
+    .replace(/(^|[^\w.])(\d+\.?\d*(?:e[+-]?\d+)?)/gi,
+             '$1<span class="num">$2</span>')
+    .replace(/(@[A-Za-z_][\w.]*)/g, '<span class="dec">$1</span>')
+    .replace(/([A-Za-z_]\w*)(?=\()/g, '<span class="fn">$1</span>');
+  const q = '"'.repeat(3);   // avoid ending the page's py string
+  const re = new RegExp(
+    `(${q}[\\s\\S]*?${q}|'''[\\s\\S]*?'''|` +
+    `"(?:\\\\.|[^"\\\\\\n])*"|'(?:\\\\.|[^'\\\\\\n])*'|#[^\\n]*)`,
+    "g");
+  let out = "", last = 0, m;
+  while ((m = re.exec(src))) {
+    out += plain(src.slice(last, m.index));
+    out += `<span class="${m[0][0] === "#" ? "cmt" : "str"}">` +
+      `${esc(m[0])}</span>`;
+    last = m.index + m[0].length;
+  }
+  out += plain(src.slice(last));
+  if (errLine > 0) {
+    const lines = out.split("\n");
+    if (errLine <= lines.length) {
+      lines[errLine - 1] =
+        `<span class="errline">${lines[errLine - 1] || " "}</span>`;
+    }
+    out = lines.join("\n");
+  }
+  return out + "\n";
 }
 
 // minimal markdown renderer for note blocks (the reference's Sakura
@@ -648,6 +795,7 @@ async function boot() {
   const ws = new WebSocket(
     `ws${location.protocol === "https:" ? "s" : ""}://` +
     `${location.host}/api/v1/stream${tq}`);
+  streamWs = ws;
   ws.binaryType = "arraybuffer";
   ws.onmessage = async (ev) => {
     if (typeof ev.data === "string") {
@@ -673,6 +821,44 @@ async function boot() {
 // axis ticks and cursor — visualization/lineplot/module_impl.cc)
 const SW = 380, SH = 186, MARGIN = {l: 52, r: 8, t: 6, b: 22};
 const surfState = {};   // name -> {header, data, bitmap, cursor}
+let streamWs = null;    // input-event channel back to the server
+
+// throttled live view-parameter updates (wheel zoom / drag pan ->
+// module config zoom/offset via the WS input channel — the analog of
+// the reference's WebRTC data-channel input events)
+const inputPending = {};
+function sendInput(name, config) {
+  if (!streamWs || streamWs.readyState !== 1) return;
+  inputPending[name] = config;
+  if (!sendInput._t) {
+    sendInput._t = setTimeout(() => {
+      sendInput._t = null;
+      for (const [n, cfg] of Object.entries(inputPending)) {
+        streamWs.send(JSON.stringify(
+          {type: "input", surface: n, config: cfg}));
+        delete inputPending[n];
+      }
+    }, 40);
+  }
+}
+
+function interactiveZoom(st, name, fx, factor) {
+  const it = st.header && st.header.interactive;
+  if (!it) return;
+  const z2 = Math.min(Math.max(it.zoom * factor, 1), 64);
+  const span2 = Math.floor(it.width / z2);
+  let off2 = Math.round(it.offset + fx * it.span - fx * span2);
+  off2 = Math.min(Math.max(off2, 0), it.width - span2);
+  sendInput(name, {zoom: z2, offset: off2});
+}
+
+function interactivePan(st, name, dfx) {
+  const it = st.header && st.header.interactive;
+  if (!it || it.zoom <= 1) return;
+  let off2 = Math.round(it.offset - dfx * it.span);
+  off2 = Math.min(Math.max(off2, 0), it.width - it.span);
+  sendInput(name, {offset: off2});
+}
 
 function surfCanvas(name) {
   let st = surfState[name];
@@ -688,12 +874,35 @@ function surfCanvas(name) {
     st = surfState[name] = {canvas: cv2, cursor: null};
     cv2.addEventListener("pointermove", (ev) => {
       const r = cv2.getBoundingClientRect();
+      const prev = st.cursor;
       st.cursor = [ev.clientX - r.left, ev.clientY - r.top];
+      if (st.dragging && prev) {
+        const [px, , pw] = plotRect();
+        interactivePan(st, name, (st.cursor[0] - prev[0]) / pw);
+      }
       drawSurface(name);
     });
     cv2.addEventListener("pointerleave", () => {
-      st.cursor = null; drawSurface(name);
+      st.cursor = null; st.dragging = false; drawSurface(name);
     });
+    cv2.addEventListener("pointerdown", (ev) => {
+      if (st.header && st.header.interactive) {
+        st.dragging = true; cv2.setPointerCapture(ev.pointerId);
+      }
+    });
+    cv2.addEventListener("pointerup", (ev) => {
+      st.dragging = false;
+      try { cv2.releasePointerCapture(ev.pointerId); } catch (e) {}
+    });
+    cv2.addEventListener("wheel", (ev) => {
+      if (!(st.header && st.header.interactive)) return;
+      ev.preventDefault();
+      const r = cv2.getBoundingClientRect();
+      const [px, , pw] = plotRect();
+      const fx = Math.min(Math.max(
+        (ev.clientX - r.left - px) / pw, 0), 1);
+      interactiveZoom(st, name, fx, ev.deltaY < 0 ? 1.25 : 0.8);
+    }, {passive: false});
   }
   return st;
 }
@@ -716,9 +925,28 @@ async function presentSurface(header, payload) {
   st.header = header;
   if (header.enc === "f32") {
     st.data = new Float32Array(payload);
-  } else if (header.enc === "jpeg") {
-    st.bitmap = await createImageBitmap(
-      new Blob([payload], {type: "image/jpeg"}));
+  } else if (header.enc === "jpeg" || header.enc === "png") {
+    const bm = await createImageBitmap(new Blob([payload],
+      {type: header.enc === "png" ? "image/png" : "image/jpeg"}));
+    if (header.mode === "delta") {
+      if (!st.off || st.off.width !== bm.width) return; // need key
+      // scrolling delta: shift retained frame up, blit new rows at
+      // the bottom (server sends only the newly scrolled strip)
+      const g2 = st.off.getContext("2d");
+      g2.drawImage(st.off, 0, -bm.height);
+      g2.drawImage(bm, 0, st.off.height - bm.height);
+      st.bitmap = st.off;
+    } else if (header.mode) {             // keyframe (or lost sync)
+      if (!st.off || st.off.width !== bm.width ||
+          st.off.height !== bm.height) {
+        st.off = document.createElement("canvas");
+        st.off.width = bm.width; st.off.height = bm.height;
+      }
+      st.off.getContext("2d").drawImage(bm, 0, 0);
+      st.bitmap = st.off;
+    } else {
+      st.bitmap = bm;
+    }
   }
   drawSurface(header.name);
 }

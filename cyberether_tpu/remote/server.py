@@ -130,13 +130,25 @@ def _fingerprint(data: Dict[str, Any]) -> int:
     return zlib.crc32(a[::step].tobytes())
 
 
-def _encode_binary(name: str, data: Dict[str, Any]
+def _encode_binary(name: str, data: Dict[str, Any],
+                   delta_rows: Optional[int] = None
                    ) -> Optional[Tuple[bytes, bytes]]:
-    """One surface -> (header JSON bytes, payload bytes)."""
+    """One surface -> (header JSON bytes, payload bytes).
+
+    ``delta_rows``: scrolling-surface delta codec (the in-image
+    equivalent of the reference's encoded-video streaming,
+    instance_remote_impl.cc:746-900) — ship only the newest N rows as
+    a lossless PNG strip; the client scrolls its retained canvas and
+    blits the strip at the bottom.  ``None`` sends the full frame
+    (keyframe for scrolling kinds)."""
     kind = data.get("kind", "frame")
     header: Dict[str, Any] = {"name": name, "kind": kind}
     if "axes" in data:
         header["axes"] = _jsonable(data["axes"])
+    if "interactive" in data:
+        header["interactive"] = _jsonable(data["interactive"])
+    if "scroll_seq" in data:
+        header["seq"] = int(data["scroll_seq"])
     payload = b""
     if kind == "map":
         header["aircraft"] = _jsonable(data.get("aircraft", []))
@@ -154,6 +166,8 @@ def _encode_binary(name: str, data: Dict[str, Any]
         except ImportError:   # pragma: no cover
             return None
         arr = np.asarray(data["frame"])
+        if delta_rows is not None:
+            arr = arr[-delta_rows:]
         if arr.ndim == 3 and arr.shape[-1] == 4:
             img = Image.fromarray(arr[..., :3], "RGB")
         elif arr.ndim == 3 and arr.shape[-1] == 3:
@@ -166,8 +180,18 @@ def _encode_binary(name: str, data: Dict[str, Any]
         else:
             return None
         buf = io.BytesIO()
-        img.save(buf, format="JPEG", quality=82)
-        header.update(enc="jpeg", w=img.width, h=img.height)
+        if delta_rows is not None:
+            # lossless strips: JPEG deltas would accumulate block-seam
+            # artifacts as strips stack into the scrolled history
+            img.save(buf, format="PNG")
+            header.update(enc="png", mode="delta",
+                          rows=int(arr.shape[0]))
+        else:
+            img.save(buf, format="JPEG", quality=82)
+            header["enc"] = "jpeg"
+            if "scroll_seq" in data:
+                header["mode"] = "key"
+        header.update(w=img.width, h=img.height)
         payload = buf.getvalue()
     else:
         return None
@@ -496,6 +520,29 @@ class RemoteServer:
         return web.json_response({"ok": True, "name": name,
                                   "blocks": list(fg.records)})
 
+    def _handle_input(self, msg: Dict[str, Any]) -> None:
+        """Client -> server input event (the reference's WebRTC
+        data-channel input path, instance_remote_impl.cc:696-740):
+        apply live view-parameter changes (zoom/offset wheel + drag
+        interactions) to the owning block's modules.  Only fields the
+        module declares in ``view_fields`` can be touched."""
+        surface = msg.get("surface")
+        cfg = msg.get("config")
+        if not surface or not isinstance(cfg, dict):
+            return
+        for fg in list(self.instance.flowgraphs.values()):
+            if surface in fg.records:
+                try:
+                    fg.block_set_view(surface, cfg)
+                except Exception as e:
+                    log.warning("input event rejected (%s): %s",
+                                surface, e)
+                return
+
+    # keyframe at least every N delta frames (decoder resync safety,
+    # mirroring the reference encoder's periodic IDR)
+    _KEYFRAME_EVERY = 120
+
     async def _stream(self, request):
         self._check_token(request)
         from aiohttp import web
@@ -506,7 +553,10 @@ class RemoteServer:
         self._clients.add(ws)
         loop = asyncio.get_running_loop()
         last_fp: Dict[str, int] = {}
-        try:
+        # per-surface delta-codec state: (seq, view, frames since key)
+        scroll: Dict[str, Tuple[int, Any, int]] = {}
+
+        async def sender():
             period = 1.0 / self.fps
             tick = 0
             while not ws.closed and not self._stop.is_set():
@@ -529,8 +579,11 @@ class RemoteServer:
                             if last_fp.get(name) == fp:
                                 continue   # dirty tracking: unchanged
                             last_fp[name] = fp
+                            delta = self._delta_rows(name, data,
+                                                     scroll)
                             enc = await loop.run_in_executor(
-                                None, _encode_binary, name, data)
+                                None, _encode_binary, name, data,
+                                delta)
                             if enc is None:
                                 continue
                             header, payload = enc
@@ -544,9 +597,66 @@ class RemoteServer:
                         {"type": "view", "view": views}))
                 tick += 1
                 await asyncio.sleep(period)
+
+        async def sender_logged():
+            try:
+                await sender()
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                log.exception("stream sender failed")
+
+        # sends ride a spawned task; the handler task owns all reads
+        # (aiohttp permits only the handler task to receive) — incoming
+        # TEXT messages are the client input-event channel
+        send_task = asyncio.ensure_future(sender_logged())
+        try:
+            async for msg in ws:
+                if msg.type == web.WSMsgType.TEXT:
+                    try:
+                        m = json.loads(msg.data)
+                    except ValueError:
+                        continue
+                    if m.get("type") == "input":
+                        await loop.run_in_executor(
+                            None, self._handle_input, m)
+                elif msg.type in (web.WSMsgType.ERROR,
+                                  web.WSMsgType.CLOSE):
+                    break
         finally:
+            send_task.cancel()
+            try:
+                await send_task
+            except (asyncio.CancelledError, Exception):
+                pass
             self._clients.discard(ws)
         return ws
+
+    def _delta_rows(self, name: str, data: Dict[str, Any],
+                    scroll: Dict[str, Tuple[int, Any, int]]
+                    ) -> Optional[int]:
+        """Scrolling-surface delta decision: rows to ship, or None for
+        a full frame.  Delta only when the view (zoom/offset window)
+        is unchanged and the scroll advance is a small fraction of the
+        frame height; periodic keyframes bound client drift."""
+        seq = data.get("scroll_seq")
+        if seq is None or "frame" not in data:
+            return None
+        view = data.get("view")
+        h = np.asarray(data["frame"]).shape[0]
+        prev = scroll.get(name)
+        delta = None
+        if prev is not None:
+            pseq, pview, since_key = prev
+            adv = seq - pseq
+            if (pview == view and 0 < adv < h
+                    and since_key < self._KEYFRAME_EVERY):
+                delta = int(adv)
+        if delta is None:
+            scroll[name] = (seq, view, 0)
+        else:
+            scroll[name] = (seq, view, prev[2] + 1)
+        return delta
 
 
 def _jsonable(obj: Any) -> Any:

@@ -121,7 +121,8 @@ def test_editor_ids_referenced_exist():
     html = EDITOR_PAGE[:EDITOR_PAGE.index("<script>")]
     ids = set(re.findall(r'id="([^"]+)"', html))
     dynamic = {"cfgextra", "apply", "del", "benchsel", "benchrun",
-               "benchout", "yamltext", "yamlimport", "yamlcopy"}
+               "benchout", "yamltext", "yamlimport", "yamlcopy",
+               "palin", "pallist"}
     dynamic |= {i for i in re.findall(
         r'getElementById\("([a-z]+)_" ?\+', script)}
     for ref in re.findall(r'getElementById\("([^"]+)"\)', script):

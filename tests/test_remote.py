@@ -313,3 +313,184 @@ def test_token_auth():
     finally:
         server.stop()
         inst.destroy()
+
+
+def test_waterfall_delta_streaming(served_instance):
+    """Scroll-aware delta codec (VERDICT r3 item 8): after the JPEG
+    keyframe the server ships only newly scrolled rows as PNG strips;
+    steady-state bytes must drop >= 5x vs re-sending keyframes."""
+    import asyncio
+    import struct
+
+    import websockets
+
+    # a tall waterfall: the fixture's 32-row one scrolls its full
+    # height between 20 fps present ticks on a free-running CPU graph,
+    # so every frame legitimately keyframes
+    fg = served_instance.flowgraphs["main"]
+    fg.block_create("wtall", "waterfall", {"height": 2048},
+                    {"signal": "${graph.spec.output.buffer}"})
+
+    async def grab():
+        keys, deltas = [], []
+        deadline = time.monotonic() + 45
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            while time.monotonic() < deadline:
+                msg = await asyncio.wait_for(ws.recv(), timeout=15)
+                if isinstance(msg, str):
+                    continue
+                (hlen,) = struct.unpack_from("<I", msg, 0)
+                header = json.loads(msg[4:4 + hlen].decode())
+                if header["name"] != "wtall":
+                    continue
+                payload = msg[4 + hlen:]
+                if header.get("mode") == "delta":
+                    deltas.append((header, payload))
+                elif header.get("mode") == "key":
+                    keys.append((header, payload))
+                if len(deltas) >= 8 and keys:
+                    break
+        return keys, deltas
+
+    keys, deltas = asyncio.run(grab())
+    assert keys, "no keyframe seen"
+    assert len(deltas) >= 8, f"only {len(deltas)} delta frames"
+    khdr, kpay = keys[0]
+    assert khdr["enc"] == "jpeg" and kpay[:2] == b"\xff\xd8"
+    for dhdr, dpay in deltas:
+        assert dhdr["enc"] == "png"
+        assert dpay[:4] == b"\x89PNG"
+        assert 0 < dhdr["rows"] < khdr["h"]
+        assert dhdr["seq"] > khdr["seq"] - 10_000
+    avg_delta = sum(len(p) for _, p in deltas) / len(deltas)
+    assert avg_delta * 5 <= len(kpay), (
+        f"delta {avg_delta:.0f} B not >=5x smaller than "
+        f"keyframe {len(kpay)} B")
+
+
+def test_input_event_zoom_pan(served_instance):
+    """Client->server input events (VERDICT r3 item 7): a zoom/offset
+    view update sent over the stream WS lands in the waterfall
+    module's live config (no rebuild) and changes the streamed view."""
+    import asyncio
+    import struct
+
+    import websockets
+
+    inst = served_instance
+    fg = inst.flowgraphs["main"]
+    mod = fg.records["wtf"].build.modules["wtf/m"]
+
+    async def drive():
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            await ws.send(json.dumps({
+                "type": "input", "surface": "wtf",
+                "config": {"zoom": 4.0, "offset": 64}}))
+            deadline = time.monotonic() + 10
+            zoomed = None
+            while time.monotonic() < deadline:
+                msg = await asyncio.wait_for(ws.recv(), timeout=10)
+                if isinstance(msg, str):
+                    continue
+                (hlen,) = struct.unpack_from("<I", msg, 0)
+                header = json.loads(msg[4:4 + hlen].decode())
+                if header["name"] != "wtf":
+                    continue
+                it = header.get("interactive")
+                if it and it["zoom"] == 4.0:
+                    zoomed = (header, it)
+                    return zoomed
+            return zoomed
+
+    got = asyncio.run(drive())
+    assert got is not None, "zoomed frame never streamed"
+    header, it = got
+    assert it["offset"] == 64 and it["span"] == it["width"] // 4
+    # module config updated in place, record config persisted
+    assert float(mod.config["zoom"]) == 4.0
+    assert fg.records["wtf"].raw_config["zoom"] == 4.0
+    # the module instance was NOT rebuilt by the view update
+    assert fg.records["wtf"].build.modules["wtf/m"] is mod
+
+
+def test_block_set_view_semantics(served_instance):
+    """block_set_view: in-place view updates never rebuild; non-view
+    fields are rejected (they need block_reconfigure)."""
+    fg = served_instance.flowgraphs["main"]
+    mod = fg.records["wtf"].build.modules["wtf/m"]
+    gen = fg._generation
+    fg.block_set_view("wtf", {"zoom": 2.0})
+    assert fg._generation == gen          # no scheduler invalidation
+    assert fg.records["wtf"].build.modules["wtf/m"] is mod
+    with pytest.raises(Exception):
+        fg.block_set_view("wtf", {"height": 64})   # not a view field
+
+
+def test_editor_session_driven(served_instance):
+    """Protocol-level editor drive (VERDICT r3 item 6; no browser or
+    JS engine exists in this image, so the DOM itself cannot run in
+    CI — this drives the exact API/WS sequence the editor JS performs
+    for: picker drop, drag-position, connect, config edit, YAML modal,
+    and surface render from the stream)."""
+    import asyncio
+    import struct
+
+    import websockets
+
+    # picker drop: create two blocks (editor addBlock)
+    _post("/api/v1/flowgraph/main/block",
+          {"name": "gen2", "type": "signal_generator",
+           "config": {"signalType": "sine", "bufferSize": 512}})
+    _post("/api/v1/flowgraph/main/block",
+          {"name": "amp3", "type": "amplitude"})
+    # drag: persist node positions (editor drag -> POST layout)
+    _post("/api/v1/flowgraph/main/layout",
+          {"gen2": [120, 80], "amp3": [340, 80]})
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["gen2"]["meta"]["node"] == [120, 80]
+    # connect: drag wire gen2.signal -> amp3.signal
+    _post("/api/v1/flowgraph/main/connect",
+          {"name": "amp3", "port": "signal",
+           "link": "${graph.gen2.output.signal}"})
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["amp3"]["state"] == "complete"
+    # config edit: inspector PATCH
+    _post("/api/v1/flowgraph/main/block/gen2",
+          {"config": {"signalType": "sine", "bufferSize": 512,
+                      "frequency": 2000.0}}, method="PATCH")
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["gen2"]["config"]["frequency"] == 2000.0
+    # YAML modal: export current graph
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/api/v1/flowgraph/main/yaml")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        yaml_text = r.read().decode()
+    assert "gen2" in yaml_text and "amp3" in yaml_text
+
+    # surface renders from the WS stream (editor presentSurface)
+    async def render():
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            for _ in range(100):
+                msg = await asyncio.wait_for(ws.recv(), timeout=10)
+                if isinstance(msg, str):
+                    continue
+                (hlen,) = struct.unpack_from("<I", msg, 0)
+                header = json.loads(msg[4:4 + hlen].decode())
+                if header["name"] == "wtf" and \
+                        header.get("enc") in ("jpeg", "png"):
+                    payload = msg[4 + hlen:]
+                    from PIL import Image
+                    import io as _io
+
+                    img = Image.open(_io.BytesIO(payload))
+                    return img.size
+        return None
+
+    size = asyncio.run(render())
+    assert size is not None and size[0] > 0 and size[1] > 0
