@@ -37,6 +37,10 @@ body{margin:0;background:var(--bg);color:var(--txt);
 .type .lbl{color:var(--txt)} .type .sum{color:var(--dim);font-size:11px}
 #canvaswrap{flex:1;position:relative;overflow:hidden}
 svg{width:100%;height:100%;display:block}
+.splitter{flex-shrink:0;background:transparent;z-index:5}
+.splitter.v{width:5px;cursor:col-resize;margin:0 -2px}
+.splitter.h{height:5px;cursor:row-resize;margin:-2px 0}
+.splitter:hover{background:var(--acc);opacity:.4}
 #side{width:300px;background:var(--panel);
  border-left:1px solid var(--edge);overflow-y:auto;padding:10px}
 #side h3{margin:4px 0;color:var(--acc);font-size:13px}
@@ -122,6 +126,7 @@ svg{width:100%;height:100%;display:block}
 <div id="main">
  <div id="picker"><input id="search" placeholder="filter blocks…">
   <div id="types"></div></div>
+ <div class="splitter v" data-panel="picker" data-edge="right"></div>
  <div id="canvaswrap"><svg id="cv">
    <defs></defs><g id="links"></g><g id="nodes"></g>
    <path id="ghost" class="link ghost" stroke="#888" d=""/>
@@ -131,9 +136,11 @@ svg{width:100%;height:100%;display:block}
    <button id="modalclose">✕</button></div>
   <div id="modalbody"></div>
  </div></div>
+ <div class="splitter v" data-panel="side" data-edge="left"></div>
  <div id="side"><h3>inspector</h3>
   <div id="insp" style="color:var(--dim)">select a node</div></div>
 </div>
+<div class="splitter h" data-panel="surfaces" data-edge="top"></div>
 <div id="surfaces"></div>
 <script>
 "use strict";
@@ -250,6 +257,36 @@ document.addEventListener("keydown", (ev) => {
     ev.preventDefault(); openPalette();
   }
 });
+
+// ---- dockspace-lite: draggable splitters resize the picker /
+// inspector / surfaces panels; sizes persist (the Sakura dockspace,
+// include/jetstream/render/sakura/base.hh) ---------------------------
+for (const sp of document.querySelectorAll(".splitter")) {
+  const panel = document.getElementById(sp.dataset.panel);
+  const horiz = sp.classList.contains("v");
+  const prop = horiz ? "width" : "height";
+  const saved = localStorage.getItem("ce_sz_" + sp.dataset.panel);
+  if (saved) panel.style[prop] = saved;
+  sp.addEventListener("pointerdown", (ev) => {
+    ev.preventDefault();
+    sp.setPointerCapture(ev.pointerId);
+    const start = horiz ? ev.clientX : ev.clientY;
+    const base = horiz ? panel.offsetWidth : panel.offsetHeight;
+    const sign = sp.dataset.edge === "right" ? 1 : -1;
+    const move = (mv) => {
+      const d = ((horiz ? mv.clientX : mv.clientY) - start) * sign;
+      const sz = Math.max(90, base + d) + "px";
+      panel.style[prop] = sz;
+      localStorage.setItem("ce_sz_" + sp.dataset.panel, sz);
+    };
+    const up = () => {
+      sp.removeEventListener("pointermove", move);
+      sp.removeEventListener("pointerup", up);
+    };
+    sp.addEventListener("pointermove", move);
+    sp.addEventListener("pointerup", up);
+  });
+}
 
 document.getElementById("themebtn").onclick = () => {
   document.body.classList.toggle("light");
