@@ -274,15 +274,23 @@ def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref,
         z = win[0:rows, :]
 
     if "dft" in stages:
-        yall[0:rows, :] = jnp.dot(z, b_ref[:, :],
-                                  preferred_element_type=jnp.float32)
+        y = jnp.dot(z, b_ref[:, :],
+                    preferred_element_type=jnp.float32)
     else:
-        yall[0:rows, :] = z
+        y = z
 
     n = 2 * C
-    yr, yi = yall[1:rows, 0:C], yall[1:rows, C:n]
-    if "lag" in stages:
+    if "yall" in stages:
+        # legacy path: bounce y through a VMEM scratch and re-read at
+        # the two sublane offsets (kept for A/B profiling; value
+        # slicing below avoids the round trip)
+        yall[0:rows, :] = y
+        yr, yi = yall[1:rows, 0:C], yall[1:rows, C:n]
         pr, pi_ = yall[0:tile_m, 0:C], yall[0:tile_m, C:n]
+    else:
+        yr, yi = y[1:rows, 0:C], y[1:rows, C:n]
+        pr, pi_ = y[0:tile_m, 0:C], y[0:tile_m, C:n]
+    if "lag" in stages:
         dr = pr * yr + pi_ * yi
         di = pr * yi - pi_ * yr
     else:
