@@ -63,3 +63,53 @@ def fetch_url(url: str, timeout: float = 10.0) -> bytes:
 
     with urllib.request.urlopen(url, timeout=timeout) as r:
         return r.read()
+
+
+def has_display() -> bool:
+    """True when a windowing system is reachable (native dialogs make
+    sense); headless deployments return False."""
+    return bool(os.environ.get("DISPLAY")
+                or os.environ.get("WAYLAND_DISPLAY"))
+
+
+def _tk_dialog(kind: str, **kw) -> Optional[str]:
+    import tkinter
+    from tkinter import filedialog
+
+    root = tkinter.Tk()
+    root.withdraw()
+    try:
+        fn = {"open": filedialog.askopenfilename,
+              "save": filedialog.asksaveasfilename,
+              "dir": filedialog.askdirectory}[kind]
+        out = fn(**kw)
+        return out or None
+    finally:
+        root.destroy()
+
+
+def pick_file(save: bool = False, title: str = "",
+              initial: str = "") -> Optional[str]:
+    """Native file picker (src/platform/dialogs.cc).  Uses the OS
+    toolkit when a display exists; returns None headless (callers fall
+    back to their text/config path — e.g. the CLI and web UI take
+    paths directly)."""
+    if not has_display():
+        return None
+    try:
+        return _tk_dialog("save" if save else "open", title=title,
+                          initialdir=initial or None)
+    except Exception:
+        return None
+
+
+def pick_directory(title: str = "",
+                   initial: str = "") -> Optional[str]:
+    """Native directory picker; None when headless/unavailable."""
+    if not has_display():
+        return None
+    try:
+        return _tk_dialog("dir", title=title,
+                          initialdir=initial or None)
+    except Exception:
+        return None
