@@ -216,6 +216,26 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_sdr_server(args) -> int:
+    import time as _time
+
+    from cyberether_tpu.io.remote_sdr import RemoteSdrServer
+
+    server = RemoteSdrServer(host=args.host, port=args.port).start()
+    print(f"remote SDR server on {args.host}:{server.port} "
+          f"(clients: deviceString "
+          f"'remote=<this-host>:{server.port},driver=...')",
+          flush=True)
+    try:
+        while True:
+            _time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="cyberether-tpu")
     p.add_argument("-v", "--verbose", action="count", default=0)
@@ -257,9 +277,19 @@ def main(argv: Optional[list] = None) -> int:
     dp = sub.add_parser("describe", help="show a block's interface")
     dp.add_argument("block")
 
+    sp = sub.add_parser(
+        "sdr-server",
+        help="serve local SDR drivers to remote clients (the "
+             "SoapyRemote role); clients use deviceString "
+             "'remote=host:port[,driver=...]'")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=55132)
+
     args = p.parse_args(argv)
     if args.cmd == "describe":
         return _cmd_describe(args)
+    if args.cmd == "sdr-server":
+        return _cmd_sdr_server(args)
     if args.cmd == "run":
         return _cmd_run(args)
     if args.cmd == "benchmark":
