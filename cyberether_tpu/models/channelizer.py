@@ -101,7 +101,7 @@ class Channelizer:
 
     def step_pallas_v4(self, state, iq: jnp.ndarray,
                        tile_m: int = 512, interpret: bool = False,
-                       kernel: str = "v5"
+                       kernel: str = "v5", decim_mode: str = "sel"
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
         in-kernel decimation.  ``kernel`` picks the arithmetic layout:
@@ -130,7 +130,10 @@ class Channelizer:
             audio = channelize_demod_decim_v5(
                 x2, halos, self._hp5, self._bperm5,
                 float(self._fm_ref), self.audio_decim, tile_m=tile,
-                interpret=interpret)
+                interpret=interpret, decim_mode=decim_mode)
+            if decim_mode == "none":
+                D = self.audio_decim
+                audio = audio.reshape(M // D, D, C).mean(1)
         else:
             audio = channelize_demod_decim(
                 x2, halos, self._bp4, float(self._fm_ref),
@@ -139,12 +142,13 @@ class Channelizer:
 
     def jitted_step_pallas_v4(self, tile_m: int = 512,
                               interpret: bool = False,
-                              kernel: str = "v5"):
+                              kernel: str = "v5",
+                              decim_mode: str = "sel"):
         # no donation: the 4 KB hist state is not worth aliasing, and
         # donating a buffer the output views (hist = x2 slice) trips
         # INVALID_ARGUMENT on the axon backend
         return jax.jit(lambda s, iq: self.step_pallas_v4(
-            s, iq, tile_m, interpret, kernel))
+            s, iq, tile_m, interpret, kernel, decim_mode))
 
     def frames_for(self, samples: int) -> int:
         return samples // self.channels

@@ -241,11 +241,12 @@ def _channelize_kernel_v4(body_ref, halo_ref, bp_ref, sel_ref,
 _V5_STAGES = ("fir", "dft", "lag", "atan", "sel")
 
 
-def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref,
-                          out_ref, win, yall, *,
-                          P: int, C: int, tile_m: int, D: int,
-                          ref_gain: float,
-                          stages: tuple = _V5_STAGES):
+def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
+                        out_ref, win, yall, *,
+                        P: int, C: int, tile_m: int, D: int,
+                        ref_gain: float,
+                        stages: tuple = _V5_STAGES,
+                        decim: str = "sel"):
     """Roofline variant: VPU polyphase FIR + ONE DFT matmul.
 
     v4 folds the taps into P pre-multiplied DFT matrices and pays P
@@ -299,17 +300,29 @@ def _channelize_kernel_v5(body_ref, halo_ref, hp_ref, b_ref,
         demod = _atan2(di, dr, recip=True) * ref_gain  # (tile_m, C)
     else:
         demod = di + dr
-    if "sel" in stages:
-        # boxcar audio decimation as a leading-dim reshape + sum (a
-        # (tile/D, tile) selector MATMUL here was a measured 0.13 ms
-        # of the 0.36 ms step — K=tile contraction for a tiny output
-        # is the MXU's worst shape; the reshape splits the major dim
-        # only, which Mosaic lowers as a pure VPU reduction)
-        out_ref[:, :] = jnp.sum(
-            demod.reshape(tile_m // D, D, C), axis=1
-        ) * jnp.float32(1.0 / D)
+    if "sel" not in stages:
+        out_ref[:, :] = demod[0:tile_m // D, :]        # ablation
+    elif decim == "none":
+        out_ref[:, :] = demod        # caller decimates (XLA-side)
+    elif decim == "tree":
+        # boxcar via a log2(D) roll+add tree along sublanes: after
+        # the tree, row r holds sum(demod[r:r+D]); the strided slice
+        # picks every D-th row.  (A leading-dim reshape+sum measured
+        # WORSE than the selector matmul — the (tile, C) -> (tile/D,
+        # D, C) relayout is pathological at C=64; a (tile/D, tile)
+        # selector matmul costs 0.13 ms of a 0.36 ms step.)
+        acc2 = demod
+        s = 1
+        while s < D:
+            # roll is forward-only: tile_m - s == -s (mod rows); the
+            # wrapped rows only contaminate sums past the last
+            # selected row
+            acc2 = acc2 + pltpu.roll(acc2, tile_m - s, 0)
+            s *= 2
+        out_ref[:, :] = acc2[::D, :] * jnp.float32(1.0 / D)
     else:
-        out_ref[:, :] = demod[0:tile_m // D, :]
+        out_ref[:, :] = jnp.dot(sel_ref[:, :], demod,
+                                preferred_element_type=jnp.float32)
 
 
 def perm_channelizer_matrix(wr: np.ndarray, wi: np.ndarray
@@ -332,13 +345,17 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                               ref_gain: float, decim: int,
                               tile_m: int = 512,
                               interpret: bool = False,
-                              stages: tuple = _V5_STAGES
+                              stages: tuple = _V5_STAGES,
+                              decim_mode: str = "sel"
                               ) -> jnp.ndarray:
-    """v5 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio.
+    """v5 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio
+    (``decim_mode="none"``: (M, C) undecimated demod — the caller
+    reshape-means in XLA).
 
     hp: (P, 2C) kernel-order taps duplicated on interleaved lanes
     (``np.repeat(hp_rev, 2, axis=1)``); bperm: (2C, 2C) from
-    :func:`perm_channelizer_matrix`.
+    :func:`perm_channelizer_matrix`.  ``decim_mode``: "sel" selector
+    matmul (default), "tree" roll+add tree, "none" (decimate outside).
     """
     M, twoC = x2.shape
     C = twoC // 2
@@ -346,34 +363,61 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
     tile_m = min(tile_m, M)
     assert M % tile_m == 0 and tile_m % decim == 0, (M, tile_m, decim)
     grid_n = M // tile_m
+    has_sel = decim_mode == "sel" and "sel" in stages
+    out_rows = tile_m if decim_mode == "none" else tile_m // decim
+
+    def kernel(*refs):
+        if has_sel:
+            body, halo, hpr, b, sel = refs[:5]
+            out, *scr = refs[5:]
+        else:
+            body, halo, hpr, b = refs[:4]
+            sel = None
+            out, *scr = refs[4:]
+        _channelize_body_v5(
+            body, halo, hpr, b, sel, out, scr[0],
+            scr[1] if "yall" in stages else None,
+            P=P, C=C, tile_m=tile_m, D=decim,
+            ref_gain=float(ref_gain), stages=stages,
+            decim=decim_mode)
+
+    in_specs = [
+        pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P, twoC), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, twoC), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((twoC, twoC), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, halos, hp, bperm]
+    if has_sel:
+        sel = np.kron(np.eye(tile_m // decim, dtype=np.float32),
+                      np.full((1, decim), 1.0 / decim, np.float32))
+        in_specs.append(pl.BlockSpec((tile_m // decim, tile_m),
+                                     lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(sel))
+    scratch = [pltpu.VMEM((tile_m + P, twoC), jnp.float32)]
+    if "yall" in stages:      # legacy A/B path only
+        scratch.append(pltpu.VMEM((tile_m + 1, twoC), jnp.float32))
 
     return pl.pallas_call(
-        functools.partial(_channelize_kernel_v5, P=P, C=C,
-                          tile_m=tile_m, D=decim,
-                          ref_gain=float(ref_gain), stages=stages),
+        kernel,
         grid=(grid_n,),
-        in_specs=[
-            pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, twoC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, twoC), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoC, twoC), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_m // decim, C),
-                               lambda i: (i, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_rows, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M // decim, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_m + P, twoC), jnp.float32),
-                        pltpu.VMEM((tile_m + 1, twoC), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_n * out_rows, C), jnp.float32),
+        scratch_shapes=scratch,
         # every grid step is independent (the lag frame is recomputed
         # from the halo) — parallel semantics lets Mosaic overlap tiles
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x2, halos, hp, bperm)
+    )(*args)
 
 
 def channelize_demod_decim(x2: jnp.ndarray, halos: jnp.ndarray,
