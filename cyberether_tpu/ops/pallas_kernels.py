@@ -304,23 +304,14 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         out_ref[:, :] = demod[0:tile_m // D, :]        # ablation
     elif decim == "none":
         out_ref[:, :] = demod        # caller decimates (XLA-side)
-    elif decim == "tree":
-        # boxcar via a log2(D) roll+add tree along sublanes: after
-        # the tree, row r holds sum(demod[r:r+D]); the strided slice
-        # picks every D-th row.  (A leading-dim reshape+sum measured
-        # WORSE than the selector matmul — the (tile, C) -> (tile/D,
-        # D, C) relayout is pathological at C=64; a (tile/D, tile)
-        # selector matmul costs 0.13 ms of a 0.36 ms step.)
-        acc2 = demod
-        s = 1
-        while s < D:
-            # roll is forward-only: tile_m - s == -s (mod rows); the
-            # wrapped rows only contaminate sums past the last
-            # selected row
-            acc2 = acc2 + pltpu.roll(acc2, tile_m - s, 0)
-            s *= 2
-        out_ref[:, :] = acc2[::D, :] * jnp.float32(1.0 / D)
     else:
+        # boxcar decimation as a selector matmul.  Hardware A/B
+        # (round 3): a leading-dim reshape+sum and a roll-tree both
+        # lose — the reshape relayout is pathological at C=64 lanes
+        # and Mosaic cannot lower the tree's strided row selection —
+        # while emitting undecimated rows ("none") pays more in HBM
+        # than the matmul costs.  The selector matmul (0.13 ms of a
+        # 0.35 ms step) stands as the measured-best option.
         out_ref[:, :] = jnp.dot(sel_ref[:, :], demod,
                                 preferred_element_type=jnp.float32)
 
@@ -355,7 +346,8 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
     hp: (P, 2C) kernel-order taps duplicated on interleaved lanes
     (``np.repeat(hp_rev, 2, axis=1)``); bperm: (2C, 2C) from
     :func:`perm_channelizer_matrix`.  ``decim_mode``: "sel" selector
-    matmul (default), "tree" roll+add tree, "none" (decimate outside).
+    matmul (default, measured-best) or "none" (full-rate demod out;
+    the caller decimates).
     """
     M, twoC = x2.shape
     C = twoC // 2
@@ -637,8 +629,8 @@ def _spectrum_ct_kernel(wmr_ref, wmi_ref, xr_ref, xi_ref, win_ref,
         t_i = xci * wr + xcr * wi
         ar = t_r if ar is None else ar + t_r
         ai = t_i if ai is None else ai + t_i
-    tr = twr_ref[0:1, :]                           # (1, 128) broadcast
-    ti = twi_ref[0:1, :]
+    tr = twr_ref[0:1, :]    # (8,128) block of repeated rows (Pallas
+    ti = twi_ref[0:1, :]    # needs >=8 sublanes per block); row 0 used
     br = ar * tr - ai * ti
     bi = ar * ti + ai * tr
     yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32)
@@ -707,9 +699,11 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   x_spec, x_spec, full(1, n),
-                  pl.BlockSpec((1, 128), lambda i, k: (k, 0),
+                  # per-k1 twiddle rows, repeated 8x on sublanes
+                  # (blocks need >=8 sublanes or the full dim)
+                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 128), lambda i, k: (k, 0),
+                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
                                memory_space=pltpu.VMEM),
                   full(128, 128), full(128, 128)],
         out_specs=pl.BlockSpec((tile_b, 128), lambda i, k: (i, k),
@@ -721,7 +715,8 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     )(jnp.asarray(wmr), jnp.asarray(wmi),
       iq[:, :, 0], iq[:, :, 1],
       jnp.asarray(win, jnp.float32).reshape(1, n),
-      jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(np.repeat(twr, 8, axis=0).reshape(m * 8, 128)),
+      jnp.asarray(np.repeat(twi, 8, axis=0).reshape(m * 8, 128)),
       jnp.asarray(cmat), jnp.asarray(smat))
     # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
