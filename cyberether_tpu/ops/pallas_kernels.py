@@ -589,8 +589,9 @@ def spectrum_fused(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     return out
 
 
-def _spectrum_ct_kernel(wmr_ref, wmi_ref, xr_ref, xi_ref, win_ref,
-                        twr_ref, twi_ref, c_ref, s_ref, out_ref, *,
+def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
+                        twr_ref, twi_ref, c_ref, s_ref, out_ref,
+                        xwr, xwi, *,
                         m: int, coeff: float, scale: float,
                         offset: float):
     """One grid cell (i, k1): tile_b spectra x ONE 128-bin output
@@ -614,17 +615,27 @@ def _spectrum_ct_kernel(wmr_ref, wmi_ref, xr_ref, xi_ref, win_ref,
     [128 k1, 128 k1 + 128) in PERMUTED order; the caller un-permutes
     with an XLA transpose of the final f32 display values (the
     epilogue is order-independent)."""
-    k1 = pl.program_id(1)
     f32 = jnp.float32
-    wrow = win_ref[0, :]
+    # window the x block ONCE per batch tile (the k1 sweep reuses the
+    # scratch; grid order is (i, 0..m-1) so k1==0 refreshes it per i)
+    @pl.when(pl.program_id(1) == 0)
+    def _window():
+        w = win_ref[0, :]
+        xwr[:, :] = xr_ref[:, :] * w
+        xwi[:, :] = xi_ref[:, :] * w
+
+    # Wm row for this k1 arrives as a pipelined (8, 128) block (rows
+    # repeated 8x, n1 on lanes): wm scalars read with STATIC indices.
+    # (Round 3: dynamic `wm_ref[k1, n1]` SMEM scalar reads returned
+    # wrong data on-device — 1.9e-1 output error vs 5e-5 in interpret
+    # — the same silent-miscompile class as dynamic leading-dim VMEM
+    # indexing, see CLAUDE.md.)
     ar = ai = None
     for n1 in range(m):
-        wr = wmr_ref[k1, n1]                       # SMEM scalars
-        wi = wmi_ref[k1, n1]
-        xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128] \
-            * wrow[n1 * 128:(n1 + 1) * 128]
-        xci = xi_ref[:, n1 * 128:(n1 + 1) * 128] \
-            * wrow[n1 * 128:(n1 + 1) * 128]
+        wr = wmr_ref[0, n1]
+        wi = wmi_ref[0, n1]
+        xcr = xwr[:, n1 * 128:(n1 + 1) * 128]
+        xci = xwi[:, n1 * 128:(n1 + 1) * 128]
         t_r = xcr * wr - xci * wi
         t_i = xci * wr + xcr * wi
         ar = t_r if ar is None else ar + t_r
@@ -641,6 +652,14 @@ def _spectrum_ct_kernel(wmr_ref, wmi_ref, xr_ref, xi_ref, win_ref,
     db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
     norm = db * f32(scale) + f32(offset)
     out_ref[:, :] = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+
+def _pad128(a: np.ndarray) -> np.ndarray:
+    """Pad the lane (last) dim up to 128 (vreg row width)."""
+    pad = 128 - a.shape[-1]
+    if pad <= 0:
+        return a
+    return np.pad(a, ((0, 0), (0, pad)))
 
 
 @functools.lru_cache(maxsize=8)
@@ -696,11 +715,15 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
         functools.partial(_spectrum_ct_kernel, m=m, coeff=float(coeff),
                           scale=float(scale), offset=float(offset)),
         grid=(B // tile_b, m),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  x_spec, x_spec, full(1, n),
-                  # per-k1 twiddle rows, repeated 8x on sublanes
-                  # (blocks need >=8 sublanes or the full dim)
+        in_specs=[x_spec, x_spec, full(1, n),
+                  # per-k1 wm rows and twiddle rows, repeated 8x on
+                  # sublanes (blocks need >=8 sublanes or the full
+                  # dim); the pipeline does the k1 indexing so every
+                  # in-kernel read is static
+                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, 128), lambda i, k: (k, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, 128), lambda i, k: (k, 0),
@@ -709,14 +732,17 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
         out_specs=pl.BlockSpec((tile_b, 128), lambda i, k: (i, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, n), jnp.float32),
+                        pltpu.VMEM((tile_b, n), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(jnp.asarray(wmr), jnp.asarray(wmi),
-      iq[:, :, 0], iq[:, :, 1],
+    )(iq[:, :, 0], iq[:, :, 1],
       jnp.asarray(win, jnp.float32).reshape(1, n),
-      jnp.asarray(np.repeat(twr, 8, axis=0).reshape(m * 8, 128)),
-      jnp.asarray(np.repeat(twi, 8, axis=0).reshape(m * 8, 128)),
+      jnp.asarray(np.repeat(_pad128(wmr), 8, axis=0)),
+      jnp.asarray(np.repeat(_pad128(wmi), 8, axis=0)),
+      jnp.asarray(np.repeat(twr, 8, axis=0)),
+      jnp.asarray(np.repeat(twi, 8, axis=0)),
       jnp.asarray(cmat), jnp.asarray(smat))
     # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
