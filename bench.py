@@ -89,22 +89,35 @@ def fetch_time(fn, *args, reps=5):
     return ts[len(ts) // 2]
 
 
-def scan_steady(make, k=33, reps=5):
+def scan_steady(make, k=33, reps=5, min_diff_s=0.015):
     """Steady-state per-step time of a scan chain + cold-compile time.
 
     ``make(n)`` returns a zero-arg jitted callable running an n-step
     ``lax.scan`` chain and returning a scalar.  Returns
     ``(per_step_seconds, compile_seconds)``.
-    """
+
+    The chain length escalates until the differential signal
+    ``t_k - t_1`` is at least ``min_diff_s`` — a too-short chain puts
+    the signal inside the ~25 ms d2h fetch jitter and can report
+    arbitrary speedups (a 4x-too-fast channelizer number slipped
+    through exactly this way before the reconciliation gate caught
+    it)."""
     f1 = make(1)
     t0 = time.perf_counter()
     float(f1())
     compile_s = time.perf_counter() - t0
-    fk = make(k)
-    float(fk())                       # compile the k-length program
     t1 = fetch_time(f1, reps=reps)
-    tk = fetch_time(fk, reps=reps)
-    per = max((tk - t1) / (k - 1), 1e-9)
+    while True:
+        fk = make(k)
+        float(fk())                   # compile the k-length program
+        tk = fetch_time(fk, reps=reps)
+        diff = tk - t1
+        if diff >= min_diff_s or k >= 512:
+            break
+        k *= 4
+        log(f"  (chain diff {diff*1e3:.1f} ms below noise floor — "
+            f"escalating to k={k})")
+    per = max(diff / (k - 1), 1e-9)
     return per, compile_s
 
 
@@ -368,11 +381,12 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
                burst_vs_chain=round(ratio, 3))
         log(f"reconciliation: flowgraph burst / raw chain = {ratio:.2f}"
             " (same kernel, same step size; must be in [0.8, 1.25])")
-        if raw_rate and not (0.8 <= ratio <= 1.25):
+        ok = not raw_rate or 0.8 <= ratio <= 1.25
+        if not ok:
             fail("reconciliation[channelizer]",
                  RuntimeError(f"burst/chain ratio {ratio:.2f} outside "
                               "[0.8, 1.25] — methodologies disagree"))
-        return rate
+        return rate, ok
     finally:
         fg.stop()
 
@@ -398,10 +412,19 @@ def bench_flowgraph_spectrum() -> float:
                     {"buffer": "${graph.rs.output.buffer}"},
                     provider="pallas")
     try:
-        for _ in range(2):
-            ok = fg.compute(timeout=120.0)
-        errored = {b: fg.block_error(b) for b in fg.records
-                   if fg.block_state(b).value != "complete"}
+        # one retry: the tunnel's remote_compile occasionally drops a
+        # response mid-read (transient infra, not a kernel failure)
+        for attempt in range(2):
+            for _ in range(2):
+                ok = fg.compute(timeout=120.0)
+            errored = {b: fg.block_error(b) for b in fg.records
+                       if fg.block_state(b).value != "complete"}
+            if ok and not errored:
+                break
+            if attempt == 0:
+                log("flowgraph spectrum retrying after:",
+                    str(errored)[:200])
+                fg.retry_errored_blocks()
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
         rate, dt = _burst_rate(fg, 16, nb * n)
@@ -466,9 +489,17 @@ def main() -> None:
     if rate == 0.0:
         log("FATAL: no channelizer measurement")
     try:
-        results["flowgraph_channelizer"] = \
-            bench_flowgraph_channelizer(results.get(
-                "channelizer_pallas", 0.0))
+        fg_rate, reconciled = bench_flowgraph_channelizer(
+            results.get("channelizer_pallas", 0.0))
+        results["flowgraph_channelizer"] = fg_rate
+        if not reconciled:
+            # the burst number is scheduler-measured over 32-cycle
+            # blocks (large signal, immune to d2h jitter); when the
+            # two methodologies disagree, the HEADLINE must not ride
+            # the unconfirmed chain number
+            log(f"headline falls back to the burst-corroborated rate "
+                f"({fg_rate/1e6:.1f} Msamp/s)")
+            rate = fg_rate
     except Exception as e:
         fail("flowgraph-channelizer", e)
     try:
@@ -489,9 +520,9 @@ def main() -> None:
     except Exception as e:
         fail("flowgraph-spectrum-engine", e)
 
-    chan = [r for r in RESULTS
-            if r["name"].startswith("channelizer-pallas")]
-    head = max(chan, key=lambda r: r["msamp_s"], default=None)
+    head = next((r for r in RESULTS
+                 if rate and abs(r["msamp_s"] * 1e6 - rate)
+                 < 0.01 * rate), None)
     archive = {
         "wall_s": round(time.perf_counter() - t_start, 1),
         "device": str(jax.devices()[0]),

@@ -372,6 +372,22 @@ class Flowgraph:
             self._retry_incomplete()
             self._invalidate()
 
+    def retry_errored_blocks(self) -> None:
+        """Re-create blocks that errored at RUNTIME (transient device
+        or backend failures — e.g. a dropped remote-compile response):
+        flip them to incomplete and run the normal retry pass.  Blocks
+        whose error was structural simply error again with the same
+        diagnostic.  The reference keeps errored blocks parked until a
+        reconfigure (flowgraph.cc:1059); a streaming deployment also
+        needs recovery from failures that were never the block's
+        fault."""
+        with self._lock:
+            for rec in self.records.values():
+                if rec.state == BlockState.ERRORED:
+                    rec.state = BlockState.INCOMPLETE
+            self._retry_incomplete()
+            self._invalidate()
+
     def mark_modules_errored(self, module_names, error: str) -> None:
         """Runtime-compute failure isolation: mark the owning blocks
         Errored (keeping their diagnostics), set downstream blocks
