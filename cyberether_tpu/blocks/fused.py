@@ -220,11 +220,17 @@ class SpectrumFusedModule(Module):
         if algo not in ("auto", "ct", "dft"):
             raise ValidationError(
                 f"algorithm must be auto/ct/dft, got {algo}")
-        # ct = the Cooley-Tukey kernel (16x fewer MXU flops at n=2048),
-        # opt-in until hardware-validated; auto currently = dft (bf16
-        # only exists on the full-DFT path — its win is halved matrix
-        # bytes)
-        self._use_ct = algo == "ct"
+        # ct = the in-kernel Cooley-Tukey path: hardware-validated
+        # round 3 as BOTH the fastest pallas spectrum (13.2 vs 5.4
+        # Gsamp/s f32 full-DFT) and the most accurate (4.7e-5 of f64
+        # truth vs ~7.6e-2 for default-precision full-DFT at the
+        # sidelobe floor) — so "auto" picks it whenever the shape
+        # allows and bf16 wasn't requested (bf16 display mode rides
+        # the half-byte full-DFT matrices instead)
+        ct_ok = n % 128 == 0 and n // 128 <= 32
+        self._use_ct = algo == "ct" or (
+            algo == "auto" and ct_ok
+            and not bool(self.config["bf16"]))
         if algo == "ct" and (n % 128 or n // 128 > 32):
             raise ValidationError(
                 f"algorithm=ct needs fft size = m*128, m<=32 (got {n})")

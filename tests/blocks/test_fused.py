@@ -107,12 +107,15 @@ def test_spectrum_block_matches_model():
 
     pipe = SpectrumPipeline(fft_size=256, batches=8)
     iq = pipe.make_input()
-    # algorithm=ct picks the Cooley-Tukey kernel; auto/dft pin the
-    # full-DFT kernel — each must match its model path exactly
+    # auto now resolves to the CT kernel (hardware-validated round 3
+    # as both fastest and most accurate); dft pins the full-DFT
+    # kernel — each must match its model path exactly
     for algo, ref in (
             ("ct", pipe.step_pallas_ct(jnp.asarray(iq),
                                        interpret=True)),
-            ("auto", pipe.step_pallas(jnp.asarray(iq), interpret=True))):
+            ("auto", pipe.step_pallas_ct(jnp.asarray(iq),
+                                         interpret=True)),
+            ("dft", pipe.step_pallas(jnp.asarray(iq), interpret=True))):
         fg = Flowgraph()
         fg.block_create("src", "dti", {"shape": [8, 256, 2],
                                        "dataType": "F32"})
