@@ -383,10 +383,13 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
                    if fg.block_state(b).value != "complete"}
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
-        rate, dt = _burst_rate(fg, 32, frames * 64)
+        # k=128: each compute_burst dispatch costs ~2-5 ms through the
+        # tunnel; at k=32 that amortized to a phantom 60-160 us/cycle
+        # "scheduler overhead" in the differential
+        rate, dt = _burst_rate(fg, 128, frames * 64)
         ratio = rate / raw_rate if raw_rate else float("nan")
         grid, Pt, D = frames // 2048, 8, 16
-        record("flowgraph-channelizer-burst[32]", frames * 64, dt,
+        record("flowgraph-channelizer-burst[128]", frames * 64, dt,
                bytes_step=(frames * 128 + grid * Pt * 128
                            + frames // D * 64) * 4,
                mxu_flops=grid * 2 * 128 * (2049 * 128
@@ -440,8 +443,8 @@ def bench_flowgraph_spectrum() -> float:
                 fg.retry_errored_blocks()
         if not ok or errored:
             raise RuntimeError(f"flowgraph did not run: {errored}")
-        rate, dt = _burst_rate(fg, 16, nb * n)
-        record("flowgraph-spectrum-burst[16] (incl. siggen source)",
+        rate, dt = _burst_rate(fg, 64, nb * n)
+        record("flowgraph-spectrum-burst[64] (incl. siggen source)",
                nb * n, dt)
         return rate
     finally:
