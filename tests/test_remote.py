@@ -324,12 +324,25 @@ def test_waterfall_delta_streaming(served_instance):
 
     import websockets
 
-    # a tall waterfall: the fixture's 32-row one scrolls its full
-    # height between 20 fps present ticks on a free-running CPU graph,
-    # so every frame legitimately keyframes
+    # a tall waterfall fed through a throttle: the free-running CPU
+    # graph would scroll hundreds of rows between present ticks under
+    # load (tall strips / full-height keyframes); pacing the feed at
+    # ~30 rows/s keeps strips small DETERMINISTICALLY — the steady
+    # state the delta codec exists for
     fg = served_instance.flowgraphs["main"]
+    fg.block_create("gate", "throttle", {"intervalMs": 33.0},
+                    {"buffer": "${graph.spec.output.buffer}"})
     fg.block_create("wtall", "waterfall", {"height": 2048},
-                    {"signal": "${graph.spec.output.buffer}"})
+                    {"signal": "${graph.gate.output.buffer}"})
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        states = {b: fg.block_state(b).value for b in ("gate", "wtall")}
+        if all(s == "complete" for s in states.values()):
+            break
+        time.sleep(0.2)
+    assert all(s == "complete" for s in states.values()), \
+        {b: (fg.block_state(b).value, fg.block_error(b))
+         for b in fg.records}
 
     async def grab():
         keys, deltas = [], []
