@@ -625,11 +625,10 @@ def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
         xwi[:, :] = xi_ref[:, :] * w
 
     # Wm row for this k1 arrives as a pipelined (8, 128) block (rows
-    # repeated 8x, n1 on lanes): wm scalars read with STATIC indices.
-    # (Round 3: dynamic `wm_ref[k1, n1]` SMEM scalar reads returned
-    # wrong data on-device — 1.9e-1 output error vs 5e-5 in interpret
-    # — the same silent-miscompile class as dynamic leading-dim VMEM
-    # indexing, see CLAUDE.md.)
+    # repeated 8x, n1 on lanes) so every read is static.  (A dynamic
+    # SMEM table read works too — the on-device mismatch once blamed
+    # on it was actually the default bf16-class matmul precision, see
+    # the HIGHEST-precision note below.)
     ar = ai = None
     for n1 in range(m):
         wr = wmr_ref[0, n1]
