@@ -267,6 +267,13 @@ class Scheduler:
             self._build_locked()
 
     def _build_locked(self) -> None:
+        # snapshot the graph generation BEFORE reading the graph: a
+        # mutation (block_create on a live graph) can land while this
+        # build runs on the compute thread — unconditionally clearing
+        # _dirty at the end would LOSE that invalidate and the new
+        # blocks would never enter the topo (observed: a throttled
+        # branch added to a running instance never presented)
+        gen_at_start = self.fg._generation
         self.stop_sources()
         self._modules, self._inputs = self.fg.flattened()
         self._spec_of_key = {
@@ -279,7 +286,7 @@ class Scheduler:
         self._settle_static()
         self._partition_and_compile()
         self._init_states()
-        self._dirty = False
+        self._dirty = self.fg._generation != gen_at_start
         if self._started:
             self.start_sources()
 

@@ -201,3 +201,38 @@ def test_runtime_failure_isolates_block(flowgraph):
     assert fg.block_state("healthy") == BlockState.COMPLETE
     assert fg.compute(timeout=5.0)
     assert fg.scheduler.output("healthy.buffer") is not None
+
+
+def test_live_mutation_during_rebuild_not_lost():
+    """A block_create that lands WHILE the compute thread is mid-
+    rebuild must not be lost: _build_locked used to clear the dirty
+    flag unconditionally, swallowing the invalidate — an added
+    throttled branch then never entered the topo and never presented
+    (round-3 regression found via the delta-streaming test)."""
+    import time
+
+    from cyberether_tpu.core.instance import Instance
+
+    for _ in range(2):   # the race fired reliably on the 2nd instance
+        inst = Instance(headless=True)
+        fg = inst.flowgraph_create("main")
+        fg.block_create("gen", "signal_generator",
+                        {"signalType": "cosine",
+                         "signalDataType": "CF32",
+                         "bufferSize": 512})
+        fg.block_create("spec", "spectrum_engine",
+                        {"enableScale": True},
+                        {"buffer": "${graph.gen.output.signal}"})
+        inst.start()
+        # mutate the LIVE graph: races the compute thread's rebuild
+        fg.block_create("gate", "throttle", {"intervalMs": 20.0},
+                        {"buffer": "${graph.spec.output.buffer}"})
+        fg.block_create("wf", "waterfall", {"height": 64},
+                        {"signal": "${graph.gate.output.buffer}"})
+        deadline = time.monotonic() + 15
+        seen = False
+        while time.monotonic() < deadline and not seen:
+            seen = "wf" in fg.present()
+            time.sleep(0.05)
+        inst.stop()
+        assert seen, "live-added block never entered the schedule"
