@@ -273,3 +273,28 @@ def test_spectrum_dft_xla_path_matches():
     ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
     got = np.asarray(pipe.jitted_step_dft()(jnp.asarray(iq)))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_spectrum_ct_matches_f64_truth():
+    """The CT spectrum kernel is the reference-grade path: its
+    HIGHEST-precision stage-2 matmuls keep it within the reference's
+    1e-3 dB tolerance of an f64 ground truth even at the window's
+    sidelobe floor (on hardware it measured 4.7e-5; the
+    default-precision full-DFT paths sit ~7.6e-2 there)."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=8, fast_math=False)
+    iq = pipe.make_input()
+
+    x = (iq[..., 0].astype(np.float64)
+         + 1j * iq[..., 1].astype(np.float64))
+    x = x * np.asarray(pipe._win, np.float64)
+    spec = np.fft.fft(x, axis=-1)
+    mag2 = np.maximum(np.abs(spec) ** 2, 1e-60)
+    db = 10 * np.log10(mag2) + float(pipe._coeff)
+    norm = db * float(pipe._scale) + float(pipe._offset)
+    truth = 0.5 + 0.5 * np.tanh(4 * (norm - 0.5))
+
+    got = np.asarray(pipe.step_pallas_ct(jnp.asarray(iq),
+                                         interpret=True))
+    np.testing.assert_allclose(got, truth, atol=1e-3)
