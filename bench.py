@@ -488,6 +488,10 @@ def bench_flowgraph_spectrum_engine() -> float:
 
 def main() -> None:
     log("devices:", jax.devices())
+    t0 = time.perf_counter()
+    float(jnp.zeros((), jnp.float32) + 1)   # claim through the relay
+    log(f"claim + first dispatch: {time.perf_counter()-t0:.1f}s "
+        "(compile_s figures below exclude this)")
     t_start = time.perf_counter()
     results = {}
     rate = 0.0
