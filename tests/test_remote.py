@@ -507,3 +507,28 @@ def test_editor_session_driven(served_instance):
 
     size = asyncio.run(render())
     assert size is not None and size[0] > 0 and size[1] > 0
+
+
+def test_input_event_rejects_non_view_fields(served_instance):
+    """The WS input channel may only touch declared view fields —
+    structural config (height) via an input event must be ignored."""
+    import asyncio
+
+    import websockets
+
+    fg = served_instance.flowgraphs["main"]
+    mod = fg.records["wtf"].build.modules["wtf/m"]
+    before = int(mod.config["height"])
+
+    async def drive():
+        async with websockets.connect(
+                f"ws://127.0.0.1:{PORT}/api/v1/stream",
+                max_size=None) as ws:
+            await ws.send(json.dumps({
+                "type": "input", "surface": "wtf",
+                "config": {"height": before + 97}}))
+            await asyncio.sleep(0.5)
+
+    asyncio.run(drive())
+    assert int(mod.config["height"]) == before
+    assert fg.records["wtf"].build.modules["wtf/m"] is mod
