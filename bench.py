@@ -373,7 +373,9 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
     fg.block_create("src", "dti", {"shape": [frames, 64, 2],
                                    "dataType": "F32"})
     fg.records["src"].build.modules["src/m"].attach_buffer(buf)
-    fg.block_create("chan", "channelizer", {"tileM": 2048},
+    tile_m = int(os.environ.get("CYB_BENCH_TILES",
+                                 "4096,2048").split(",")[0])
+    fg.block_create("chan", "channelizer", {"tileM": tile_m},
                     {"buffer": "${graph.src.output.buffer}"},
                     provider="pallas")
     try:
@@ -388,12 +390,13 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
         # "scheduler overhead" in the differential
         rate, dt = _burst_rate(fg, 128, frames * 64)
         ratio = rate / raw_rate if raw_rate else float("nan")
-        grid, Pt, D = frames // 2048, 8, 16
+        grid, Pt, D = frames // tile_m, 8, 16
         record("flowgraph-channelizer-burst[128]", frames * 64, dt,
                bytes_step=(frames * 128 + grid * Pt * 128
                            + frames // D * 64) * 4,
-               mxu_flops=grid * 2 * 128 * (2049 * 128
-                                           + 128 * 64 * 16),
+               mxu_flops=grid * 2 * 128 * ((tile_m + 1) * 128
+                                           + (tile_m // D) * 64
+                                           * tile_m // 128),
                burst_vs_chain=round(ratio, 3))
         # the band tolerates the scheduler's real fixed per-cycle cost
         # (boundary codec + state threading, ~80 us at this step size
