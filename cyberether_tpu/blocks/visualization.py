@@ -76,6 +76,9 @@ class LineplotModule(Module):
         Field("thickness", "float", 1.0),
         Field("rangeMin", "float", -100.0),
         Field("rangeMax", "float", 0.0))
+    #: present-only knobs — live-updatable without a module rebuild
+    view_fields = ("numberOfVerticalLines", "numberOfHorizontalLines",
+                   "thickness", "rangeMin", "rangeMax")
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
@@ -139,9 +142,9 @@ class WaterfallModule(Module):
                     Field("offset", "int", 0),
                     Field("rangeMin", "float", -100.0),
                     Field("rangeMax", "float", 0.0))
-    #: zoom/offset only affect present_data — live-updatable from the
-    #: editor's wheel/drag input events without a module rebuild
-    view_fields = ("zoom", "offset")
+    #: present-only knobs — zoom/offset ride the editor's wheel/drag
+    #: input events; ranges rescale the display without a rebuild
+    view_fields = ("zoom", "offset", "rangeMin", "rangeMax")
 
     def validate(self) -> None:
         spec = self.input_specs["signal"]
