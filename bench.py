@@ -262,6 +262,9 @@ def bench_spectrum() -> float:
     for name, stepfn, extra in (
             ("pallas-ct", lambda x, w: pipe.step_pallas_ct(x, win=w),
              dict(mxu_flops=ct_flops)),
+            ("pallas-ct-fast",
+             lambda x, w: pipe.step_pallas_ct(x, win=w, exact=False),
+             dict(mxu_flops=ct_flops)),
             ("pallas-f32", lambda x, w: pipe.step_pallas(x, win=w),
              dict(mxu_flops=dft_flops)),
             ("pallas-bf16",

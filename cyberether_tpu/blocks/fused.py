@@ -221,25 +221,20 @@ class SpectrumFusedModule(Module):
             raise ValidationError(
                 f"algorithm must be auto/ct/dft, got {algo}")
         # ct = the in-kernel Cooley-Tukey path: hardware-validated
-        # round 3 as BOTH the fastest pallas spectrum (13.2 vs 5.4
-        # Gsamp/s f32 full-DFT) and the most accurate (4.7e-5 of f64
-        # truth vs ~7.6e-2 for default-precision full-DFT at the
-        # sidelobe floor) — so "auto" picks it whenever the shape
-        # allows and bf16 wasn't requested (bf16 display mode rides
-        # the half-byte full-DFT matrices instead)
+        # round 3 as BOTH the fastest spectrum AND the most accurate.
+        # Precision rides the existing bf16 knob: bf16=false -> exact
+        # (HIGHEST-precision stage 2, 4.7e-5 of f64 truth on hardware);
+        # bf16=true -> display grade (default matmul precision, ~1.6x
+        # throughput, same error class as the full-DFT paths, ~18.9 vs
+        # 9.8 Gsamp/s for dft-bf16).  "auto" picks ct whenever the
+        # shape allows; "dft" pins the full-DFT kernels (parity /
+        # shapes ct cannot take).
         ct_ok = n % 128 == 0 and n // 128 <= 32
-        self._use_ct = algo == "ct" or (
-            algo == "auto" and ct_ok
-            and not bool(self.config["bf16"]))
-        if algo == "ct" and (n % 128 or n // 128 > 32):
+        self._use_ct = algo == "ct" or (algo == "auto" and ct_ok)
+        self._ct_exact = not bool(self.config["bf16"])
+        if algo == "ct" and not ct_ok:
             raise ValidationError(
                 f"algorithm=ct needs fft size = m*128, m<=32 (got {n})")
-        if algo == "ct" and bool(self.config["bf16"]):
-            # the CT kernel is f32-only; silently ignoring bf16 would
-            # mislead (ADVICE r2)
-            raise ValidationError(
-                "bf16 is only available on the dft algorithm "
-                "(algorithm=ct is f32-only)")
         from cyberether_tpu.models.spectrum import SpectrumPipeline
 
         self._pipe = SpectrumPipeline(
@@ -256,7 +251,8 @@ class SpectrumFusedModule(Module):
         if self._complex_in:
             iq = _split_complex(iq)
         if self._use_ct:
-            out = self._pipe.step_pallas_ct(iq, interpret=_interpret())
+            out = self._pipe.step_pallas_ct(iq, interpret=_interpret(),
+                                            exact=self._ct_exact)
         else:
             out = self._pipe.step_pallas(
                 iq, bf16=bool(self.config["bf16"]),

@@ -87,17 +87,20 @@ class SpectrumPipeline:
             bf16=bf16, interpret=interpret)
 
     def step_pallas_ct(self, iq: jnp.ndarray,
-                       interpret: bool = False, win=None) -> jnp.ndarray:
+                       interpret: bool = False, win=None,
+                       exact: bool = True) -> jnp.ndarray:
         """Fused Cooley-Tukey kernel (n = m x 128): the m-point stage
         on the VPU, the 128-point stage on the MXU — ~16x fewer MXU
-        flops than the full-DFT kernel at n=2048."""
+        flops than the full-DFT kernel at n=2048.  ``exact=True``
+        (reference grade, HIGHEST-precision stage 2) or False (display
+        grade at ~1.6x throughput — the fastest spectrum path)."""
         from cyberether_tpu.ops.pallas_kernels import spectrum_fused_ct
 
         return spectrum_fused_ct(
             iq, np.asarray(self._win) if win is None else win,
             float(self._coeff),
             float(self._scale), float(self._offset),
-            interpret=interpret)
+            interpret=interpret, exact=exact)
 
     def step_dft(self, iq: jnp.ndarray,
                  bf16: bool = False, win=None) -> jnp.ndarray:
