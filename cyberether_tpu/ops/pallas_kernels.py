@@ -593,7 +593,7 @@ def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
                         twr_ref, twi_ref, c_ref, s_ref, out_ref,
                         xwr, xwi, *,
                         m: int, coeff: float, scale: float,
-                        offset: float):
+                        offset: float, exact: bool = True):
     """One grid cell (i, k1): tile_b spectra x ONE 128-bin output
     block of the Cooley-Tukey split n = m x 128.
 
@@ -643,14 +643,17 @@ def _spectrum_ct_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
     ti = twi_ref[0:1, :]    # needs >=8 sublanes per block); row 0 used
     br = ar * tr - ai * ti
     bi = ar * ti + ai * tr
-    # HIGHEST precision (3-pass f32 MXU): this kernel is VPU-bound, so
-    # exact matmuls are free — and necessary: at default (bf16-class)
-    # TPU matmul precision, low bins near the window's sidelobe floor
-    # carry ~bf16 cancellation error that the dB transform amplifies
-    # to tens of dB (measured round 3: the full-DFT paths share one
-    # summation structure so their errors cancel pairwise; CT's
-    # different structure exposed the true default-precision error).
-    hi = jax.lax.Precision.HIGHEST
+    # exact=True: HIGHEST precision (3-pass f32 MXU) — necessary for
+    # reference-grade output: at default (bf16-class) TPU matmul
+    # precision, low bins near the window's sidelobe floor carry ~bf16
+    # cancellation error that the dB transform amplifies to tens of dB
+    # (measured round 3: the full-DFT paths share one summation
+    # structure so their errors cancel pairwise; CT's different
+    # structure exposed the true default-precision error).
+    # exact=False: default precision — display grade (same error class
+    # as the full-DFT paths) at ~1.6x the throughput; measured the
+    # fastest spectrum path of all.
+    hi = jax.lax.Precision.HIGHEST if exact else None
     yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32,
                   precision=hi)
           + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32,
@@ -694,7 +697,8 @@ def _ct_mats(n: int):
 
 def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
                       scale: float, offset: float, tile_b: int = 256,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      exact: bool = True) -> jnp.ndarray:
     """Fused spectrum via in-kernel Cooley-Tukey (n = m x 128):
     (B, n, 2) float32 -> (B, n) float32 in [0, 1], natural bin order.
 
@@ -733,7 +737,8 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
                                      memory_space=pltpu.VMEM)
     perm = pl.pallas_call(
         functools.partial(_spectrum_ct_kernel, m=m, coeff=float(coeff),
-                          scale=float(scale), offset=float(offset)),
+                          scale=float(scale), offset=float(offset),
+                          exact=exact),
         grid=(B // tile_b, m),
         in_specs=[x_spec, x_spec, full(1, n),
                   # per-k1 wm rows and twiddle rows, repeated 8x on
