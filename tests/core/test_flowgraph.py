@@ -212,3 +212,23 @@ def test_retry_errored_blocks_recovers_runtime_failures():
     assert fg.block_state("amp") is BlockState.COMPLETE
     assert fg.compute(timeout=30.0)
     fg.stop()
+
+
+def test_view_params_persist_through_yaml():
+    """Live view updates (zoom/offset via block_set_view) land in
+    raw_config and therefore survive YAML export -> import."""
+    from cyberether_tpu import Flowgraph
+
+    fg = Flowgraph()
+    fg.block_create("gen", "signal_generator",
+                    {"signalType": "cosine", "bufferSize": 256})
+    fg.block_create("wf", "waterfall", {"height": 64},
+                    {"signal": "${graph.gen.output.signal}"})
+    assert fg.compute(timeout=30.0)
+    fg.block_set_view("wf", {"zoom": 8.0, "offset": 32})
+    text = fg.to_yaml()
+    fg.stop()
+    fg2 = Flowgraph.from_yaml(text)
+    assert fg2.records["wf"].raw_config["zoom"] == 8.0
+    assert fg2.records["wf"].raw_config["offset"] == 32
+    fg2.stop()
