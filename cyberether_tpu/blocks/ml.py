@@ -45,7 +45,8 @@ class InferenceModule(Module):
     schema = Schema(
         Field("modelPath", "str", ""),
         Field("inputNames", "list[str]", ["input"]),
-        Field("outputNames", "list[str]", ["output"]))
+        Field("outputNames", "list[str]", ["output"]),
+        Field("provider", "str", "auto"))   # auto | jax | ort
 
     def define(self) -> None:
         self.input_ports = tuple(self.config["inputNames"])
@@ -60,40 +61,95 @@ class InferenceModule(Module):
             self._fn, spec_fn = _JAX_MODELS[name]
             self._out_specs = spec_fn(self.input_specs)
         elif path.endswith(".onnx"):
+            import os
+
+            if not os.path.exists(path):
+                raise ValidationError(f"model '{path}' does not exist")
+            provider = self.config.get("provider", "auto")
+            if provider in ("auto", "jax"):
+                try:
+                    self._validate_onnx_jax(path)
+                    return
+                except Exception as e:
+                    if provider == "jax":
+                        raise ValidationError(
+                            f"pure-JAX ONNX import failed: {e}")
+                    jax_err = e
+            else:
+                jax_err = None
             try:
                 import onnxruntime
             except ImportError:
                 raise ValidationError(
-                    "onnxruntime is not available in this environment; "
-                    "use a 'jax:<name>' model registered via "
+                    "onnxruntime is not available and the pure-JAX "
+                    f"ONNX import failed ({jax_err}); use a "
+                    "'jax:<name>' model registered via "
                     "register_jax_model")
-            import os
-
-            from cyberether_tpu.core.types import Runtime
-
-            if not os.path.exists(path):
-                raise ValidationError(f"model '{path}' does not exist")
-            self._session = onnxruntime.InferenceSession(
-                path, providers=["CPUExecutionProvider"])
-            # ONNX sessions execute host-side (the reference's ORT
-            # wrapper); switch this instance to the HOST runtime so the
-            # scheduler routes it as a host compute segment
-            self.runtime = Runtime.HOST
-            self._out_specs = {}
-            sess_outputs = {o.name: o for o in
-                            self._session.get_outputs()}
-            for name in self.config["outputNames"]:
-                if name not in sess_outputs:
-                    raise ValidationError(
-                        f"model has no output '{name}'")
-                o = sess_outputs[name]
-                shape = tuple(int(d) if isinstance(d, int) else 1
-                              for d in o.shape)
-                self._out_specs[name] = TensorSpec(
-                    shape, DataType.F32, Device.CPU)
-            self._fn = None
+            self._validate_onnx_ort(path, onnxruntime)
         else:
             raise ValidationError(f"unsupported model path '{path}'")
+
+    def _validate_onnx_jax(self, path: str) -> None:
+        """Default ONNX route: hand-parsed protobuf executed as jnp ops
+        (ops/onnx_jax.py) — the model runs on-device inside the fused
+        segment, no host round trip (unlike the reference's ORT wrapper,
+        src/domains/ml/onnx_inference/module_impl.cc)."""
+        import jax
+
+        from cyberether_tpu.ops.onnx_jax import build_fn, load_model
+
+        graph = load_model(path)
+        fn = build_fn(graph)
+        missing = [n for n in self.config["inputNames"]
+                   if n not in graph.input_names]
+        if missing and graph.input_names:
+            raise ValidationError(
+                f"model has no inputs {missing} "
+                f"(model inputs: {graph.input_names})")
+        for name in self.config["outputNames"]:
+            if name not in graph.output_names:
+                raise ValidationError(
+                    f"model has no output '{name}' "
+                    f"(model outputs: {graph.output_names})")
+        # infer output specs by abstract tracing at the wired shapes
+        shapes = {n: jax.ShapeDtypeStruct(s.shape, s.dtype.np_dtype)
+                  for n, s in self.input_specs.items()}
+        try:
+            out_shapes = jax.eval_shape(fn, shapes)
+        except Exception as e:
+            raise ValidationError(
+                f"ONNX graph does not trace at the wired input "
+                f"shapes: {e}")
+        self._out_specs = {
+            name: TensorSpec(tuple(out_shapes[name].shape),
+                             DataType.from_np(out_shapes[name].dtype),
+                             self.device)
+            for name in self.config["outputNames"]}
+        self._fn = fn
+        self._session = None
+
+    def _validate_onnx_ort(self, path: str, onnxruntime) -> None:
+        from cyberether_tpu.core.types import Runtime
+
+        self._session = onnxruntime.InferenceSession(
+            path, providers=["CPUExecutionProvider"])
+        # ONNX sessions execute host-side (the reference's ORT
+        # wrapper); switch this instance to the HOST runtime so the
+        # scheduler routes it as a host compute segment
+        self.runtime = Runtime.HOST
+        self._out_specs = {}
+        sess_outputs = {o.name: o for o in
+                        self._session.get_outputs()}
+        for name in self.config["outputNames"]:
+            if name not in sess_outputs:
+                raise ValidationError(
+                    f"model has no output '{name}'")
+            o = sess_outputs[name]
+            shape = tuple(int(d) if isinstance(d, int) else 1
+                          for d in o.shape)
+            self._out_specs[name] = TensorSpec(
+                shape, DataType.F32, Device.CPU)
+        self._fn = None
 
     def create(self) -> Dict[str, TensorSpec]:
         return dict(self._out_specs)

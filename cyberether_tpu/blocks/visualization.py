@@ -192,6 +192,11 @@ class WaterfallModule(Module):
             off = min(max(off, 0), w - span)
             buf = buf[:, off:off + span]
             x0_frac, x1_frac = off / w, (off + span) / w
+        else:
+            # full width displayed: a stale nonzero stored offset must
+            # not leak into view/interactive (wheel-zoom anchoring
+            # would recenter from it on the first zoom-in)
+            off = 0
         axes = _axes_meta(self.input_specs["signal"], w,
                           self.config["rangeMin"],
                           self.config["rangeMax"])

@@ -221,10 +221,12 @@ def _cmd_sdr_server(args) -> int:
 
     from cyberether_tpu.io.remote_sdr import RemoteSdrServer
 
-    server = RemoteSdrServer(host=args.host, port=args.port).start()
+    server = RemoteSdrServer(host=args.host, port=args.port,
+                             token=args.token).start()
+    tok = f",token={args.token}" if args.token else ""
     print(f"remote SDR server on {args.host}:{server.port} "
           f"(clients: deviceString "
-          f"'remote=<this-host>:{server.port},driver=...')",
+          f"'remote=<this-host>:{server.port},driver=...{tok}')",
           flush=True)
     try:
         while True:
@@ -282,8 +284,14 @@ def main(argv: Optional[list] = None) -> int:
         help="serve local SDR drivers to remote clients (the "
              "SoapyRemote role); clients use deviceString "
              "'remote=host:port[,driver=...]'")
-    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; use "
+                         "0.0.0.0 to serve a LAN, ideally with "
+                         "--token)")
     sp.add_argument("--port", type=int, default=55132)
+    sp.add_argument("--token", default="",
+                    help="require this token from clients "
+                         "(deviceString ...,token=<secret>)")
 
     args = p.parse_args(argv)
     if args.cmd == "describe":

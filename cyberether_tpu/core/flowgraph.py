@@ -184,6 +184,10 @@ class Flowgraph:
             rec = self._require(name)
             if rec.build is None:
                 raise GraphError(f"block '{name}' is not built")
+            # validate the FULL key set (and decode) before mutating any
+            # module config: a request mixing valid and unknown keys
+            # must not leave live config diverged from raw_config
+            plan = []
             applied: set = set()
             for mod in rec.build.modules.values():
                 vf = getattr(mod, "view_fields", ())
@@ -193,14 +197,16 @@ class Flowgraph:
                 decoded = mod.schema.decode(
                     {**mod.config,
                      **{k: config[k] for k in keys}})
-                for k in keys:
-                    mod.config[k] = decoded[k]
-                    applied.add(k)
+                plan.append((mod, keys, decoded))
+                applied.update(keys)
             unknown = set(config) - applied
             if unknown:
                 raise GraphError(
                     f"not live view fields of '{name}': "
                     f"{sorted(unknown)}")
+            for mod, keys, decoded in plan:
+                for k in keys:
+                    mod.config[k] = decoded[k]
             rec.raw_config.update({k: config[k] for k in applied})
 
     def block_connect(self, name: str, port: str, link: str) -> None:

@@ -68,9 +68,18 @@ def _recv_msg(sock: socket.socket) -> Dict[str, Any]:
 
 class RemoteSdrServer:
     """Serve local SDR drivers to remote clients (one driver per
-    connection; the driver type comes from the client's config)."""
+    connection; the driver type comes from the client's config).
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 0):
+    Trust model: binds loopback by default; pass ``host="0.0.0.0"``
+    explicitly (e.g. ``sdr-server --host``) to serve a LAN, ideally
+    with ``token`` set — clients then append ``token=<secret>`` to the
+    deviceString (mirrors the web server's ``_check_token``).  Nested
+    ``remote=`` driver specs are rejected server-side so a client
+    cannot make this server dial arbitrary hosts."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 token: str = ""):
+        self.token = token
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -114,9 +123,23 @@ class RemoteSdrServer:
                 if cmd == "config":
                     cfg = dict(req)
                     cfg.pop("cmd")
+                    if self.token and cfg.pop("token", None) != \
+                            self.token:
+                        _send_msg(conn, {"ok": False,
+                                         "error": "bad or missing "
+                                                  "token"})
+                        return
                     # the server side strips the remote= prefix: the
-                    # nested driver spec selects local hardware
-                    cfg["deviceString"] = cfg.get("driver", "test")
+                    # nested driver spec selects local hardware only —
+                    # a nested remote= would make this server dial
+                    # arbitrary hosts on a client's behalf (SSRF)
+                    spec = str(cfg.get("driver", "test"))
+                    if "remote=" in spec:
+                        _send_msg(conn, {"ok": False,
+                                         "error": "nested remote= "
+                                                  "driver rejected"})
+                        return
+                    cfg["deviceString"] = spec
                     if driver is not None:
                         driver.close()
                     driver = _open_sdr(cfg)
@@ -159,8 +182,9 @@ class RemoteSdrServer:
                 pass
 
 
-def _parse_remote(device_string: str) -> Tuple[str, int, str]:
-    """'remote=host:port[,driver=<spec>]' -> (host, port, driver)."""
+def _parse_remote(device_string: str) -> Tuple[str, int, str, str]:
+    """'remote=host:port[,driver=<spec>][,token=<secret>]' ->
+    (host, port, driver, token)."""
     parts = dict(
         kv.split("=", 1) if "=" in kv else (kv, "")
         for kv in device_string.split(","))
@@ -170,7 +194,8 @@ def _parse_remote(device_string: str) -> Tuple[str, int, str]:
             f"remote deviceString needs remote=host:port "
             f"(got '{device_string}')")
     host, port = target.rsplit(":", 1)
-    return host, int(port), parts.get("driver", "test")
+    return (host, int(port), parts.get("driver", "test"),
+            parts.get("token", ""))
 
 
 class RemoteSdrDevice:
@@ -179,11 +204,14 @@ class RemoteSdrDevice:
     the local loop must not add its own sleep)."""
 
     def __init__(self, cfg: Dict[str, Any]):
-        host, port, driver = _parse_remote(str(cfg["deviceString"]))
+        host, port, driver, token = _parse_remote(
+            str(cfg["deviceString"]))
         self._sock = socket.create_connection((host, port), timeout=10)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._lock = threading.Lock()
         req = {"cmd": "config", "driver": driver}
+        if token:
+            req["token"] = token
         for key in ("sampleRate", "frequency", "automaticGain",
                     "batchSize", "bufferMultiplier"):
             if key in cfg:

@@ -1,0 +1,649 @@
+"""Pure-JAX ONNX model executor.
+
+The reference wraps an ONNX Runtime session
+(/root/reference/src/domains/ml/onnx_inference/module_impl.cc,
+include/jetstream/domains/ml/onnx_inference/module.hh:9-17).  The
+TPU-native route needs no ORT: an ``.onnx`` file is plain protobuf
+wire format, hand-parsed here with a ~100-line varint reader, and the
+graph's common op subset executes as jax.numpy / lax ops — which means
+imported models run **on the TPU, inside jit, fusable with the rest of
+the flowgraph segment**, instead of bouncing to a host-side C++
+runtime like the reference does.
+
+Two layers:
+
+- :func:`parse_model` — ModelProto bytes -> :class:`OnnxGraph` (nodes,
+  initializers, input/output names).  Tolerant: unknown fields are
+  skipped per protobuf rules.
+- :func:`build_fn` — OnnxGraph -> a pure ``fn(inputs: dict) -> dict``
+  of jnp ops, jittable.  Unsupported ops raise
+  :class:`UnsupportedOnnxOp` at build time (never mid-run).
+
+Supported ops (static shapes, inference mode): Add Sub Mul Div Pow
+Sqrt Exp Log Neg Abs Erf Relu LeakyRelu Sigmoid Tanh Softmax Clip
+MatMul Gemm Conv MaxPool AveragePool GlobalAveragePool
+BatchNormalization Reshape Transpose Flatten Squeeze Unsqueeze Concat
+Slice Gather ReduceMean ReduceSum Identity Constant Cast Shape Dropout.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class UnsupportedOnnxOp(Exception):
+    """Raised at build time for ops outside the executor's subset."""
+
+
+class OnnxParseError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire-format reader (the subset ONNX uses)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise OnnxParseError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise OnnxParseError("varint too long")
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a message buffer.
+
+    wire 0 -> int, wire 1 -> 8 raw bytes, wire 2 -> bytes,
+    wire 5 -> 4 raw bytes.
+    """
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        fnum, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val, pos = buf[pos:pos + 8], pos + 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val, pos = buf[pos:pos + ln], pos + ln
+            if len(val) != ln:
+                raise OnnxParseError("truncated length-delimited field")
+        elif wire == 5:
+            val, pos = buf[pos:pos + 4], pos + 4
+        else:
+            raise OnnxParseError(f"unsupported wire type {wire}")
+        yield fnum, wire, val
+
+
+def _signed(v: int) -> int:
+    """Interpret a varint as two's-complement int64."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _packed_varints(buf: bytes) -> List[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(_signed(v))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ONNX message shapes (field numbers from onnx/onnx.proto3)
+# ---------------------------------------------------------------------------
+
+_ONNX_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16,
+    11: np.float64, 12: np.uint32, 13: np.uint64,
+}
+
+
+def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
+    dims: List[int] = []
+    data_type = 1
+    raw = None
+    float_data: List[float] = []
+    int32_data: List[int] = []
+    int64_data: List[int] = []
+    double_data: List[float] = []
+    name = ""
+    for fnum, wire, val in _fields(buf):
+        if fnum == 1:
+            if wire == 0:
+                dims.append(_signed(val))
+            else:
+                dims.extend(_packed_varints(val))
+        elif fnum == 2 and wire == 0:
+            data_type = val
+        elif fnum == 4:
+            if wire == 5:
+                float_data.append(struct.unpack("<f", val)[0])
+            else:
+                float_data.extend(
+                    np.frombuffer(val, "<f4").tolist())
+        elif fnum == 5:
+            if wire == 0:
+                int32_data.append(_signed(val))
+            else:
+                int32_data.extend(_packed_varints(val))
+        elif fnum == 7:
+            if wire == 0:
+                int64_data.append(_signed(val))
+            else:
+                int64_data.extend(_packed_varints(val))
+        elif fnum == 8 and wire == 2:
+            name = val.decode()
+        elif fnum == 9 and wire == 2:
+            raw = val
+        elif fnum == 13:
+            if wire == 1:
+                double_data.append(struct.unpack("<d", val)[0])
+            else:
+                double_data.extend(np.frombuffer(val, "<f8").tolist())
+    np_dtype = _ONNX_DTYPES.get(data_type)
+    if np_dtype is None:
+        raise OnnxParseError(f"tensor dtype {data_type} unsupported")
+    shape = tuple(dims)
+    if raw is not None:
+        arr = np.frombuffer(raw, np_dtype).reshape(shape)
+    elif float_data:
+        arr = np.asarray(float_data, np_dtype).reshape(shape)
+    elif int64_data:
+        arr = np.asarray(int64_data, np.int64).astype(
+            np_dtype).reshape(shape)
+    elif int32_data:
+        arr = np.asarray(int32_data, np.int32).astype(
+            np_dtype).reshape(shape)
+    elif double_data:
+        arr = np.asarray(double_data, np.float64).astype(
+            np_dtype).reshape(shape)
+    else:
+        arr = np.zeros(shape, np_dtype)
+    return name, arr
+
+
+def _parse_attribute(buf: bytes) -> Tuple[str, Any]:
+    name = ""
+    atype = 0
+    f_val = None
+    i_val = None
+    s_val = None
+    t_val = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[bytes] = []
+    for fnum, wire, val in _fields(buf):
+        if fnum == 1 and wire == 2:
+            name = val.decode()
+        elif fnum == 2 and wire == 5:
+            f_val = struct.unpack("<f", val)[0]
+        elif fnum == 3 and wire == 0:
+            i_val = _signed(val)
+        elif fnum == 4 and wire == 2:
+            s_val = val
+        elif fnum == 5 and wire == 2:
+            t_val = _parse_tensor(val)[1]
+        elif fnum == 7:
+            if wire == 5:
+                floats.append(struct.unpack("<f", val)[0])
+            else:
+                floats.extend(np.frombuffer(val, "<f4").tolist())
+        elif fnum == 8:
+            if wire == 0:
+                ints.append(_signed(val))
+            else:
+                ints.extend(_packed_varints(val))
+        elif fnum == 9 and wire == 2:
+            strings.append(val)
+        elif fnum == 20 and wire == 0:
+            atype = val
+    if atype == 1:
+        return name, f_val
+    if atype == 2:
+        return name, i_val
+    if atype == 3:
+        return name, s_val.decode() if s_val is not None else ""
+    if atype == 4:
+        return name, t_val
+    if atype == 6:
+        return name, list(floats)
+    if atype == 7:
+        return name, list(ints)
+    if atype == 8:
+        return name, [s.decode() for s in strings]
+    # type field absent (some writers omit it): pick whichever is set
+    for v in (f_val, i_val, t_val):
+        if v is not None:
+            return name, v
+    if ints:
+        return name, list(ints)
+    if floats:
+        return name, list(floats)
+    if s_val is not None:
+        return name, s_val.decode()
+    return name, None
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    inputs: Tuple[str, ...]
+    outputs: Tuple[str, ...]
+    attrs: Dict[str, Any] = field(default_factory=dict)
+    name: str = ""
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    inputs: List[str] = []
+    outputs: List[str] = []
+    op_type = ""
+    name = ""
+    attrs: Dict[str, Any] = {}
+    for fnum, wire, val in _fields(buf):
+        if fnum == 1 and wire == 2:
+            inputs.append(val.decode())
+        elif fnum == 2 and wire == 2:
+            outputs.append(val.decode())
+        elif fnum == 3 and wire == 2:
+            name = val.decode()
+        elif fnum == 4 and wire == 2:
+            op_type = val.decode()
+        elif fnum == 5 and wire == 2:
+            k, v = _parse_attribute(val)
+            attrs[k] = v
+    return OnnxNode(op_type, tuple(inputs), tuple(outputs), attrs,
+                    name)
+
+
+def _parse_value_info(buf: bytes
+                      ) -> Tuple[str, Optional[int], Tuple]:
+    """-> (name, elem_type, dims); symbolic dims come back as -1."""
+    name = ""
+    elem = None
+    dims: Tuple = ()
+    for fnum, wire, val in _fields(buf):
+        if fnum == 1 and wire == 2:
+            name = val.decode()
+        elif fnum == 2 and wire == 2:          # TypeProto
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:        # tensor_type
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 0:
+                            elem = v3
+                        elif f3 == 2 and w3 == 2:   # shape
+                            ds = []
+                            for f4, w4, v4 in _fields(v3):
+                                if f4 == 1 and w4 == 2:  # dim
+                                    dv = -1
+                                    for f5, w5, v5 in _fields(v4):
+                                        if f5 == 1 and w5 == 0:
+                                            dv = _signed(v5)
+                                    ds.append(dv)
+                            dims = tuple(ds)
+    return name, elem, dims
+
+
+@dataclass
+class OnnxGraph:
+    nodes: List[OnnxNode]
+    initializers: Dict[str, np.ndarray]
+    inputs: List[Tuple[str, Optional[int], Tuple]]
+    outputs: List[Tuple[str, Optional[int], Tuple]]
+    name: str = ""
+
+    @property
+    def input_names(self) -> List[str]:
+        init = self.initializers
+        return [n for n, _, _ in self.inputs if n not in init]
+
+    @property
+    def output_names(self) -> List[str]:
+        return [n for n, _, _ in self.outputs]
+
+
+def _parse_graph(buf: bytes) -> OnnxGraph:
+    nodes: List[OnnxNode] = []
+    inits: Dict[str, np.ndarray] = {}
+    inputs: List[Tuple[str, Optional[int], Tuple]] = []
+    outputs: List[Tuple[str, Optional[int], Tuple]] = []
+    name = ""
+    for fnum, wire, val in _fields(buf):
+        if fnum == 1 and wire == 2:
+            nodes.append(_parse_node(val))
+        elif fnum == 2 and wire == 2:
+            name = val.decode()
+        elif fnum == 5 and wire == 2:
+            k, arr = _parse_tensor(val)
+            inits[k] = arr
+        elif fnum == 11 and wire == 2:
+            inputs.append(_parse_value_info(val))
+        elif fnum == 12 and wire == 2:
+            outputs.append(_parse_value_info(val))
+    return OnnxGraph(nodes, inits, inputs, outputs, name)
+
+
+def parse_model(data: bytes) -> OnnxGraph:
+    """ModelProto bytes -> OnnxGraph (field 7 = graph)."""
+    graph = None
+    for fnum, wire, val in _fields(data):
+        if fnum == 7 and wire == 2:
+            graph = _parse_graph(val)
+    if graph is None:
+        raise OnnxParseError("no graph in model")
+    return graph
+
+
+def load_model(path: str) -> OnnxGraph:
+    with open(path, "rb") as f:
+        return parse_model(f.read())
+
+
+# ---------------------------------------------------------------------------
+# executor: OnnxGraph -> jittable fn
+# ---------------------------------------------------------------------------
+
+def _auto_pad(attrs: Dict[str, Any], spatial: int,
+              kshape: Tuple[int, ...]) -> List[Tuple[int, int]]:
+    pads = attrs.get("pads")
+    auto = attrs.get("auto_pad", "NOTSET") or "NOTSET"
+    if isinstance(auto, bytes):
+        auto = auto.decode()
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        out = []
+        strides = attrs.get("strides") or [1] * spatial
+        for i in range(spatial):
+            # SAME: total pad so out = ceil(in/stride); for stride 1
+            # that's k-1.  (Computed per-axis from kernel alone — valid
+            # for the stride-1 models this path supports.)
+            total = max(kshape[i] - strides[i], 0) \
+                if strides[i] > 1 else kshape[i] - 1
+            lo = total // 2
+            hi = total - lo
+            out.append((lo, hi) if auto == "SAME_UPPER" else (hi, lo))
+        return out
+    if pads is None:
+        return [(0, 0)] * spatial
+    return [(int(pads[i]), int(pads[i + spatial]))
+            for i in range(spatial)]
+
+
+def _const_of(env: Dict[str, Any], name: str, what: str) -> np.ndarray:
+    """Shape-ish operands (Reshape target, Slice starts, ...) must be
+    compile-time constants for XLA static shapes."""
+    v = env.get(name)
+    if isinstance(v, np.ndarray):
+        return v
+    if isinstance(v, jnp.ndarray) and not isinstance(
+            v, jax.core.Tracer):
+        return np.asarray(v)
+    raise UnsupportedOnnxOp(
+        f"{what} requires a constant '{name}' (data-dependent shapes "
+        f"do not map to XLA static shapes)")
+
+
+def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
+    op = node.op_type
+    a = node.attrs
+
+    def inp(i, default=None):
+        if i >= len(node.inputs) or not node.inputs[i]:
+            return default
+        return env[node.inputs[i]]
+
+    def set_out(i, v):
+        if i < len(node.outputs) and node.outputs[i]:
+            env[node.outputs[i]] = v
+
+    binops = {"Add": jnp.add, "Sub": jnp.subtract,
+              "Mul": jnp.multiply, "Div": jnp.divide,
+              "Pow": jnp.power}
+    unops = {"Sqrt": jnp.sqrt, "Exp": jnp.exp, "Log": jnp.log,
+             "Neg": jnp.negative, "Abs": jnp.abs,
+             "Erf": jax.scipy.special.erf,
+             "Relu": lambda x: jnp.maximum(x, 0),
+             "Sigmoid": jax.nn.sigmoid, "Tanh": jnp.tanh,
+             "Identity": lambda x: x}
+
+    if op in binops:
+        set_out(0, binops[op](inp(0), inp(1)))
+    elif op in unops:
+        set_out(0, unops[op](inp(0)))
+    elif op == "LeakyRelu":
+        alpha = a.get("alpha", 0.01)
+        x = inp(0)
+        set_out(0, jnp.where(x >= 0, x, alpha * x))
+    elif op == "Clip":
+        x = inp(0)
+        lo = inp(1, a.get("min"))
+        hi = inp(2, a.get("max"))
+        if lo is not None:
+            x = jnp.maximum(x, lo)
+        if hi is not None:
+            x = jnp.minimum(x, hi)
+        set_out(0, x)
+    elif op == "Softmax":
+        axis = a.get("axis", -1)
+        set_out(0, jax.nn.softmax(inp(0), axis=axis))
+    elif op == "MatMul":
+        set_out(0, jnp.matmul(inp(0), inp(1),
+                              preferred_element_type=jnp.float32))
+    elif op == "Gemm":
+        x, w = inp(0), inp(1)
+        if a.get("transA", 0):
+            x = x.T
+        if a.get("transB", 0):
+            w = w.T
+        y = a.get("alpha", 1.0) * jnp.matmul(
+            x, w, preferred_element_type=jnp.float32)
+        c = inp(2)
+        if c is not None:
+            y = y + a.get("beta", 1.0) * c
+        set_out(0, y)
+    elif op == "Conv":
+        x, w = inp(0), inp(1)
+        spatial = x.ndim - 2
+        kshape = w.shape[2:]
+        strides = a.get("strides") or [1] * spatial
+        dil = a.get("dilations") or [1] * spatial
+        groups = int(a.get("group", 1))
+        pads = _auto_pad(a, spatial, kshape)
+        dims = ("NCHW"[:2 + spatial] if spatial <= 2
+                else "NCDHW"[:2 + spatial])
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=[int(s) for s in strides],
+            padding=pads, rhs_dilation=[int(d) for d in dil],
+            dimension_numbers=(dims, dims.replace("N", "O")
+                               .replace("C", "I", 1), dims),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32)
+        b = inp(2)
+        if b is not None:
+            y = y + jnp.reshape(b, (1, -1) + (1,) * spatial)
+        set_out(0, y)
+    elif op in ("MaxPool", "AveragePool"):
+        x = inp(0)
+        spatial = x.ndim - 2
+        kshape = tuple(a["kernel_shape"])
+        strides = a.get("strides") or list(kshape)
+        pads = _auto_pad(a, spatial, kshape)
+        window = (1, 1) + kshape
+        wstr = (1, 1) + tuple(int(s) for s in strides)
+        pad4 = [(0, 0), (0, 0)] + pads
+        if op == "MaxPool":
+            y = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, window, wstr, pad4)
+        else:
+            s = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, window, wstr, pad4)
+            if a.get("count_include_pad", 0) or not any(
+                    p != (0, 0) for p in pads):
+                y = s / float(np.prod(kshape))
+            else:
+                ones = jnp.ones(x.shape, x.dtype)
+                cnt = jax.lax.reduce_window(
+                    ones, 0.0, jax.lax.add, window, wstr, pad4)
+                y = s / cnt
+        set_out(0, y)
+    elif op == "GlobalAveragePool":
+        x = inp(0)
+        set_out(0, jnp.mean(x, axis=tuple(range(2, x.ndim)),
+                            keepdims=True))
+    elif op == "BatchNormalization":
+        x, scale, bias, mean, var = (inp(0), inp(1), inp(2), inp(3),
+                                     inp(4))
+        eps = a.get("epsilon", 1e-5)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        inv = jax.lax.rsqrt(var + eps)
+        set_out(0, (x - mean.reshape(shape)) * (scale * inv)
+                .reshape(shape) + bias.reshape(shape))
+    elif op == "Reshape":
+        target = [int(d) for d in _const_of(env, node.inputs[1],
+                                            "Reshape")]
+        x = inp(0)
+        shape = [x.shape[i] if d == 0 and a.get("allowzero", 0) == 0
+                 else d for i, d in enumerate(target)]
+        set_out(0, jnp.reshape(x, shape))
+    elif op == "Transpose":
+        x = inp(0)
+        perm = a.get("perm") or list(range(x.ndim))[::-1]
+        set_out(0, jnp.transpose(x, perm))
+    elif op == "Flatten":
+        x = inp(0)
+        axis = a.get("axis", 1)
+        lead = int(np.prod(x.shape[:axis])) if axis else 1
+        set_out(0, jnp.reshape(x, (lead, -1)))
+    elif op == "Squeeze":
+        axes = a.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = [int(d) for d in _const_of(env, node.inputs[1],
+                                              "Squeeze")]
+        x = inp(0)
+        set_out(0, jnp.squeeze(x, tuple(axes) if axes else None))
+    elif op == "Unsqueeze":
+        axes = a.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = [int(d) for d in _const_of(env, node.inputs[1],
+                                              "Unsqueeze")]
+        x = inp(0)
+        for ax in sorted(int(v) for v in axes):
+            x = jnp.expand_dims(x, ax)
+        set_out(0, x)
+    elif op == "Concat":
+        xs = [env[n] for n in node.inputs]
+        set_out(0, jnp.concatenate(xs, axis=a.get("axis", 0)))
+    elif op == "Slice":
+        x = inp(0)
+        if len(node.inputs) > 1:       # opset >= 10: tensor operands
+            starts = _const_of(env, node.inputs[1], "Slice")
+            ends = _const_of(env, node.inputs[2], "Slice")
+            axes = (_const_of(env, node.inputs[3], "Slice")
+                    if len(node.inputs) > 3 and node.inputs[3]
+                    else np.arange(len(starts)))
+            steps = (_const_of(env, node.inputs[4], "Slice")
+                     if len(node.inputs) > 4 and node.inputs[4]
+                     else np.ones(len(starts), np.int64))
+        else:                          # opset 1: attributes
+            starts = np.asarray(a["starts"])
+            ends = np.asarray(a["ends"])
+            axes = np.asarray(a.get("axes",
+                                    list(range(len(starts)))))
+            steps = np.ones(len(starts), np.int64)
+        idx = [slice(None)] * x.ndim
+        for s, e, ax, st in zip(starts, ends, axes, steps):
+            s, e, ax, st = int(s), int(e), int(ax), int(st)
+            dim = x.shape[ax]
+            if e > dim:
+                e = dim
+            if e < -dim:
+                e = None if st < 0 else -dim
+            idx[ax] = slice(s, e, st)
+        set_out(0, x[tuple(idx)])
+    elif op == "Gather":
+        x, ind = inp(0), inp(1)
+        set_out(0, jnp.take(x, jnp.asarray(ind),
+                            axis=a.get("axis", 0)))
+    elif op in ("ReduceMean", "ReduceSum"):
+        x = inp(0)
+        axes = a.get("axes")
+        if axes is None and len(node.inputs) > 1 and node.inputs[1]:
+            axes = [int(d) for d in _const_of(env, node.inputs[1],
+                                              op)]
+        axes = tuple(int(v) for v in axes) if axes else None
+        keep = bool(a.get("keepdims", 1))
+        red = jnp.mean if op == "ReduceMean" else jnp.sum
+        set_out(0, red(x, axis=axes, keepdims=keep))
+    elif op == "Constant":
+        for key in ("value", "value_float", "value_int",
+                    "value_floats", "value_ints"):
+            if key in a:
+                set_out(0, np.asarray(a[key]))
+                return
+        raise UnsupportedOnnxOp("Constant with no value attribute")
+    elif op == "Cast":
+        to = _ONNX_DTYPES.get(a.get("to", 1))
+        if to is None:
+            raise UnsupportedOnnxOp(f"Cast to dtype {a.get('to')}")
+        set_out(0, inp(0).astype(to))
+    elif op == "Shape":
+        x = inp(0)
+        set_out(0, np.asarray(x.shape, np.int64))
+    elif op == "Dropout":
+        set_out(0, inp(0))             # inference mode: identity
+        if len(node.outputs) > 1:
+            set_out(1, jnp.ones(inp(0).shape, bool))
+    else:
+        raise UnsupportedOnnxOp(op)
+
+
+def build_fn(graph: OnnxGraph
+             ) -> Callable[[Dict[str, Any]], Dict[str, Any]]:
+    """OnnxGraph -> pure jittable fn(inputs dict) -> outputs dict.
+
+    Validation pass: every node's op must be in the subset, checked
+    here (not mid-run) by a dry scan of op types.
+    """
+    known = {
+        "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Exp", "Log",
+        "Neg", "Abs", "Erf", "Relu", "LeakyRelu", "Sigmoid", "Tanh",
+        "Identity", "Clip", "Softmax", "MatMul", "Gemm", "Conv",
+        "MaxPool", "AveragePool", "GlobalAveragePool",
+        "BatchNormalization", "Reshape", "Transpose", "Flatten",
+        "Squeeze", "Unsqueeze", "Concat", "Slice", "Gather",
+        "ReduceMean", "ReduceSum", "Constant", "Cast", "Shape",
+        "Dropout",
+    }
+    bad = sorted({n.op_type for n in graph.nodes} - known)
+    if bad:
+        raise UnsupportedOnnxOp(
+            f"ops outside the pure-JAX subset: {bad}")
+
+    inits = {k: v for k, v in graph.initializers.items()}
+    out_names = graph.output_names
+
+    def fn(inputs: Dict[str, Any]) -> Dict[str, Any]:
+        env: Dict[str, Any] = dict(inits)
+        env.update(inputs)
+        for node in graph.nodes:
+            _apply_node(node, env)
+        return {n: env[n] for n in out_names}
+
+    return fn

@@ -834,7 +834,12 @@ async function boot() {
     `${location.host}/api/v1/stream${tq}`);
   streamWs = ws;
   ws.binaryType = "arraybuffer";
-  ws.onmessage = async (ev) => {
+  // presentation is serialized through a promise chain: decoding PNG
+  // delta strips awaits createImageBitmap, and the retained-canvas
+  // shift+blit is order-dependent — concurrent handlers could blit
+  // strips out of order and scramble the waterfall until a keyframe
+  let presentChain = Promise.resolve();
+  ws.onmessage = (ev) => {
     if (typeof ev.data === "string") {
       const msg = JSON.parse(ev.data);
       if (msg.type === "view") { view = msg.view;
@@ -846,7 +851,9 @@ async function boot() {
     const header = JSON.parse(new TextDecoder().decode(
       new Uint8Array(ev.data, 4, hlen)));
     const payload = ev.data.slice(4 + hlen);
-    await presentSurface(header, payload);
+    presentChain = presentChain
+      .then(() => presentSurface(header, payload))
+      .catch(() => {});
   };
   ws.onclose = () => document.getElementById("status")
     .textContent = "stream disconnected";

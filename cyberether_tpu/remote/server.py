@@ -579,17 +579,20 @@ class RemoteServer:
                             if last_fp.get(name) == fp:
                                 continue   # dirty tracking: unchanged
                             last_fp[name] = fp
-                            delta = self._delta_rows(name, data,
-                                                     scroll)
+                            delta, commit = self._delta_rows(
+                                name, data, scroll)
                             enc = await loop.run_in_executor(
                                 None, _encode_binary, name, data,
                                 delta)
                             if enc is None:
-                                continue
+                                continue   # state uncommitted: the
+                                # next frame falls back to a keyframe
                             header, payload = enc
                             await ws.send_bytes(
                                 struct.pack("<I", len(header))
                                 + header + payload)
+                            if commit is not None:
+                                scroll[name] = commit
                 if tick % (10 if legacy else 30) == 0:
                     views = {n: fg.view() for n, fg in
                              self.instance.flowgraphs.items()}
@@ -634,14 +637,18 @@ class RemoteServer:
 
     def _delta_rows(self, name: str, data: Dict[str, Any],
                     scroll: Dict[str, Tuple[int, Any, int]]
-                    ) -> Optional[int]:
-        """Scrolling-surface delta decision: rows to ship, or None for
-        a full frame.  Delta only when the view (zoom/offset window)
-        is unchanged and the scroll advance is a small fraction of the
-        frame height; periodic keyframes bound client drift."""
+                    ) -> Tuple[Optional[int], Optional[tuple]]:
+        """Scrolling-surface delta decision: (rows to ship | None for
+        a full frame, scroll-state entry to COMMIT after the frame is
+        successfully encoded and queued).  Delta only when the view
+        (zoom/offset window) is unchanged and the scroll advance is a
+        small fraction of the frame height; periodic keyframes bound
+        client drift.  The caller must not commit the entry on encode/
+        send failure — otherwise the client silently misses scrolled
+        rows until the next keyframe."""
         seq = data.get("scroll_seq")
         if seq is None or "frame" not in data:
-            return None
+            return None, None
         view = data.get("view")
         h = np.asarray(data["frame"]).shape[0]
         prev = scroll.get(name)
@@ -653,10 +660,8 @@ class RemoteServer:
                     and since_key < self._KEYFRAME_EVERY):
                 delta = int(adv)
         if delta is None:
-            scroll[name] = (seq, view, 0)
-        else:
-            scroll[name] = (seq, view, prev[2] + 1)
-        return delta
+            return None, (seq, view, 0)
+        return delta, (seq, view, prev[2] + 1)
 
 
 def _jsonable(obj: Any) -> Any:
