@@ -123,6 +123,30 @@ class ChannelizerFusedModule(Module):
             state, iq, tile_m=tile, interpret=_interpret())
         return {"audio": audio}, new_state
 
+    def apply_mesh(self, inputs, state, mesh):
+        """Mesh-sharded apply (scheduler segment compiler hook): the
+        frame stream shards over the mesh 'time' axis, each shard runs
+        the fused kernel locally after a ppermute left-halo exchange,
+        and the decimated audio comes back time-sharded — the
+        flowgraph-level cognate of models/channelizer.py
+        sharded_step_fn (BASELINE config: channel-sharded 64-ch
+        channelizer).  Falls back to the single-device apply when the
+        mesh has no usable 'time' axis or frames don't split."""
+        n_t = dict(zip(mesh.axis_names, mesh.devices.shape)) \
+            .get("time", 1)
+        local = self._frames // max(n_t, 1)
+        D = self._model.audio_decim
+        if n_t <= 1 or self._frames % n_t or local % D:
+            return self.apply(inputs, state)
+        iq = inputs["buffer"]
+        if self._complex_in:
+            iq = _split_complex(iq)
+        tile = _largest_tile(local, int(self.config["tileM"]), D)
+        fn = self._model.sharded_step_fn(
+            mesh, tile_m=tile, interpret=_interpret())
+        audio, new_state = fn(state, iq)
+        return {"audio": audio}, new_state
+
 
 @register_module
 class WbfmFusedModule(Module):

@@ -428,7 +428,12 @@ class AudioModule(Module):
     module_type = "audio"
     device = Device.CPU
     runtime = Runtime.HOST
-    taints = Taint.HOST_SINK
+    # SURFACE: the sink also presents its PCM stream to the remote
+    # server, which ships it over the binary WS to the editor client
+    # (browser WebAudio) — the in-image route for audio to reach a
+    # user (reference plays through embedded miniaudio,
+    # io/audio/module_impl.cc:72-80; no audio device exists here)
+    taints = Taint.HOST_SINK | Taint.SURFACE
     input_ports = ("buffer",)
     schema = Schema(
         Field("deviceName", "str", "Default"),
@@ -448,6 +453,9 @@ class AudioModule(Module):
             self._resample = (frac.numerator, frac.denominator)
         self.samples_out = 0
         self._sink_ring = CircularBuffer(1 << 20, np.float32)
+        # separate ring for the WS/WebAudio stream so present() and
+        # take() (tests, playback pump) never steal each other's data
+        self._stream_ring = CircularBuffer(1 << 20, np.float32)
         # playback backend: deviceName 'process:<cmd>' pipes float32
         # samples into a player command (e.g. 'process:aplay -f
         # FLOAT_LE -r {rate} -c 1'); 'Default' collects only (no audio
@@ -486,6 +494,7 @@ class AudioModule(Module):
             data = resample_poly(data, up, down).astype(np.float32)
         data = data * float(self.config["volume"])
         self._sink_ring.put(data)
+        self._stream_ring.put(data)
         self.samples_out += data.size
         if self._player is not None:
             try:
@@ -498,6 +507,25 @@ class AudioModule(Module):
     def take(self, n: int) -> Optional[np.ndarray]:
         """Fetch resampled audio (testing / playback pump)."""
         return self._sink_ring.get(n)
+
+    _STREAM_CHUNK = 1 << 15     # <= 32768 samples per WS frame
+
+    def present_data(self, outputs, state):
+        """Drain pending PCM for the remote stream: the server encodes
+        it as a kind="audio" binary frame (f32 payload) and the editor
+        client schedules it through WebAudio."""
+        ring = getattr(self, "_stream_ring", None)
+        if ring is None:
+            return None
+        n = min(ring.occupancy, self._STREAM_CHUNK)
+        if n == 0:
+            return None
+        pcm = ring.get(n)
+        if pcm is None:
+            return None
+        return {"kind": "audio", "pcm": pcm,
+                "rate": float(self.config["outSampleRate"]),
+                "seq": int(self.samples_out)}
 
 
 for _type in ("file_reader", "file_writer", "soapy", "websocket", "audio"):

@@ -559,7 +559,15 @@ class Scheduler:
                 mask = state_masks.get(name)
                 st = None if st_raw is None else \
                     _complexify_tree(st_raw, mask)
-                outs, st_new = mod.apply(ins, st)
+                if self.mesh is not None and hasattr(mod,
+                                                    "apply_mesh"):
+                    # mesh-aware modules own their partitioning
+                    # (shard_map + collectives — e.g. the channelizer's
+                    # ppermute halo exchange); plain modules rely on
+                    # GSPMD propagation from the boundary constraints
+                    outs, st_new = mod.apply_mesh(ins, st, self.mesh)
+                else:
+                    outs, st_new = mod.apply(ins, st)
                 if st_raw is not None:
                     # realify BEFORE the freeze-select so jnp.where
                     # only ever runs on float planes (complex select

@@ -105,10 +105,13 @@ class Channelizer:
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
         in-kernel decimation.  ``kernel`` picks the arithmetic layout:
-        "v5" (default, VPU FIR + one DFT matmul — 8x less MXU work) or
-        "v4" (taps folded into P DFT matmuls)."""
+        "v6" (default production: v5 minus the body->win copy and the
+        big-selector decimation — see _channelize_body_v6), "v5" (VPU
+        FIR + one DFT matmul), or "v4" (taps folded into P DFT
+        matmuls)."""
         from cyberether_tpu.ops.pallas_kernels import (
-            channelize_demod_decim, channelize_demod_decim_v5)
+            channelize_demod_decim, channelize_demod_decim_v5,
+            channelize_demod_decim_v6)
 
         C, Pt = self.channels, self.taps_per_branch
         M = iq.shape[0]
@@ -126,7 +129,14 @@ class Channelizer:
                 [state["hist"][None], x3[:-1, tile - Pt:, :]], axis=0)
         else:
             halos = state["hist"][None]
-        if kernel == "v5":
+        if kernel == "v6":
+            audio = channelize_demod_decim_v6(
+                x2, halos, self._hp5, self._bperm5,
+                float(self._fm_ref), self.audio_decim, tile_m=tile,
+                interpret=interpret,
+                decim_mode="chunk" if decim_mode == "sel"
+                else decim_mode)
+        elif kernel == "v5":
             audio = channelize_demod_decim_v5(
                 x2, halos, self._hp5, self._bperm5,
                 float(self._fm_ref), self.audio_decim, tile_m=tile,
@@ -257,14 +267,17 @@ class Channelizer:
     def jitted_step(self):
         return jax.jit(self.step, donate_argnums=(0,))
 
-    def sharded_step_pallas(self, mesh: Mesh, tile_m: int = 512,
-                            interpret: bool = False):
-        """Time-sharded fused-kernel step: each ``time`` shard runs the
-        v4 Pallas kernel on its local frames after a ``ppermute`` left
-        halo of P frames (the direct halo-exchange cognate of the
-        reference's overlap-save segmentation, SURVEY.md §5).  Only a
-        parallel-grid kernel is shardable — v1/v2 chain a sequential
-        lag carry across tiles, which cannot cross shard boundaries.
+    def sharded_step_fn(self, mesh: Mesh, tile_m: int = 512,
+                        interpret: bool = False, kernel: str = "v5"):
+        """Time-sharded fused-kernel step, UNJITTED (composable inside
+        a larger jitted program — the scheduler's segment compiler
+        calls this from ``ChannelizerFusedModule.apply_mesh``): each
+        ``time`` shard runs the fused Pallas kernel on its local
+        frames after a ``ppermute`` left halo of P frames (the direct
+        halo-exchange cognate of the reference's overlap-save
+        segmentation, SURVEY.md §5).  Only a parallel-grid kernel is
+        shardable — v1/v2 chain a sequential lag carry across tiles,
+        which cannot cross shard boundaries.
 
         State: ``{"hist": (P, 2C)}`` (v4 interleaved rows) replicated;
         only the last shard contributes the next step's history
@@ -285,17 +298,22 @@ class Channelizer:
             hist = jnp.where(idx == 0, state["hist"], recv)
             audio, _ = self.step_pallas_v4(
                 {"hist": hist}, iq, tile_m=min(tile_m, M),
-                interpret=interpret)
+                interpret=interpret, kernel=kernel)
             new_hist = jax.lax.psum(
                 jnp.where(idx == n_t - 1, tail, 0.0), "time")
             return audio, {"hist": new_hist}
 
-        fn = shard_map(
+        return shard_map(
             local_fn, mesh=mesh,
             in_specs=({"hist": P()}, P("time", None, None)),
             out_specs=(P("time", None), {"hist": P()}),
             check_vma=False)   # pallas_call outputs carry no vma info
-        return jax.jit(fn, donate_argnums=(0,))
+
+    def sharded_step_pallas(self, mesh: Mesh, tile_m: int = 512,
+                            interpret: bool = False):
+        """Jitted entry over :meth:`sharded_step_fn`."""
+        return jax.jit(self.sharded_step_fn(mesh, tile_m, interpret),
+                       donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def make_input_full(self, frames: int, seed: int = 0) -> np.ndarray:

@@ -108,6 +108,7 @@ svg{width:100%;height:100%;display:block}
 .link{fill:none;stroke-width:2;opacity:.85}
 .link.ghost{stroke-dasharray:5 4;opacity:.6}
 #err{color:var(--err)}
+#audio-arm.on{color:var(--ok,#6c6)}
 .metric{color:var(--warn);font-size:11px}
 </style></head><body>
 <div id="top">
@@ -120,6 +121,8 @@ svg{width:100%;height:100%;display:block}
  <button id="benchbtn">benchmark</button>
  <button id="yamlbtn">yaml</button>
  <button id="themebtn" title="toggle light/dark">◐</button>
+ <button id="audio-arm" title="enable audio playback"
+         style="display:none">🔊</button>
  <button id="helpbtn">?</button>
  <span id="status" style="color:var(--dim)"></span>
 </div>
@@ -287,6 +290,8 @@ for (const sp of document.querySelectorAll(".splitter")) {
     sp.addEventListener("pointerup", up);
   });
 }
+
+document.getElementById("audio-arm").onclick = () => armAudio();
 
 document.getElementById("themebtn").onclick = () => {
   document.body.classList.toggle("light");
@@ -486,14 +491,17 @@ function render() {
       l.textContent = p;
     });
     if (b.type === "note" && (b.config || {}).content) {
-      // markdown rendered inside the node (Sakura markdown view)
+      // markdown rendered inside the node (Sakura markdown view);
+      // HTML comes from the server-side renderer
       const fo = el("foreignObject",
         {x: 6, y: HDR - 4, width: NW - 12, height: h - HDR}, g);
       const div = document.createElement("div");
       div.className = "md";
       div.style.cssText = "font-size:9px;overflow:hidden;" +
         "pointer-events:none;color:var(--txt)";
-      div.innerHTML = mdToHtml(b.config.content);
+      serverHighlight(b.config.content, "md", 0).then((h2) => {
+        if (h2 !== null) div.innerHTML = h2;
+      });
       fo.appendChild(div);
     }
   }
@@ -541,8 +549,7 @@ function renderInspector() {
     }
   }
   if (b.type === "note") {
-    const md = b.config.content || "";
-    html += `<h3>preview</h3><div class="md">${mdToHtml(md)}</div>`;
+    html += `<h3>preview</h3><div class="md" id="mdprev"></div>`;
   }
   const extra = Object.fromEntries(Object.entries(b.config)
     .filter(([k]) => !known.has(k)));
@@ -566,16 +573,26 @@ function renderInspector() {
   html += `<div class="row"><button id="apply">apply</button>` +
     `<button id="del" class="danger">delete</button></div>`;
   insp.innerHTML = html;
-  // live syntax highlight for python code fields; the block's error
-  // line (parsed from the diagnostic) is tinted in the editor
+  if (b.type === "note") {
+    serverHighlight(b.config.content || "", "md", 0).then((h) => {
+      const el = document.getElementById("mdprev");
+      if (el && h !== null) el.innerHTML = h;
+    });
+  }
+  // live syntax highlight for python code fields (rendered server-
+  // side, remote/highlight.py); the block's error line is tinted
   for (const ta of insp.querySelectorAll("textarea[data-hl]")) {
     const pre = document.getElementById(ta.dataset.hl);
     const errLine = (() => {
       const m = (b.error || "").match(/line (\d+)/);
       return m ? parseInt(m[1], 10) : 0;
     })();
-    const sync = () => {
-      pre.innerHTML = pyHighlight(ta.value, errLine);
+    let seq = 0;
+    const sync = async () => {
+      const s = ++seq;
+      const h = await serverHighlight(ta.value, "py", errLine);
+      if (h === null || s !== seq) return;   // stale response
+      pre.innerHTML = h;
       pre.scrollTop = ta.scrollTop; pre.scrollLeft = ta.scrollLeft;
     };
     ta.addEventListener("input", sync);
@@ -594,59 +611,25 @@ function renderInspector() {
   };
 }
 
-// self-contained python tokenizer -> highlighted HTML (no CDN; the
-// reference embeds tree-sitter grammars, src/render/sakura/).  Strings
-// and comments tokenize first; keywords/numbers/decorators/calls are
-// regex passes over the remaining plain segments.
-const PY_KW = new RegExp("\\b(def|class|return|if|elif|else|for|" +
-  "while|import|from|as|with|try|except|finally|raise|pass|break|" +
-  "continue|lambda|yield|global|nonlocal|assert|del|not|and|or|in|" +
-  "is|None|True|False|async|await|self)\\b", "g");
-function pyHighlight(src, errLine) {
-  const esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
-  const plain = s => esc(s)
-    .replace(PY_KW, '<span class="kw">$1</span>')
-    .replace(/(^|[^\w.])(\d+\.?\d*(?:e[+-]?\d+)?)/gi,
-             '$1<span class="num">$2</span>')
-    .replace(/(@[A-Za-z_][\w.]*)/g, '<span class="dec">$1</span>')
-    .replace(/([A-Za-z_]\w*)(?=\()/g, '<span class="fn">$1</span>');
-  const q = '"'.repeat(3);   // avoid ending the page's py string
-  const re = new RegExp(
-    `(${q}[\\s\\S]*?${q}|'''[\\s\\S]*?'''|` +
-    `"(?:\\\\.|[^"\\\\\\n])*"|'(?:\\\\.|[^'\\\\\\n])*'|#[^\\n]*)`,
-    "g");
-  let out = "", last = 0, m;
-  while ((m = re.exec(src))) {
-    out += plain(src.slice(last, m.index));
-    out += `<span class="${m[0][0] === "#" ? "cmt" : "str"}">` +
-      `${esc(m[0])}</span>`;
-    last = m.index + m[0].length;
-  }
-  out += plain(src.slice(last));
-  if (errLine > 0) {
-    const lines = out.split("\n");
-    if (errLine <= lines.length) {
-      lines[errLine - 1] =
-        `<span class="errline">${lines[errLine - 1] || " "}</span>`;
-    }
-    out = lines.join("\n");
-  }
-  return out + "\n";
-}
-
-// minimal markdown renderer for note blocks (the reference's Sakura
-// markdown view — render/sakura retained markdown component)
-function mdToHtml(md) {
-  const esc = md.replace(/&/g, "&amp;").replace(/</g, "&lt;");
-  return esc.split(/\n\n+/).map(par => {
-    const h = par.match(/^(#{1,3})\s+(.*)$/m);
-    if (h) return `<h${h[1].length}>${h[2]}</h${h[1].length}>`;
-    return "<p>" + par
-      .replace(/\*\*([^*]+)\*\*/g, "<b>$1</b>")
-      .replace(/\*([^*]+)\*/g, "<i>$1</i>")
-      .replace(/`([^`]+)`/g, "<code>$1</code>")
-      .replace(/\n/g, "<br>") + "</p>";
-  }).join("");
+// syntax highlight + markdown render happen SERVER-side
+// (remote/highlight.py, golden-tested); the page only fetches the
+// HTML and blits it.  Small memo so keystroke-repeat and tab-flips
+// don't refetch.
+const hlCache = new Map();
+async function serverHighlight(code, kind, errLine) {
+  const key = `${kind}\x00${errLine}\x00${code}`;
+  if (hlCache.has(key)) return hlCache.get(key);
+  try {
+    const r = await fetch(`/api/v1/highlight${tq}`, {
+      method: "POST",
+      headers: {"Content-Type": "application/json"},
+      body: JSON.stringify({code, kind, errLine})});
+    if (!r.ok) return null;
+    const h = (await r.json()).html;
+    if (hlCache.size > 200) hlCache.clear();
+    hlCache.set(key, h);
+    return h;
+  } catch (e) { return null; }
 }
 
 async function applyConfig() {
@@ -964,7 +947,47 @@ const fmtUnit = (v, unit) => {
   return v.toFixed(1) + (unit ? " " + unit : "");
 };
 
+// ---- audio: WS PCM chunks -> WebAudio (browsers require a user
+// gesture before playback; the speaker button arms the context) ----
+const audioState = {ctx: null, t: 0, armed: false, pending: []};
+function armAudio() {
+  audioState.armed = true;
+  if (!audioState.ctx) {
+    audioState.ctx = new (window.AudioContext ||
+                          window.webkitAudioContext)();
+  }
+  audioState.ctx.resume();
+  const b = document.getElementById("audio-arm");
+  if (b) b.classList.add("on");
+  for (const [r, p] of audioState.pending.splice(0)) playPcm(r, p);
+}
+function playPcm(rate, samples) {
+  const a = audioState;
+  if (!a.armed) {            // keep a short pre-arm backlog
+    a.pending.push([rate, samples]);
+    if (a.pending.length > 8) a.pending.shift();
+    const b = document.getElementById("audio-arm");
+    if (b) b.style.display = "";
+    return;
+  }
+  const ctx = a.ctx;
+  const buf = ctx.createBuffer(1, samples.length, rate);
+  buf.getChannelData(0).set(samples);
+  const src = ctx.createBufferSource();
+  src.buffer = buf;
+  src.connect(ctx.destination);
+  // rolling schedule: butt chunks against each other; resync after
+  // an underrun (scheduled time fell behind the clock)
+  if (a.t < ctx.currentTime + 0.02) a.t = ctx.currentTime + 0.05;
+  src.start(a.t);
+  a.t += buf.duration;
+}
+
 async function presentSurface(header, payload) {
+  if (header.kind === "audio") {
+    playPcm(header.rate || 48000, new Float32Array(payload));
+    return;
+  }
   const st = surfCanvas(header.name);
   st.header = header;
   if (header.enc === "f32") {

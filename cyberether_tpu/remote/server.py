@@ -118,6 +118,11 @@ def _frame_to_png_b64(data: Dict[str, Any]) -> Optional[str]:
 
 def _fingerprint(data: Dict[str, Any]) -> int:
     """Cheap per-surface content fingerprint for dirty tracking."""
+    if "pcm" in data:
+        # audio: every drained chunk is new data; the running sample
+        # counter is the fingerprint (a content CRC could collide on
+        # periodic tones and silently stall the stream)
+        return int(data.get("seq", 0))
     arr = data.get("frame")
     if arr is None:
         arr = data.get("line")
@@ -150,7 +155,13 @@ def _encode_binary(name: str, data: Dict[str, Any],
     if "scroll_seq" in data:
         header["seq"] = int(data["scroll_seq"])
     payload = b""
-    if kind == "map":
+    if kind == "audio":
+        pcm = np.asarray(data["pcm"], np.float32)
+        header.update(enc="f32", n=int(pcm.size),
+                      rate=float(data.get("rate", 48e3)),
+                      seq=int(data.get("seq", 0)))
+        payload = np.ascontiguousarray(pcm).tobytes()
+    elif kind == "map":
         header["aircraft"] = _jsonable(data.get("aircraft", []))
         header["stats"] = _jsonable(data.get("stats", {}))
         header["enc"] = "none"
@@ -257,6 +268,7 @@ class RemoteServer:
         app.router.add_get("/api/v1/examples", self._examples)
         app.router.add_get("/api/v1/flowgraph/{fg}/yaml", self._yaml_export)
         app.router.add_post("/api/v1/flowgraph/import", self._yaml_import)
+        app.router.add_post("/api/v1/highlight", self._highlight)
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, self.host, self.port)
@@ -465,6 +477,22 @@ class RemoteServer:
         from cyberether_tpu import benchmark
 
         return web.json_response(benchmark.list_components())
+
+    async def _highlight(self, request):
+        """Server-side syntax highlight / markdown render: the page JS
+        ships code here and blits the returned HTML (pure string->HTML
+        logic lives in remote/highlight.py where it has golden
+        tests)."""
+        self._check_token(request)
+        from aiohttp import web
+
+        from cyberether_tpu.remote.highlight import highlight
+
+        body = await request.json()
+        html_out = highlight(str(body.get("code", "")),
+                             kind=str(body.get("kind", "py")),
+                             err_line=int(body.get("errLine", 0)))
+        return web.json_response({"html": html_out})
 
     async def _examples(self, request):
         self._check_token(request)

@@ -89,11 +89,11 @@ def test_channelize_demod_kernel_v2_matches_xla_path():
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("kernel", ["v4", "v5"])
+@pytest.mark.parametrize("kernel", ["v4", "v5", "v6"])
 def test_channelize_demod_kernel_v4_matches_xla_path(kernel):
     """Production variants: interleaved lanes + parallel grid +
     in-kernel decimation (v4: tap-folded DFT matmuls; v5: VPU FIR +
-    one DFT matmul)."""
+    one DFT matmul; v6: no-copy FIR + chunked decimation)."""
     model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
                         sample_rate=8e5)
     frames = 1024    # tile 512 -> 2 grid steps

@@ -109,8 +109,8 @@ def test_editor_script_delimiters_balance():
 
 def test_editor_page_has_ui_entry_points():
     for needle in ("benchbtn", "yamlbtn", "themebtn", "helpbtn",
-                   "exsel", "modalbg", "mdToHtml", "drawSurface",
-                   "drawMap", "cursorReadout"):
+                   "exsel", "modalbg", "serverHighlight",
+                   "drawSurface", "drawMap", "cursorReadout"):
         assert needle in EDITOR_PAGE, needle
 
 
@@ -122,7 +122,7 @@ def test_editor_ids_referenced_exist():
     ids = set(re.findall(r'id="([^"]+)"', html))
     dynamic = {"cfgextra", "apply", "del", "benchsel", "benchrun",
                "benchout", "yamltext", "yamlimport", "yamlcopy",
-               "palin", "pallist"}
+               "palin", "pallist", "mdprev"}
     dynamic |= {i for i in re.findall(
         r'getElementById\("([a-z]+)_" ?\+', script)}
     for ref in re.findall(r'getElementById\("([^"]+)"\)', script):
