@@ -51,21 +51,34 @@ class Measurement:
     error_pct: float
 
 
-_CASES: List[Case] = []
-
-
 def register_case(case: Case) -> None:
-    _CASES.append(case)
+    """Register a benchmark case through the component Registry — the
+    JST_BENCHMARKS cognate (reference include/jetstream/registry.hh:255,
+    src/benchmark.cc:100-178).  The CLI, the editor's benchmark modal
+    and the REST endpoint all list and run from this ONE source;
+    plugin-origin cases unload with their plugin
+    (registry.unregister_origin)."""
+    comp = case.component
+    if comp not in registry.list_benchmarks():
+        registry.register_benchmark(
+            comp, lambda component=comp, **kw: run(component, **kw))
+    registry.benchmark(comp).cases.append(case)
+
+
+def _all_cases() -> List[Case]:
+    return [c for comp in registry.list_benchmarks()
+            for c in registry.benchmark(comp).cases]
 
 
 def list_components() -> List[str]:
-    return sorted({c.component for c in _CASES})
+    return [c for c in registry.list_benchmarks()
+            if registry.benchmark(c).cases]
 
 
 def run(component: Optional[str] = None,
         min_epoch: float = MIN_EPOCH_SECONDS) -> List[Measurement]:
     out: List[Measurement] = []
-    for case in _CASES:
+    for case in _all_cases():
         if component and case.component != component:
             continue
         out.append(_run_case(case, min_epoch))

@@ -70,7 +70,7 @@ class ChannelizerFusedModule(Module):
                     Field("audioDecim", "int", 16),
                     Field("sampleRate", "float", 128e6),
                     Field("deviation", "float", 75e3),
-                    Field("tileM", "int", 2048))
+                    Field("tileM", "int", 4096))
 
     def validate(self) -> None:
         spec = self.input_specs["buffer"]

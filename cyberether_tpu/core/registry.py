@@ -53,6 +53,11 @@ class BenchmarkEntry:
     component: str
     runner: Callable[..., Any]
     origin: str = "builtin"
+    #: benchmark cases attached to this component (the JST_BENCHMARKS
+    #: cognate, reference include/jetstream/registry.hh:255) — the CLI,
+    #: the editor's benchmark modal and the REST endpoint all list/run
+    #: from this one source (cyberether_tpu/benchmark.py register_case)
+    cases: List[Any] = field(default_factory=list)
 
 
 class Registry:
@@ -166,8 +171,9 @@ class Registry:
 
     def register_benchmark(self, component: str,
                            runner: Callable[..., Any],
-                           origin: str = "builtin") -> None:
-        self._benchmarks[component] = BenchmarkEntry(component, runner, origin)
+                           origin: Optional[str] = None) -> None:
+        self._benchmarks[component] = BenchmarkEntry(
+            component, runner, origin or self._current_origin)
 
     def list_benchmarks(self) -> List[str]:
         return sorted(self._benchmarks)

@@ -207,6 +207,7 @@ class Scheduler:
         # last array dispatched per device key — synchronize() blocks
         # only on these (in-order execution drains the rest)
         self._sync_anchor: Dict[str, Any] = {}
+        self._flag_cache: Dict[Any, Any] = {}
         self._metrics: Dict[str, Dict[str, Any]] = {}
         self._sources: List[str] = []
         self._sinks: List[str] = []
@@ -739,8 +740,21 @@ class Scheduler:
             fire = (now - last) >= period
             if fire:
                 self._gate_last_fire[name] = now
-            flags[name] = np.float32(1.0 if fire else 0.0)
+            flags[name] = self._flag_scalar(fire, seg.device0)
         return flags
+
+    def _flag_scalar(self, value: bool, device0=None):
+        """Cached on-device f32 flag (True/False) per device — flags
+        are per-cycle jit arguments, and uploading a fresh host scalar
+        every cycle costs a tunnel round trip each."""
+        key = (bool(value), device0)
+        hit = self._flag_cache.get(key)
+        if hit is None:
+            arr = np.float32(1.0 if value else 0.0)
+            hit = jax.device_put(arr, device0) if device0 is not None \
+                else jax.device_put(arr)
+            self._flag_cache[key] = hit
+        return hit
 
     def compute(self, timeout: Optional[float] = None) -> bool:
         """Run one full graph cycle (all segments in order).  Returns True
@@ -1014,9 +1028,13 @@ class Scheduler:
                     ext_vals[k] = val
                     # keep device validity scalars on device — forcing
                     # them to host bools would sync the pipeline every
-                    # cycle; jit accepts bool scalars and arrays alike
+                    # cycle; host bools ride CACHED device scalars (a
+                    # fresh np.float32 per call is a per-cycle h2d
+                    # upload — real milliseconds through a tunneled
+                    # backend)
                     v = self._valid.get(k, True)
-                    ext_valid[k] = np.float32(1.0 if v else 0.0) \
+                    ext_valid[k] = self._flag_scalar(bool(v),
+                                                     seg.device0) \
                         if isinstance(v, bool) else v
                 gate_flags = self._gate_flags_for(seg)
                 state_sub = {m: self._state[m] for m in seg.state_modules

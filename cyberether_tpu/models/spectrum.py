@@ -89,20 +89,23 @@ class SpectrumPipeline:
     def step_pallas_ct(self, iq: jnp.ndarray,
                        interpret: bool = False, win=None,
                        exact: bool = True,
-                       version: str = "ct2",
-                       stage2: str = "") -> jnp.ndarray:
+                       version: str = "ct4",
+                       stage2: str = "",
+                       kb: int = 8) -> jnp.ndarray:
         """Fused Cooley-Tukey kernel (n = m x 128): the m-point stage
         on the VPU (true-f32 ALUs), the 128-point stage on the MXU —
         ~16x fewer MXU flops than the full-DFT kernel at n=2048.
 
-        ``exact=True`` (reference grade: high-precision stage 2,
-        measured <=1e-4 of f64 truth on hardware) or False (display
-        grade 1-pass stage 2).  ``version``: "ct2" (round-4
-        register-blocked stage 1, the default) or "ct1" (round-3
-        layout, kept for A/B).  ``stage2`` overrides the exact->
-        precision mapping ("highest" | "high" | "default")."""
+        ``exact=True`` (reference grade: HIGHEST-precision stage 2,
+        measured 3.6e-5 of f64 truth on hardware) or False (display
+        grade 1-pass stage 2).  ``stage2`` overrides the mapping:
+        "highest" | "x4" (manual 4-product bf16 compensation, ~3.4e-4
+        — the bf16 hi+lo representation limit; ~18% faster than
+        highest) | "default".  ``version``: "ct4" (round-4 production:
+        window-folded stage-1 tables + kb k1-values per grid cell) or
+        "ct1" (round-3 layout, kept for A/B)."""
         from cyberether_tpu.ops.pallas_kernels import (
-            spectrum_fused_ct, spectrum_fused_ct2)
+            spectrum_fused_ct, spectrum_fused_ct4)
 
         w = np.asarray(self._win) if win is None else win
         if version == "ct1":
@@ -110,9 +113,10 @@ class SpectrumPipeline:
                 iq, w, float(self._coeff), float(self._scale),
                 float(self._offset), interpret=interpret, exact=exact)
         s2 = stage2 or ("highest" if exact else "default")
-        return spectrum_fused_ct2(
+        return spectrum_fused_ct4(
             iq, w, float(self._coeff), float(self._scale),
-            float(self._offset), interpret=interpret, stage2=s2)
+            float(self._offset), interpret=interpret, stage2=s2,
+            kb=kb)
 
     def step_dft(self, iq: jnp.ndarray,
                  bf16: bool = False, win=None) -> jnp.ndarray:

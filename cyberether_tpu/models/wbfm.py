@@ -84,23 +84,41 @@ class WbfmReceiver:
         }
         return audio, new_state
 
-    def step_pallas(self, state, iq: jnp.ndarray, interpret: bool = False):
+    def step_pallas(self, state, iq: jnp.ndarray,
+                    interpret: bool = False, version: str = "v2"):
         """Fused Pallas path: channel FIR + discriminator in one VMEM
-        pass (banded MXU matmuls — see ops/pallas_kernels.wbfm_fused);
-        audio decimation stays in XLA.  Same (audio, state) contract as
-        :meth:`step`."""
-        from cyberether_tpu.ops.pallas_kernels import wbfm_fused
+        pass (banded MXU matmuls — see ops/pallas_kernels
+        wbfm_fused_v2); audio decimation stays in XLA.  Same
+        (audio, state) contract as :meth:`step`.
 
-        x = iq.T                                    # (2, n)
-        n = x.shape[-1]
+        ``version="v2"`` (default): the kernel reads the raw (n, 2)
+        input via a free reshape — the de-interleave rides the band
+        matrices, so NO transpose and NO shifted-copy prep passes run
+        (STATUS round-4 item 4).  "v1" keeps the round-3 layout for
+        A/B."""
+        n = iq.shape[0]
         K = self.taps - 1
-        demod = wbfm_fused(x, self._taps, state["fir_hist"],
-                           self._ref, interpret=interpret)
+        if version == "v2":
+            from cyberether_tpu.ops.pallas_kernels import \
+                wbfm_fused_v2
+
+            demod = wbfm_fused_v2(iq, self._taps, state["fir_hist"],
+                                  self._ref, interpret=interpret)
+            x = None
+        else:
+            from cyberether_tpu.ops.pallas_kernels import wbfm_fused
+
+            x = iq.T                                # (2, n)
+            demod = wbfm_fused(x, self._taps, state["fir_hist"],
+                               self._ref, interpret=interpret)
         audio = demod.reshape(n // self.audio_decim,
                               self.audio_decim).mean(-1)
-        new_hist = x[:, n - K:] if K else state["fir_hist"]
+        new_hist = (iq[n - K:, :].T if x is None else x[:, n - K:]) \
+            if K else state["fir_hist"]
         # last filtered sample (the lag-1 carry other impls thread)
-        ylast = jnp.concatenate([state["fir_hist"], x],
+        xtail = iq[n - self.taps:, :].T if x is None \
+            else x[:, -self.taps:]
+        ylast = jnp.concatenate([state["fir_hist"], xtail],
                                 axis=-1)[:, -self.taps:] \
             @ self._taps[::-1]
         return audio, {"fir_hist": new_hist, "prev": ylast}

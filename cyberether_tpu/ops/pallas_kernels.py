@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _atan2(y: jnp.ndarray, x: jnp.ndarray,
-           recip: bool = False, newton: bool = True) -> jnp.ndarray:
+           recip: bool = False, newton: bool = True,
+           poly3: bool = False) -> jnp.ndarray:
     """atan2 from basic VPU ops (Mosaic has no atan2 primitive).
 
     Octant reduction + double-angle range reduction + minimax odd
@@ -68,12 +69,21 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray,
     else:
         u = num / dsafe
     z = u * u
-    p = jnp.float32(6.1687607318e-02)
-    p = p * z + jnp.float32(-1.0648017377e-01)
-    p = p * z + jnp.float32(1.4253635705e-01)
-    p = p * z + jnp.float32(-1.9999158382e-01)
-    p = p * z + jnp.float32(3.3333328366e-01)
-    a = u - u * z * p
+    if poly3:
+        # 3-term minimax on the reduced range (max err 7.3e-6 rad —
+        # far inside the FM demod's 1e-2 tolerance; saves 2 FMAs on
+        # the VPU-issue-bound channelizer demod)
+        p = jnp.float32(1.6837577807e-01)
+        p = p * z + jnp.float32(-3.3141539781e-01)
+        p = p * z + jnp.float32(9.9998249344e-01)
+        a = u * p
+    else:
+        p = jnp.float32(6.1687607318e-02)
+        p = p * z + jnp.float32(-1.0648017377e-01)
+        p = p * z + jnp.float32(1.4253635705e-01)
+        p = p * z + jnp.float32(-1.9999158382e-01)
+        p = p * z + jnp.float32(3.3333328366e-01)
+        a = u - u * z * p
     a = jnp.where(red, jnp.float32(np.pi / 4) + a, a)
     a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
     a = jnp.where(jnp.signbit(x), jnp.float32(np.pi) - a, a)
@@ -333,11 +343,22 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
     else:
         dr, di = yr, yi
     g = jnp.float32(1.0 if gain_in_sel else ref_gain)
-    if "atan" in stages:
-        demod = _atan2(di, dr, recip=True,
-                       newton=atan_mode != "fast") * g
-    else:
+    newt = atan_mode == "recip"
+    p3 = atan_mode == "fast3"
+    if "atan" not in stages:
         demod = (di + dr) * g
+    elif atan_mode.endswith("pack"):
+        # pack the two ROW halves onto lanes so the ~20-op atan chain
+        # runs at full vreg width instead of C=64 half width
+        h = tile_m // 2
+        drp = jnp.concatenate([dr[0:h, :], dr[h:tile_m, :]], axis=1)
+        dip = jnp.concatenate([di[0:h, :], di[h:tile_m, :]], axis=1)
+        dp = _atan2(dip, drp, recip=True, newton=False,
+                    poly3=True) * g
+        demod = jnp.concatenate([dp[:, 0:C], dp[:, C:n]], axis=0)
+    else:
+        demod = _atan2(di, dr, recip=True, newton=newt,
+                       poly3=p3) * g
     if "sel" not in stages:
         out_ref[:, :] = demod[0:tile_m // D, :]        # ablation
     elif decim == "none":
@@ -950,6 +971,39 @@ def spectrum_fused_ct(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
 
 
+def _alog10(x):
+    """In-kernel ApproxLog10 (frexp + cubic, reference
+    backend/devices/cpu/helpers.hh:61-74): ~1e-4 of log10 — 1e-5 in
+    final display units after the dB/range transform, far below the
+    exact path's 2.6e-5 device error.  Mosaic-safe (bitcast, no
+    transcendental)."""
+    bits = pltpu.bitcast(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 126
+    f = pltpu.bitcast((bits & 0x007FFFFF) | 0x3F000000, jnp.float32)
+    y = jnp.float32(1.23149591368684)
+    y = y * f + jnp.float32(-4.11852516267426)
+    y = y * f + jnp.float32(6.02197014179219)
+    y = y * f + jnp.float32(-3.13396450166353)
+    y = y + e.astype(jnp.float32)
+    return y * jnp.float32(0.3010299956639812)
+
+
+def _atanh_pade(x):
+    """Pade(7,6) tanh with the hardware-reciprocal divide (max err
+    ~2.5e-4 at the |x|=4.5 clamp, ~1e-7 mid-range)."""
+    xc = jnp.clip(x, -4.5, 4.5)
+    x2 = xc * xc
+    num = xc * (jnp.float32(135135.0)
+                + x2 * (jnp.float32(17325.0)
+                        + x2 * (jnp.float32(378.0) + x2)))
+    den = jnp.float32(135135.0) \
+        + x2 * (jnp.float32(62370.0)
+                + x2 * (jnp.float32(3150.0) + x2 * jnp.float32(28.0)))
+    r = pl.reciprocal(den, approx=True)
+    r = r * (jnp.float32(2.0) - den * r)
+    return num * r
+
+
 def _split_bf16(x):
     """Error-free-ish bf16 hi/lo split: x ~= hi + lo with hi, lo bf16
     (residual ~2^-16 relative)."""
@@ -960,10 +1014,12 @@ def _split_bf16(x):
 
 def _spectrum_ct3_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
                          twr_ref, twi_ref, mhi_ref, mlo_ref, out_ref,
-                         xwr, xwi, *,
+                         xwr, xwi, *scratch,
                          m: int, coeff: float, scale: float,
                          offset: float, stage2: str = "x3",
-                         three_mul: bool = True):
+                         three_mul: bool = True, kb: int = 1,
+                         ep: str = "exact",
+                         skip: tuple = ()):
     """Round-4 CT spectrum: ct1's overlapped per-cell stage 1 (the
     VPU m-point sums hide under the MXU stage 2 across the k1 sweep —
     measured: serializing stage 1 at k1==0 LOSES, tools/ablation
@@ -986,28 +1042,48 @@ def _spectrum_ct3_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
     mhi/mlo: stacked constant matrices (nm*128, 128) — hi and lo bf16
     planes for x3/x4 (mlo unused as zeros for default/highest, where
     mhi carries f32).  three_mul: rows [C | C+S | S-C]; else [C | S].
+
+    ``kb``: k1 values per grid cell.  kb>1 amortizes the stage-1 VMEM
+    reads: an 8-row group loop loads each windowed x chunk into vregs
+    ONCE and accumulates ALL kb stage-1 outputs before touching VMEM
+    again — stage-1 read traffic drops kb-fold (it was ~1 GB/step at
+    kb=1, most of the measured base cost) while the work stays
+    distributed across the k1 sweep.
     """
     f32 = jnp.float32
+    if kb > 1:
+        asr, asi = scratch[0], scratch[1]
     @pl.when(pl.program_id(1) == 0)
     def _window():
         w = win_ref[0, :]
         xwr[:, :] = xr_ref[:, :] * w
         xwi[:, :] = xi_ref[:, :] * w
 
-    ar = ai = None
-    for n1 in range(m):
-        wr = wmr_ref[0, n1]
-        wi = wmi_ref[0, n1]
-        xcr = xwr[:, n1 * 128:(n1 + 1) * 128]
-        xci = xwi[:, n1 * 128:(n1 + 1) * 128]
-        t_r = xcr * wr - xci * wi
-        t_i = xci * wr + xcr * wi
-        ar = t_r if ar is None else ar + t_r
-        ai = t_i if ai is None else ai + t_i
-    tr = twr_ref[0:1, :]
-    ti = twi_ref[0:1, :]
-    br = ar * tr - ai * ti
-    bi = ar * ti + ai * tr
+    tile_b = xwr.shape[0]
+    if kb > 1:
+        def group(g, carry):
+            r0 = pl.multiple_of(g * 8, 8)
+            ch = []
+            for n1 in range(m):
+                ch.append((xwr[pl.ds(r0, 8),
+                               n1 * 128:(n1 + 1) * 128],
+                           xwi[pl.ds(r0, 8),
+                               n1 * 128:(n1 + 1) * 128]))
+            for kk in range(kb):
+                ar = ai = None
+                for n1 in range(m):
+                    wr = wmr_ref[kk * 8, n1]
+                    wi = wmi_ref[kk * 8, n1]
+                    xcr, xci = ch[n1]
+                    t_r = xcr * wr - xci * wi
+                    t_i = xci * wr + xcr * wi
+                    ar = t_r if ar is None else ar + t_r
+                    ai = t_i if ai is None else ai + t_i
+                asr[pl.ds(kk * tile_b + r0, 8), :] = ar
+                asi[pl.ds(kk * tile_b + r0, 8), :] = ai
+            return carry
+
+        jax.lax.fori_loop(0, tile_b // 8, group, 0)
 
     def mm(x, j):
         if stage2 in ("default", "highest"):
@@ -1025,25 +1101,66 @@ def _spectrum_ct3_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
             acc = acc + jnp.dot(xl, ml, preferred_element_type=f32)
         return acc
 
-    if three_mul:
-        a = mm(br + bi, 0)          # (br+bi) @ C
-        fmat = mm(br, 1)            # br @ (C+S)
-        e = mm(bi, 2)               # bi @ (S-C)
-        yr = a + e
-        yi = a - fmat
-    else:
-        yr = mm(br, 0) + mm(bi, 1)
-        yi = mm(bi, 0) - mm(br, 1)
-    mag2 = yr * yr + yi * yi
-    db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
-    norm = db * f32(scale) + f32(offset)
-    out_ref[:, :] = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+    for kk in range(kb):
+        if kb > 1:
+            ar = asr[kk * tile_b:(kk + 1) * tile_b, :]
+            ai = asi[kk * tile_b:(kk + 1) * tile_b, :]
+        elif "s1" in skip:              # ablation: stage-1 cost
+            ar = xwr[:, 0:128]
+            ai = xwi[:, 0:128]
+        else:
+            ar = ai = None
+            for n1 in range(m):
+                wr = wmr_ref[0, n1]
+                wi = wmi_ref[0, n1]
+                xcr = xwr[:, n1 * 128:(n1 + 1) * 128]
+                xci = xwi[:, n1 * 128:(n1 + 1) * 128]
+                t_r = xcr * wr - xci * wi
+                t_i = xci * wr + xcr * wi
+                ar = t_r if ar is None else ar + t_r
+                ai = t_i if ai is None else ai + t_i
+        if "tw" in skip:
+            br, bi = ar, ai
+        else:
+            tr = twr_ref[kk * 8:kk * 8 + 1, :]
+            ti = twi_ref[kk * 8:kk * 8 + 1, :]
+            br = ar * tr - ai * ti
+            bi = ar * ti + ai * tr
+        if "s2" in skip:
+            yr, yi = br, bi
+        elif three_mul:
+            a = mm(br + bi, 0)          # (br+bi) @ C
+            fmat = mm(br, 1)            # br @ (C+S)
+            e = mm(bi, 2)               # bi @ (S-C)
+            yr = a + e
+            yi = a - fmat
+        else:
+            yr = mm(br, 0) + mm(bi, 1)
+            yi = mm(bi, 0) - mm(br, 1)
+        mag2 = yr * yr + yi * yi
+        if ep == "none":                # ablation: epilogue cost
+            out_ref[:, kk * 128:(kk + 1) * 128] = mag2
+            continue
+        if ep == "approx":
+            db = f32(10.0) * _alog10(jnp.maximum(mag2, 1e-60)) \
+                + f32(coeff)
+            norm = db * f32(scale) + f32(offset)
+            out_ref[:, kk * 128:(kk + 1) * 128] = \
+                0.5 + 0.5 * _atanh_pade(4.0 * (norm - 0.5))
+        else:
+            db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) \
+                + f32(coeff)
+            norm = db * f32(scale) + f32(offset)
+            out_ref[:, kk * 128:(kk + 1) * 128] = \
+                0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
 
 def spectrum_fused_ct3(iq: jnp.ndarray, win: np.ndarray, coeff: float,
                        scale: float, offset: float, tile_b: int = 256,
                        interpret: bool = False, stage2: str = "x3",
-                       three_mul: bool = True) -> jnp.ndarray:
+                       three_mul: bool = False,
+                       kb: int = 1, ep: str = "exact",
+                       skip: tuple = ()) -> jnp.ndarray:
     """Fused CT spectrum, round-4 production layout: (B, n, 2) f32 ->
     (B, n) f32 in [0, 1], natural bin order.  See
     :func:`_spectrum_ct3_kernel`."""
@@ -1051,11 +1168,15 @@ def spectrum_fused_ct3(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     assert n % 128 == 0, n
     m = n // 128
     assert m <= 32, f"n={n} needs m<=32 128-chunks (got {m})"
+    if m % kb:
+        kb = 1
     tile_b = min(tile_b, B)
     while tile_b > 8 and B % tile_b:
         tile_b //= 2
     if B % tile_b:
         tile_b = B
+    if tile_b % 8:
+        kb = 1
     wmr, wmi, twr, twi, cmat, smat = _ct_mats(n)
     if three_mul:
         mats = [cmat, cmat + smat, smat - cmat]
@@ -1076,27 +1197,28 @@ def spectrum_fused_ct3(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     full = lambda r, c: pl.BlockSpec((r, c), lambda i, k: (0, 0),
                                      memory_space=pltpu.VMEM)
     nm = len(mats)
+    scratch = [pltpu.VMEM((tile_b, n), jnp.float32),
+               pltpu.VMEM((tile_b, n), jnp.float32)]
+    if kb > 1:
+        scratch += [pltpu.VMEM((kb * tile_b, 128), jnp.float32),
+                    pltpu.VMEM((kb * tile_b, 128), jnp.float32)]
+    kspec = pl.BlockSpec((kb * 8, 128), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM)
     perm = pl.pallas_call(
         functools.partial(_spectrum_ct3_kernel, m=m,
                           coeff=float(coeff), scale=float(scale),
                           offset=float(offset), stage2=stage2,
-                          three_mul=three_mul),
-        grid=(B // tile_b, m),
+                          three_mul=three_mul, kb=kb, ep=ep,
+                          skip=skip),
+        grid=(B // tile_b, m // kb),
         in_specs=[x_spec, x_spec, full(1, n),
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
-                               memory_space=pltpu.VMEM),
+                  kspec, kspec, kspec, kspec,
                   full(nm * 128, 128), full(nm * 128, 128)],
-        out_specs=pl.BlockSpec((tile_b, 128), lambda i, k: (i, k),
+        out_specs=pl.BlockSpec((tile_b, kb * 128),
+                               lambda i, k: (i, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, n), jnp.float32),
-                        pltpu.VMEM((tile_b, n), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
@@ -1110,157 +1232,145 @@ def spectrum_fused_ct3(iq: jnp.ndarray, win: np.ndarray, coeff: float,
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
 
 
-def _spectrum_ct2_kernel(xr_ref, xi_ref, win_ref, wmr_ref, wmi_ref,
-                         twr_ref, twi_ref, c_ref, s_ref, out_ref,
-                         asr, asi, *,
-                         m: int, tile_b: int, coeff: float,
+def _spectrum_ct4_kernel(xr_ref, xi_ref, wvr_ref, wvi_ref,
+                         twr_ref, twi_ref, mhi_ref, mlo_ref, out_ref,
+                         *, m: int, kb: int, coeff: float,
                          scale: float, offset: float,
-                         stage2: str = "highest",
-                         group_rows: int = 8):
-    """Round-4 CT spectrum: register-blocked stage 1 + precision-knob
-    stage 2.
+                         stage2: str = "highest"):
+    """Round-4 production CT spectrum kernel.
 
-    The round-3 kernel recomputed the m-point stage-1 sum for EVERY
-    k1 grid cell: per batch tile that re-reads the full windowed x
-    from VMEM m times (~1 GB/step of VMEM traffic at n=2048, B=4096 —
-    the measured reason pallas-ct trailed the display paths).  Here
-    stage 1 runs ONCE per batch tile (at k1 == 0) as a
-    ``group_rows``-row register-blocked sweep: each row group loads
-    every 128-chunk of x once into vregs, windows it, and accumulates
-    ALL m stage-1 outputs before touching VMEM again — an m-fold
-    VMEM-read reduction that leaves stage 1 VPU-flop-bound (~0.14 ms
-    at 8.4 Msamp on the measured 7.7 Tflop/s VPU).  Stage-1 arithmetic
-    rides the VPU's true-f32 ALUs, so its exactness costs nothing.
+    Two structural changes over the round-3 layout, both measured
+    (tools/ablation/r4d_ablate.py):
 
-    Stage-1 results land in a (m*tile_b, 128) scratch, k1-major on
-    sublanes, so each (i, k1) cell reads its block with an aligned
-    dynamic SUBLANE slice (lane-dim dynamic slices don't lower).
+    - **window folded into the stage-1 tables**: wv[k1, n1, :] =
+      win[n1 chunk] * Wm[k1, n1], so stage 1 reads the RAW x blocks
+      directly — no windowing pass, no (tile_b, n) scratches (the
+      4 MB they cost now buys pipelining headroom).
+    - **kb k1-values per grid cell, straight-line unrolled**: the
+      decomposition showed a ~0.26 ms 'bare' floor dominated by
+      per-cell overhead at 256 cells/step; kb=4 cuts cells 4x.  (The
+      fori_loop register-blocked variant of the same idea was 2-4x
+      SLOWER — straight-line full-width ops are the only fast shape
+      on this backend.)
 
-    ``stage2``: "highest" (6-pass f32 MXU — the round-3 exact
-    setting), "high" (3-pass bf16x3 — f32-equivalent for these
-    well-conditioned 128-point sums; validated against the committed
-    f64 truth on hardware), "default" (1-pass bf16-class — display
-    grade, the old exact=False).
+    stage2: "default" (1-pass, display), "x4" (manual 4-product bf16
+    compensation, ~3.5e-4 of f64 — the bf16 hi+lo representation
+    limit), "highest" (6-pass, 2.6e-5 — the reference-grade default).
     """
     f32 = jnp.float32
-    k1 = pl.program_id(1)
 
-    @pl.when(k1 == 0)
-    def _stage1():
-        def group(g, carry):
-            r0 = pl.multiple_of(g * group_rows, group_rows)
-            xc = []
-            for n1 in range(m):
-                wv = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
-                xc.append((
-                    xr_ref[pl.ds(r0, group_rows),
-                           n1 * 128:(n1 + 1) * 128] * wv,
-                    xi_ref[pl.ds(r0, group_rows),
-                           n1 * 128:(n1 + 1) * 128] * wv))
-            for kk in range(m):
-                ar = ai = None
-                for n1 in range(m):
-                    wr = wmr_ref[kk, n1]
-                    wi = wmi_ref[kk, n1]
-                    cr, ci = xc[n1]
-                    tr_ = cr * wr - ci * wi
-                    ti_ = ci * wr + cr * wi
-                    ar = tr_ if ar is None else ar + tr_
-                    ai = ti_ if ai is None else ai + ti_
-                asr[pl.ds(kk * tile_b + r0, group_rows), :] = ar
-                asi[pl.ds(kk * tile_b + r0, group_rows), :] = ai
-            return carry
+    def mm(x, j):
+        if stage2 in ("default", "highest"):
+            hi = jax.lax.Precision.HIGHEST \
+                if stage2 == "highest" else None
+            return jnp.dot(x, mhi_ref[j * 128:(j + 1) * 128, :],
+                           preferred_element_type=f32, precision=hi)
+        xh, xl = _split_bf16(x)
+        mh = mhi_ref[j * 128:(j + 1) * 128, :]
+        ml = mlo_ref[j * 128:(j + 1) * 128, :]
+        acc = (jnp.dot(xh, mh, preferred_element_type=f32)
+               + jnp.dot(xh, ml, preferred_element_type=f32)
+               + jnp.dot(xl, mh, preferred_element_type=f32))
+        if stage2 == "x4":
+            acc = acc + jnp.dot(xl, ml, preferred_element_type=f32)
+        return acc
 
-        jax.lax.fori_loop(0, tile_b // group_rows, group, 0)
-
-    off = pl.multiple_of(k1 * tile_b, tile_b)
-    ar = asr[pl.ds(off, tile_b), :]
-    ai = asi[pl.ds(off, tile_b), :]
-    tr = twr_ref[0:1, :]
-    ti = twi_ref[0:1, :]
-    br = ar * tr - ai * ti
-    bi = ar * ti + ai * tr
-    hi = {"highest": jax.lax.Precision.HIGHEST,
-          "high": jax.lax.Precision.HIGH,
-          "default": None}[stage2]
-    yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32,
-                  precision=hi)
-          + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32,
-                    precision=hi))
-    yi = (jnp.dot(bi, c_ref[:, :], preferred_element_type=f32,
-                  precision=hi)
-          - jnp.dot(br, s_ref[:, :], preferred_element_type=f32,
-                    precision=hi))
-    mag2 = yr * yr + yi * yi
-    db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
-    norm = db * f32(scale) + f32(offset)
-    out_ref[:, :] = 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+    for kk in range(kb):
+        ar = ai = None
+        for n1 in range(m):
+            wr = wvr_ref[kk * m + n1:kk * m + n1 + 1, :]
+            wi = wvi_ref[kk * m + n1:kk * m + n1 + 1, :]
+            xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128]
+            xci = xi_ref[:, n1 * 128:(n1 + 1) * 128]
+            t_r = xcr * wr - xci * wi
+            t_i = xci * wr + xcr * wi
+            ar = t_r if ar is None else ar + t_r
+            ai = t_i if ai is None else ai + t_i
+        tr = twr_ref[kk * 8:kk * 8 + 1, :]
+        ti = twi_ref[kk * 8:kk * 8 + 1, :]
+        br = ar * tr - ai * ti
+        bi = ar * ti + ai * tr
+        yr = mm(br, 0) + mm(bi, 1)
+        yi = mm(bi, 0) - mm(br, 1)
+        mag2 = yr * yr + yi * yi
+        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+        norm = db * f32(scale) + f32(offset)
+        out_ref[:, kk * 128:(kk + 1) * 128] = \
+            0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
 
-def spectrum_fused_ct2(iq: jnp.ndarray, win: np.ndarray, coeff: float,
-                       scale: float, offset: float, tile_b: int = 128,
+def spectrum_fused_ct4(iq: jnp.ndarray, win, coeff: float,
+                       scale: float, offset: float, tile_b: int = 256,
                        interpret: bool = False,
                        stage2: str = "highest",
-                       group_rows: int = 8) -> jnp.ndarray:
-    """Fused CT spectrum, round-4 layout: (B, n, 2) float32 ->
-    (B, n) float32 in [0, 1], natural bin order.
-
-    See :func:`_spectrum_ct2_kernel`.  Same bin math as
-    :func:`spectrum_fused_ct`; ~m-fold less VMEM read traffic in
-    stage 1 and a stage-2 precision knob (highest | high | default).
-    """
+                       kb: int = 4) -> jnp.ndarray:
+    """Round-4 production CT spectrum: (B, n, 2) f32 -> (B, n) f32 in
+    [0, 1], natural bin order.  See :func:`_spectrum_ct4_kernel`."""
     B, n, _two = iq.shape
     assert n % 128 == 0, n
     m = n // 128
     assert m <= 32, f"n={n} needs m<=32 128-chunks (got {m})"
+    if m % kb:
+        kb = 1
     tile_b = min(tile_b, B)
     while tile_b > 8 and B % tile_b:
         tile_b //= 2
     if B % tile_b:
         tile_b = B
-    gr = group_rows
-    while gr > 1 and tile_b % gr:
-        gr //= 2
     wmr, wmi, twr, twi, cmat, smat = _ct_mats(n)
+    stacked = np.concatenate([cmat, smat], axis=0)  # (2*128, 128)
+    if stage2 in ("x3", "x4"):
+        mhi = stacked.astype(np.float32).astype("bfloat16")
+        mlo = (stacked - mhi.astype(np.float32)).astype("bfloat16")
+    else:
+        mhi = stacked.astype(np.float32)
+        mlo = np.zeros_like(stacked, dtype="bfloat16")
+
+    # window folded into the stage-1 tables (traced — the window may
+    # be a live input): wv[k1*m + n1, n2] = win[n1*128+n2]*Wm[k1, n1]
+    wchunks = jnp.asarray(win, jnp.float32).reshape(m, 128)
+    wvr = (wchunks[None, :, :]
+           * jnp.asarray(wmr)[:, :, None]).reshape(m * m, 128)
+    wvi = (wchunks[None, :, :]
+           * jnp.asarray(wmi)[:, :, None]).reshape(m * m, 128)
 
     x_spec = pl.BlockSpec((tile_b, n), lambda i, k: (i, 0),
                           memory_space=pltpu.VMEM)
     full = lambda r, c: pl.BlockSpec((r, c), lambda i, k: (0, 0),
                                      memory_space=pltpu.VMEM)
     perm = pl.pallas_call(
-        functools.partial(_spectrum_ct2_kernel, m=m, tile_b=tile_b,
+        functools.partial(_spectrum_ct4_kernel, m=m, kb=kb,
                           coeff=float(coeff), scale=float(scale),
-                          offset=float(offset), stage2=stage2,
-                          group_rows=gr),
-        grid=(B // tile_b, m),
-        in_specs=[x_spec, x_spec, full(1, n),
-                  # all-k1 stage-1 scalars ride SMEM (static reads in
-                  # the unrolled group loop)
-                  pl.BlockSpec((m, m), lambda i, k: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec((m, m), lambda i, k: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  # per-k1 twiddle rows, 8x sublane-repeated
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
+                          offset=float(offset), stage2=stage2),
+        grid=(B // tile_b, m // kb),
+        in_specs=[x_spec, x_spec,
+                  pl.BlockSpec((kb * m, 128), lambda i, k: (k, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 128), lambda i, k: (k, 0),
+                  pl.BlockSpec((kb * m, 128), lambda i, k: (k, 0),
                                memory_space=pltpu.VMEM),
-                  full(128, 128), full(128, 128)],
-        out_specs=pl.BlockSpec((tile_b, 128), lambda i, k: (i, k),
+                  pl.BlockSpec((kb * 8, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((kb * 8, 128), lambda i, k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  full(2 * 128, 128), full(2 * 128, 128)],
+        out_specs=pl.BlockSpec((tile_b, kb * 128),
+                               lambda i, k: (i, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m * tile_b, 128), jnp.float32),
-                        pltpu.VMEM((m * tile_b, 128), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(iq[:, :, 0], iq[:, :, 1],
-      jnp.asarray(win, jnp.float32).reshape(1, n),
-      jnp.asarray(wmr), jnp.asarray(wmi),
+    )(iq[:, :, 0], iq[:, :, 1], wvr, wvi,
       jnp.asarray(np.repeat(twr, 8, axis=0)),
       jnp.asarray(np.repeat(twi, 8, axis=0)),
-      jnp.asarray(cmat), jnp.asarray(smat))
+      jnp.asarray(mhi), jnp.asarray(mlo))
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
+
+
+# (the round-4 "ct2" experiment — stage 1 serialized at k1==0 with a
+# fori_loop register-blocked row sweep — measured 0.6-1.6 ms vs ct1's
+# 0.44 on hardware and was removed; the same idea is reproducible via
+# spectrum_fused_ct3(kb=...).  Findings: CLAUDE.md round-4 notes.)
 
 
 @functools.lru_cache(maxsize=8)
@@ -1398,6 +1508,156 @@ def wbfm_fused(x: jnp.ndarray, taps: jnp.ndarray, hist: jnp.ndarray,
         interpret=interpret,
     )(xp[0], xc[0], xp[1], xc[1], halo[0:1], halo[1:2],
       jnp.asarray(A))
+    return out.reshape(nfp * 128)[:n]
+
+
+@functools.lru_cache(maxsize=8)
+def _wbfm_bands_v2(hkey: bytes):
+    """Interleaved band matrices M1/M2 (256, 256) for the v2 WBFM
+    kernel: input rows are RAW ``iq.reshape(nf, 256)`` (re/im
+    interleaved on lanes), the de-interleave is folded into the
+    matrices (even rows feed the yr columns 0:128, odd rows the yi
+    columns 128:256), and the one-row shift rides the [prev | cur]
+    band split: yall = wprev @ M1 + wcur @ M2."""
+    A = _wbfm_bands(hkey)                       # (256, 128) [prev|cur]
+    M1 = np.zeros((256, 256), np.float32)
+    M2 = np.zeros((256, 256), np.float32)
+    M1[0::2, 0:128] = A[0:128]
+    M1[1::2, 128:256] = A[0:128]
+    M2[0::2, 0:128] = A[128:256]
+    M2[1::2, 128:256] = A[128:256]
+    return M1, M2
+
+
+def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
+                    m2_ref, out_ref, win, *, tile_r: int,
+                    ref_gain: float, fast3: bool):
+    """One grid step, v2 layout: ``tile_r`` interleaved rows of 128
+    complex samples.  FIR + de-interleave as two banded MXU matmuls,
+    then the roll-based lag-1 discriminator of the v1 kernel."""
+    win[0:1, :] = halo_ref[0]
+    win[1:tile_r + 1, :] = body_ref[:, :]
+    yall = (jnp.dot(win[0:tile_r, :], m1_ref[:, :],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(win[1:tile_r + 1, :], m2_ref[:, :],
+                      preferred_element_type=jnp.float32))
+    yr = yall[:, 0:128]
+    yi = yall[:, 128:256]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, yr.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, yr.shape, 0)
+
+    def delayed(y, halo):
+        s = pltpu.roll(y, 1, 1)            # [r, c] = y[r, c-1 (wrap)]
+        u = pltpu.roll(s, 1, 0)            # [r, 0] = y[r-1, 127]
+        d = jnp.where(col == 0, u, s)
+        return jnp.where((col == 0) & (row == 0), halo, d)
+
+    t = pl.program_id(0)
+    pr = delayed(yr, hr_ref[0, t])
+    pi_ = delayed(yi, hi_ref[0, t])
+    dr = pr * yr + pi_ * yi
+    di = pr * yi - pi_ * yr
+    out_ref[:, :] = _atan2(di, dr, recip=True, newton=not fast3,
+                           poly3=fast3) * jnp.float32(ref_gain)
+
+
+def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
+                  hist: jnp.ndarray, ref_gain: float,
+                  tile_r: int = 512, interpret: bool = False,
+                  fast3: bool = True) -> jnp.ndarray:
+    """Round-4 WBFM front end: NO prep passes.
+
+    The v1 kernel streamed TWO row-planes per component (xp = the
+    rows shifted one back, built by an XLA concat) after an XLA
+    transpose of the (n, 2) input — ~3 full HBM round trips of prep
+    before the kernel ran (STATUS round-4 item 4).  Here the kernel
+    consumes ``iq.reshape(nf, 256)`` — a FREE reshape of the raw
+    input — the re/im de-interleave is folded into the band matrices
+    (:func:`_wbfm_bands_v2`), and the one-row shift comes from a
+    per-tile halo row + an in-kernel 1-row scratch copy.  HBM traffic
+    drops from ~5 passes to [read input once + write demod once].
+
+    iq:   (n, 2) float32 raw interleaved IQ, n % 128 == 0
+    taps: (T,) float32 real channel filter, T <= 129
+    hist: (2, T-1) float32 trailing samples of the previous block
+    Returns demod (n,) float32 (caller decimates + carries history).
+    """
+    T = int(taps.shape[-1])
+    K = T - 1
+    assert T <= 129, "wbfm_fused_v2 supports up to 129 taps"
+    n = iq.shape[0]
+    assert n % 128 == 0, n
+    nf = n // 128
+    h = np.asarray(taps, np.float32)
+    M1, M2 = _wbfm_bands_v2(h.tobytes())
+
+    tile_r = max(1, min(tile_r, nf))
+    pad = (-nf) % tile_r
+    nfp = nf + pad
+    ntiles = nfp // tile_r
+
+    iq2 = iq.reshape(nf, 256)
+    if pad:
+        iq2 = jnp.concatenate(
+            [iq2, jnp.zeros((pad, 256), jnp.float32)], axis=0)
+
+    # history as the interleaved previous row (last K samples sit at
+    # the row's tail; earlier lanes are zero — outside the band)
+    hrow = jnp.zeros((256,), jnp.float32)
+    if K:
+        hk = hist.astype(jnp.float32).T.reshape(2 * K)   # re/im pairs
+        hrow = hrow.at[256 - 2 * K:].set(hk)
+    # per-tile halo rows: row i*tile_r - 1 (tile 0: the history row)
+    if ntiles > 1:
+        iq3 = iq2.reshape(ntiles, tile_r, 256)
+        halos = jnp.concatenate(
+            [hrow[None, None, :], iq3[:-1, tile_r - 1:, :]], axis=0)
+    else:
+        halos = hrow[None, None, :]
+
+    # per-tile lag scalar: FIR output at the sample just before the
+    # tile — computed with the SAME banded matmuls for bit-identical
+    # numerics (a plain dot differs ~1e-3 in the lag value: a visible
+    # per-tile-boundary discriminator error)
+    m1j, m2j = jnp.asarray(M1), jnp.asarray(M2)
+    wp_rows = [jnp.zeros((256,), jnp.float32)] + [
+        iq2[t * tile_r - 2, :] for t in range(1, ntiles)]
+    wc_rows = [hrow] + [iq2[t * tile_r - 1, :]
+                        for t in range(1, ntiles)]
+    wp = jnp.stack(wp_rows, axis=0)
+    wc = jnp.stack(wc_rows, axis=0)
+    hy = (jnp.dot(wp, m1j, preferred_element_type=jnp.float32)
+          + jnp.dot(wc, m2j, preferred_element_type=jnp.float32))
+    hr = hy[:, 127].reshape(1, ntiles)
+    hi_ = hy[:, 255].reshape(1, ntiles)
+
+    out = pl.pallas_call(
+        functools.partial(_wbfm_kernel_v2, tile_r=tile_r,
+                          ref_gain=float(ref_gain), fast3=fast3),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile_r, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntiles), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ntiles), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((256, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nfp, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_r + 1, 256), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(iq2, halos, hr, hi_, m1j, m2j)
     return out.reshape(nfp * 128)[:n]
 
 

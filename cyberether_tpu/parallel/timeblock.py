@@ -181,3 +181,41 @@ def scaling_efficiency(rate_n: float, rate_1: float, n: int) -> float:
     """Scaling efficiency of an N-process rate vs the 1-process rate
     (>= 0.9 is the BASELINE 2-host target)."""
     return rate_n / (n * rate_1) if rate_1 > 0 else float("nan")
+
+
+def measure_device_scaling(n_devices: int = 0, frames: int = 4096
+                           ) -> dict:
+    """In-process device-scaling measurement: the flagship pipeline on
+    a 1-device mesh vs an ``n_devices`` 'time' mesh, with the
+    efficiency number — the artifact-recordable form of the >=90%
+    BASELINE target (VERDICT r3 item 8).  On the CPU-virtual mesh this
+    is a scaling PROXY (one shared physical CPU); on real multi-chip
+    hardware the same function reports true scaling."""
+    from cyberether_tpu.models.channelizer import Channelizer
+    from cyberether_tpu.parallel.mesh import make_mesh
+
+    n = n_devices or len(jax.devices())
+    model = Channelizer(channels=64, taps_per_branch=8,
+                        audio_decim=16)
+    stats = {}
+    for label, t in (("1", 1), ("n", n)):
+        mesh = make_mesh(time=t, channels=1)
+        pipe = TimeBlockPipeline(model, mesh, frames * t)
+        stats[label] = pipe.measure(cycles=4)
+    eff = scaling_efficiency(stats["n"]["samples_per_s"],
+                             stats["1"]["samples_per_s"], n)
+    return {
+        "n_devices": n,
+        "samples_per_s_1dev": stats["1"]["samples_per_s"],
+        "samples_per_s": stats["n"]["samples_per_s"],
+        "frames_per_cycle": stats["n"]["frames_per_cycle"],
+        "efficiency": eff,
+    }
+
+
+if __name__ == "__main__":
+    import json as _json
+    import sys as _sys
+
+    out = measure_device_scaling()
+    _sys.stdout.write("TIMEBLOCK_STATS " + _json.dumps(out) + "\n")

@@ -100,8 +100,10 @@ def test_channelizer_sharded_pallas_matches_single_device():
     iq_s = jax.device_put(iq, NamedSharding(mesh,
                                             P("time", None, None)))
     out, st = step(state, iq_s)
+    # 5e-4: the production fast3 atan (~1.3e-4 worst case) vs the
+    # exact-atan XLA reference; demod reference tolerance is 1e-2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-4)
+                               atol=5e-4)
     # streaming continuity across sharded steps: two sharded steps ==
     # one single-device run over the concatenated stream
     iq2 = model.make_input(frames, seed=7)
@@ -113,7 +115,7 @@ def test_channelizer_sharded_pallas_matches_single_device():
     out2, _ = step(st, iq2_s)
     np.testing.assert_allclose(
         np.concatenate([np.asarray(out), np.asarray(out2)]),
-        np.asarray(ref_all), atol=1e-4)
+        np.asarray(ref_all), atol=5e-4)
 
 
 def test_wbfm_recovers_tone():

@@ -1,5 +1,9 @@
 """Round-4 TPU ablation: channelizer v6 vs v5, CT spectrum ct2 vs ct1.
 
+NOTE: the ct2 kernel measured here was removed after losing
+(reproduce via spectrum_fused_ct3(kb=...)); the ct2 cases below are
+kept for the record but now raise ImportError if run.
+
 Measures with the bench.py differential-chain method (scan with a
 carried dependency).  Run as a single deliberate TPU job:
 
@@ -146,7 +150,7 @@ for label, kw in (
             if kw.get("version") == "ct1":
                 return pipe.step_pallas_ct(x, win=w, **kw)
             from cyberether_tpu.ops.pallas_kernels import \
-                spectrum_fused_ct2
+                spectrum_fused_ct2  # removed post-ablation
             return spectrum_fused_ct2(
                 x, w, float(pipe._coeff), float(pipe._scale),
                 float(pipe._offset), tile_b=tb,
