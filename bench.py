@@ -379,10 +379,16 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
 
     frames = 1 << 17        # 8.4 Msamp/cycle — same step as the model
     rng = np.random.default_rng(0)
-    buf = rng.standard_normal((frames, 64, 2)).astype(np.float32)
+    # CF32 input (the production IQ form): the boundary codec ships
+    # complex as stacked [re; im] planes with a sane device layout —
+    # an (M, 64, 2) F32 host buffer would be device_put with the
+    # pathological trailing-dim-2 layout (r4f: 0.06-0.1 ms/step)
+    buf = (rng.standard_normal((frames, 64))
+           + 1j * rng.standard_normal((frames, 64))) \
+        .astype(np.complex64)
     fg = Flowgraph()
-    fg.block_create("src", "dti", {"shape": [frames, 64, 2],
-                                   "dataType": "F32"})
+    fg.block_create("src", "dti", {"shape": [frames, 64],
+                                   "dataType": "CF32"})
     fg.records["src"].build.modules["src/m"].attach_buffer(buf)
     tile_m = int(os.environ.get("CYB_BENCH_TILES",
                                  "4096,2048").split(",")[0])
