@@ -379,21 +379,22 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
 
     frames = 1 << 17        # 8.4 Msamp/cycle — same step as the model
     rng = np.random.default_rng(0)
-    # CF32 input (the production IQ form): the boundary codec ships
-    # complex as stacked [re; im] planes with a sane device layout —
-    # an (M, 64, 2) F32 host buffer would be device_put with the
-    # pathological trailing-dim-2 layout (r4f: 0.06-0.1 ms/step)
-    buf = (rng.standard_normal((frames, 64))
-           + 1j * rng.standard_normal((frames, 64))) \
-        .astype(np.complex64)
+    # flat (M, 128) F32 dti + an in-graph reshape block: a host
+    # (M, 64, 2) buffer would be device_put with the pathological
+    # trailing-dim-2 layout (r4f: 0.06-0.1 ms/step), while a CF32
+    # source pays the boundary codec's complex materialize+resplit
+    # (~0.9 ms/cycle measured, r4h) — flat + in-jit reshape is free
+    buf = rng.standard_normal((frames, 128)).astype(np.float32)
     fg = Flowgraph()
-    fg.block_create("src", "dti", {"shape": [frames, 64],
-                                   "dataType": "CF32"})
+    fg.block_create("src", "dti", {"shape": [frames, 128],
+                                   "dataType": "F32"})
     fg.records["src"].build.modules["src/m"].attach_buffer(buf)
     tile_m = int(os.environ.get("CYB_BENCH_TILES",
                                  "4096,2048").split(",")[0])
+    fg.block_create("rs", "reshape", {"shape": [frames, 64, 2]},
+                    {"buffer": "${graph.src.output.buffer}"})
     fg.block_create("chan", "channelizer", {"tileM": tile_m},
-                    {"buffer": "${graph.src.output.buffer}"},
+                    {"buffer": "${graph.rs.output.buffer}"},
                     provider="pallas")
     try:
         for _ in range(2):

@@ -599,7 +599,13 @@ class Scheduler:
                          for k in out_keys}
             return out_vals, out_valid, new_state, metrics
 
-        fn = jax.jit(segment_fn, donate_argnums=(0,))
+        # NO donation on the per-cycle path: chaining donated buffers
+        # through the tunneled backend measured 8.3 ms/dispatch vs
+        # 0.46 undonated (tools/ablation/r4g_probe.py) — the donation
+        # handshake forces a round trip.  Streaming state double-
+        # buffers instead (KB..MB — cheap); the burst path keeps
+        # donation since it pays the cost once per burst.
+        fn = jax.jit(segment_fn)
 
         def burst_fn(state, ext_stack, ext_const, valid_stack,
                      gate_stack, cycles):
@@ -912,27 +918,35 @@ class Scheduler:
             else:
                 # source version unchanged across the burst (or not
                 # re-emitted): one h2d through the versioned cache, the
-                # scan body broadcasts it per cycle on device
+                # scan body broadcasts it per cycle on device.  The
+                # cache check runs on the SOURCE shape so the complex
+                # split (a full host copy) only ever runs on a miss.
                 src_val = (stacks[key][0] if key in stacks
                            else np.asarray(self._latest[key]))
-                val = self._split_planes(key, seg, src_val)
                 ver = vers[0] if same_ver else None
                 if ver is None:
                     src = self._modules.get(key.split(":", 1)[0])
                     ver = None if src is None \
                         else src.host_output_version()
                 ck = (key, seg.devkey)
-                if ver is not None and isinstance(val, np.ndarray):
+                if ver is not None and isinstance(src_val, np.ndarray):
                     hit = self._h2d_cache.get(ck)
                     if hit is not None and hit[0] == ver and \
-                            hit[1].shape == val.shape:
+                            hit[2] == src_val.shape:
                         val = hit[1]
                     else:
-                        val = jax.device_put(np.ascontiguousarray(val),
-                                             seg.device0)
-                        self._h2d_cache[ck] = (ver, val)
-                elif seg.device0 is not None:
-                    val = jax.device_put(val, seg.device0)
+                        shape = src_val.shape
+                        val = jax.device_put(
+                            np.ascontiguousarray(
+                                self._split_planes(key, seg,
+                                                   src_val)),
+                            seg.device0)
+                        self._h2d_cache[ck] = (ver, val, shape)
+                else:
+                    val = self._split_planes(key, seg, src_val) \
+                        if isinstance(src_val, np.ndarray) else src_val
+                    if seg.device0 is not None:
+                        val = jax.device_put(val, seg.device0)
                 ext_const[key] = val
             vv = self._valid.get(key, True)
             valid_stack[key] = np.full(
@@ -1004,27 +1018,35 @@ class Scheduler:
                 ext_valid = {}
                 for k in seg.ext_inputs:
                     val = self._latest[k]
-                    if k in seg.split_inputs \
-                            and isinstance(val, np.ndarray) \
-                            and np.iscomplexobj(val):
-                        val = np.stack([val.real.astype(np.float32),
-                                        val.imag.astype(np.float32)])
                     src = self._modules.get(k.split(":", 1)[0])
                     ver = None if src is None \
                         else src.host_output_version()
                     ck = (k, seg.devkey)
                     if ver is not None and isinstance(val, np.ndarray):
+                        # the cache check runs on the SOURCE shape,
+                        # BEFORE the complex split — the split is a
+                        # full host copy of the buffer (tens of ms at
+                        # 64 MB) and must only ever run on a miss
+                        # (r4g probe: splitting per cycle put the CF32
+                        # flowgraph at 43.8 ms/cycle)
                         hit = self._h2d_cache.get(ck)
                         if hit is not None and hit[0] == ver and \
-                                hit[1].shape == val.shape:
+                                hit[2] == val.shape:
                             val = hit[1]
                         else:
+                            shape = val.shape
+                            val = jax.device_put(
+                                self._split_planes(k, seg, val),
+                                seg.device0)
+                            self._h2d_cache[ck] = (ver, val, shape)
+                    else:
+                        if isinstance(val, np.ndarray):
+                            val = self._split_planes(k, seg, val)
+                        if seg.device0 is not None:
+                            # cross-backend boundary (e.g. a
+                            # tpu-segment output feeding a cpu-device
+                            # segment)
                             val = jax.device_put(val, seg.device0)
-                            self._h2d_cache[ck] = (ver, val)
-                    elif seg.device0 is not None:
-                        # cross-backend boundary (e.g. a tpu-segment
-                        # output feeding a cpu-device segment)
-                        val = jax.device_put(val, seg.device0)
                     ext_vals[k] = val
                     # keep device validity scalars on device — forcing
                     # them to host bools would sync the pipeline every

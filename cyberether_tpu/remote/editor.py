@@ -574,10 +574,22 @@ function renderInspector() {
     `<button id="del" class="danger">delete</button></div>`;
   insp.innerHTML = html;
   if (b.type === "note") {
-    serverHighlight(b.config.content || "", "md", 0).then((h) => {
-      const el = document.getElementById("mdprev");
-      if (el && h !== null) el.innerHTML = h;
-    });
+    // live markdown EDITOR: the content textarea re-renders the
+    // preview as you type (Sakura's markdown editor+view pair)
+    const renderMd = (txt) =>
+      serverHighlight(txt, "md", 0).then((h) => {
+        const el = document.getElementById("mdprev");
+        if (el && h !== null) el.innerHTML = h;
+      });
+    renderMd(b.config.content || "");
+    const ta = insp.querySelector('textarea[data-cfg-raw="content"]');
+    if (ta) {
+      let t = null;
+      ta.addEventListener("input", () => {
+        clearTimeout(t);
+        t = setTimeout(() => renderMd(ta.value), 150);
+      });
+    }
   }
   // live syntax highlight for python code fields (rendered server-
   // side, remote/highlight.py); the block's error line is tinted
