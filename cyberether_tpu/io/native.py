@@ -39,7 +39,11 @@ def load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build_attempted:
+        src = os.path.join(_NATIVE_DIR, "ceruntime.cc")
+        stale = (os.path.exists(src) and os.path.exists(_SO_PATH)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+        if (not os.path.exists(_SO_PATH) or stale) \
+                and not _build_attempted:
             _build_attempted = True
             try:
                 subprocess.run(["make", "-C", _NATIVE_DIR],
@@ -47,7 +51,8 @@ def load() -> Optional[ctypes.CDLL]:
                                timeout=120)
             except Exception as e:
                 log.warning("native build failed: %s", e)
-                return None
+                if not os.path.exists(_SO_PATH):
+                    return None
         if not os.path.exists(_SO_PATH):
             return None
         try:
@@ -90,6 +95,17 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.ce_file_close.argtypes = [c.c_void_p]
     lib.ce_monotonic.restype = c.c_double
     lib.ce_precise_sleep.argtypes = [c.c_double]
+    try:      # round-4 symbols — tolerate an older prebuilt library
+        lib.ce_colormap.argtypes = [c.c_void_p, c.c_void_p,
+                                    c.c_size_t, c.c_void_p, c.c_int]
+        lib.ce_ci8_to_f32.argtypes = [c.c_void_p, c.c_void_p,
+                                      c.c_size_t]
+        lib.ce_ci16_to_f32.argtypes = [c.c_void_p, c.c_void_p,
+                                       c.c_size_t]
+        lib.ce_f32_to_s16.argtypes = [c.c_void_p, c.c_void_p,
+                                      c.c_size_t]
+    except AttributeError:   # pragma: no cover
+        log.warning("native library predates the format kernels")
 
 
 def available() -> bool:
@@ -194,3 +210,66 @@ class NativeIqFile:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# hot host-path kernels (numpy fallbacks when the lib is unavailable)
+# ---------------------------------------------------------------------------
+def colormap_rgba(norm: np.ndarray, lut: np.ndarray) -> Optional[np.ndarray]:
+    """Native turbo-LUT rasterization: [0,1] float32 array -> RGBA8.
+    Returns None when the native lib is unavailable (caller falls back
+    to numpy).  The per-present-tick cognate of the reference's
+    in-shader turbo LUT (visualization/lineplot/module_impl.cc)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "ce_colormap"):
+        return None
+    src = np.ascontiguousarray(norm, np.float32)
+    lut8 = np.ascontiguousarray(lut, np.uint8)
+    out = np.empty(src.shape + (4,), np.uint8)
+    lib.ce_colormap(src.ctypes.data_as(ctypes.c_void_p),
+                    out.ctypes.data_as(ctypes.c_void_p),
+                    src.size,
+                    lut8.ctypes.data_as(ctypes.c_void_p),
+                    int(lut8.shape[0]))
+    return out
+
+
+def ci8_to_cf32(raw: np.ndarray) -> np.ndarray:
+    """Interleaved signed-8 IQ -> complex64 (scale 1/127); native when
+    available, numpy otherwise.  SDR CS8 ingest converter."""
+    raw = np.ascontiguousarray(raw, np.int8)
+    n = raw.size // 2
+    lib = load()
+    if lib is None or not hasattr(lib, "ce_ci8_to_f32"):
+        f = raw.astype(np.float32) * np.float32(1.0 / 127.0)
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    out = np.empty(2 * n, np.float32)
+    lib.ce_ci8_to_f32(raw.ctypes.data_as(ctypes.c_void_p),
+                      out.ctypes.data_as(ctypes.c_void_p), n)
+    return out.view(np.complex64)
+
+
+def ci16_to_cf32(raw: np.ndarray) -> np.ndarray:
+    """Interleaved signed-16 IQ -> complex64 (scale 1/32767)."""
+    raw = np.ascontiguousarray(raw, np.int16)
+    n = raw.size // 2
+    lib = load()
+    if lib is None or not hasattr(lib, "ce_ci16_to_f32"):
+        f = raw.astype(np.float32) * np.float32(1.0 / 32767.0)
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    out = np.empty(2 * n, np.float32)
+    lib.ce_ci16_to_f32(raw.ctypes.data_as(ctypes.c_void_p),
+                       out.ctypes.data_as(ctypes.c_void_p), n)
+    return out.view(np.complex64)
+
+
+def f32_to_s16(pcm: np.ndarray) -> np.ndarray:
+    """float32 PCM -> clamped int16 (audio players)."""
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    lib = load()
+    if lib is None or not hasattr(lib, "ce_f32_to_s16"):
+        return np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
+    out = np.empty(pcm.shape, np.int16)
+    lib.ce_f32_to_s16(pcm.ctypes.data_as(ctypes.c_void_p),
+                      out.ctypes.data_as(ctypes.c_void_p), pcm.size)
+    return out

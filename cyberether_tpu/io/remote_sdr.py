@@ -42,6 +42,36 @@ log = get_logger("remote_sdr")
 _MAX_MSG = 1 << 20          # control messages; IQ rides the payload
 _MAX_READ = 1 << 24         # 16 Msamp per read request
 
+#: wire formats (SoapyRemote's CS8/CS16 bandwidth modes): bytes per
+#: complex sample on the wire
+_WIRE_FORMATS = {"cf32": 8, "cs16": 4, "cs8": 2}
+
+
+def _encode_wire(data: np.ndarray, wire: str) -> bytes:
+    """complex64 -> wire bytes (cs8/cs16 quantize to +-127/+-32767 —
+    quarter/half the network bandwidth of cf32, the reason SoapyRemote
+    ships these formats)."""
+    if wire == "cf32":
+        return data.tobytes()
+    f = data.view(np.float32)
+    if wire == "cs16":
+        return np.clip(f * 32767.0, -32768,
+                       32767).astype(np.int16).tobytes()
+    return np.clip(f * 127.0, -128, 127).astype(np.int8).tobytes()
+
+
+def _decode_wire(raw: bytes, wire: str) -> np.ndarray:
+    """wire bytes -> complex64, through the native converters
+    (native/ceruntime.cc ce_ci8_to_f32 / ce_ci16_to_f32) when the
+    library is available."""
+    if wire == "cf32":
+        return np.frombuffer(raw, np.complex64).copy()
+    from cyberether_tpu.io.native import ci16_to_cf32, ci8_to_cf32
+
+    if wire == "cs16":
+        return ci16_to_cf32(np.frombuffer(raw, np.int16))
+    return ci8_to_cf32(np.frombuffer(raw, np.int8))
+
 
 def _send_msg(sock: socket.socket, obj: Dict[str, Any],
               payload: bytes = b"") -> None:
@@ -115,6 +145,7 @@ class RemoteSdrServer:
         from cyberether_tpu.blocks.io import _open_sdr
 
         driver = None
+        wire = "cf32"
         try:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             while not self._stop.is_set():
@@ -140,12 +171,19 @@ class RemoteSdrServer:
                                                   "driver rejected"})
                         return
                     cfg["deviceString"] = spec
+                    wire = str(cfg.pop("wireFormat", "cf32"))
+                    if wire not in _WIRE_FORMATS:
+                        _send_msg(conn, {"ok": False,
+                                         "error": f"unknown wire "
+                                                  f"format '{wire}'"})
+                        return
                     if driver is not None:
                         driver.close()
                     driver = _open_sdr(cfg)
                     _send_msg(conn, {
                         "ok": True,
                         "sampleRate": float(cfg.get("sampleRate", 2e6)),
+                        "wireFormat": wire,
                         "realtime": bool(getattr(driver, "realtime",
                                                  False))})
                 elif cmd == "read":
@@ -161,7 +199,7 @@ class RemoteSdrServer:
                     data = np.ascontiguousarray(data,
                                                 np.complex64)
                     _send_msg(conn, {"ok": True, "n": int(data.size)},
-                              data.tobytes())
+                              _encode_wire(data, wire))
                 elif cmd == "close":
                     _send_msg(conn, {"ok": True})
                     return
@@ -182,9 +220,10 @@ class RemoteSdrServer:
                 pass
 
 
-def _parse_remote(device_string: str) -> Tuple[str, int, str, str]:
-    """'remote=host:port[,driver=<spec>][,token=<secret>]' ->
-    (host, port, driver, token)."""
+def _parse_remote(device_string: str
+                  ) -> Tuple[str, int, str, str, str]:
+    """'remote=host:port[,driver=<spec>][,token=<secret>]
+    [,wire=cf32|cs16|cs8]' -> (host, port, driver, token, wire)."""
     parts = dict(
         kv.split("=", 1) if "=" in kv else (kv, "")
         for kv in device_string.split(","))
@@ -194,8 +233,12 @@ def _parse_remote(device_string: str) -> Tuple[str, int, str, str]:
             f"remote deviceString needs remote=host:port "
             f"(got '{device_string}')")
     host, port = target.rsplit(":", 1)
+    wire = parts.get("wire", "cf32")
+    if wire not in _WIRE_FORMATS:
+        raise ValueError(f"unknown wire format '{wire}' "
+                         f"(cf32/cs16/cs8)")
     return (host, int(port), parts.get("driver", "test"),
-            parts.get("token", ""))
+            parts.get("token", ""), wire)
 
 
 class RemoteSdrDevice:
@@ -204,12 +247,14 @@ class RemoteSdrDevice:
     the local loop must not add its own sleep)."""
 
     def __init__(self, cfg: Dict[str, Any]):
-        host, port, driver, token = _parse_remote(
+        host, port, driver, token, wire = _parse_remote(
             str(cfg["deviceString"]))
+        self._wire = wire
         self._sock = socket.create_connection((host, port), timeout=10)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._lock = threading.Lock()
-        req = {"cmd": "config", "driver": driver}
+        req = {"cmd": "config", "driver": driver,
+               "wireFormat": wire}
         if token:
             req["token"] = token
         for key in ("sampleRate", "frequency", "automaticGain",
@@ -236,8 +281,9 @@ class RemoteSdrDevice:
             got = int(resp.get("n", 0))
             if got == 0:
                 return None
-            raw = _recv_exact(self._sock, 8 * got)
-        return np.frombuffer(raw, np.complex64).copy()
+            raw = _recv_exact(self._sock,
+                              _WIRE_FORMATS[self._wire] * got)
+        return _decode_wire(raw, self._wire)
 
     def close(self) -> None:
         try:

@@ -37,8 +37,21 @@ _LUT256 = turbo_lut(256)
 
 
 def apply_colormap(norm: np.ndarray, lut: np.ndarray = None) -> np.ndarray:
-    """Map [0,1] values to RGBA uint8 using the turbo LUT."""
+    """Map [0,1] values to RGBA uint8 using the turbo LUT.
+
+    Runs through the native rasterizer (native/ceruntime.cc
+    ce_colormap — the host-side leg of the present path, called per
+    frame for every streamed surface) when the library is available;
+    numpy fallback otherwise."""
     lut = _LUT256 if lut is None else lut
+    try:
+        from cyberether_tpu.io.native import colormap_rgba
+
+        out = colormap_rgba(norm, lut)
+        if out is not None:
+            return out
+    except Exception:   # pragma: no cover — fallback is identical
+        pass
     idx = np.clip((np.nan_to_num(norm, nan=0.0, posinf=1.0, neginf=0.0)
                    * (len(lut) - 1)).astype(np.int32), 0, len(lut) - 1)
     rgb = lut[idx]

@@ -219,6 +219,64 @@ void ce_file_close(CeFile* f) {
 }
 
 // ---------------------------------------------------------------------------
+// hot host-path kernels
+//
+// The reference runs these on the GPU render stack (turbo LUT in the
+// lineplot/waterfall shaders, src/domains/visualization/lineplot/
+// module_impl.cc) or in C++ SDR ingest (CS8/CS16 sample converters).
+// Here they are the native legs of the host-side present/ingest
+// paths: the per-frame colormap rasterization feeding the WS stream
+// and the fixed-point IQ / PCM format converters.
+// ---------------------------------------------------------------------------
+
+// norm (n floats in [0,1], NaN/inf tolerated) -> RGBA8 via a
+// (lut_size, 3) u8 LUT.
+void ce_colormap(const float* norm, uint8_t* rgba, size_t n,
+                 const uint8_t* lut, int lut_size) {
+    const int maxi = lut_size - 1;
+    const float scale = static_cast<float>(maxi);
+    for (size_t i = 0; i < n; ++i) {
+        float v = norm[i];
+        if (!(v >= 0.0f)) v = 0.0f;        // NaN and negatives -> 0
+        if (v > 1.0f) v = 1.0f;
+        int idx = static_cast<int>(v * scale);
+        if (idx > maxi) idx = maxi;
+        const uint8_t* c = lut + idx * 3;
+        uint8_t* o = rgba + i * 4;
+        o[0] = c[0];
+        o[1] = c[1];
+        o[2] = c[2];
+        o[3] = 255;
+    }
+}
+
+// interleaved signed 8-bit IQ -> float32 pairs (scale 1/127)
+void ce_ci8_to_f32(const int8_t* in, float* out, size_t n_pairs) {
+    const float s = 1.0f / 127.0f;
+    for (size_t i = 0; i < 2 * n_pairs; ++i) {
+        out[i] = in[i] * s;
+    }
+}
+
+// interleaved signed 16-bit IQ -> float32 pairs (scale 1/32767)
+void ce_ci16_to_f32(const int16_t* in, float* out, size_t n_pairs) {
+    const float s = 1.0f / 32767.0f;
+    for (size_t i = 0; i < 2 * n_pairs; ++i) {
+        out[i] = in[i] * s;
+    }
+}
+
+// float32 PCM -> signed 16-bit with clamp (audio sinks/players)
+void ce_f32_to_s16(const float* in, int16_t* out, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        float v = in[i] * 32767.0f;
+        if (v > 32767.0f) v = 32767.0f;
+        if (v < -32768.0f) v = -32768.0f;
+        out[i] = static_cast<int16_t>(v);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // clock helpers
 // ---------------------------------------------------------------------------
 double ce_monotonic() {

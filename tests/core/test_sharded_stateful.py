@@ -187,3 +187,41 @@ def test_sharded_burst_stateful_matches_sequential():
             fg.stop()
 
     np.testing.assert_allclose(run(True), run(False), atol=1e-5)
+
+
+def test_checkpoint_resume_under_mesh(tmp_path):
+    """save_checkpoint on a MESHED, stateful graph and resume on a
+    fresh (also meshed) instance: the stream must continue exactly —
+    GSPMD-sharded state must round-trip the pickle-free container."""
+    shape = (8, 512)
+    b1, b2 = _iq(*shape, seed=40), _iq(*shape, seed=41)
+    mesh = make_mesh(time=4, channels=2)
+
+    fg = Flowgraph()
+    dti = _build_fm(fg, shape)
+    fg.set_mesh(mesh)
+    dti.attach_buffer(b1)
+    assert fg.compute(timeout=30.0)
+    path = str(tmp_path / "ckpt.zip")
+    fg.save_checkpoint(path)
+    fg.stop()
+
+    # reference: uninterrupted 2-cycle run
+    fg_ref = Flowgraph()
+    dti_r = _build_fm(fg_ref, shape)
+    fg_ref.set_mesh(mesh)
+    dti_r.attach_buffer(b1)
+    assert fg_ref.compute(timeout=30.0)
+    dti_r.attach_buffer(b2)
+    assert fg_ref.compute(timeout=30.0)
+    want = np.asarray(fg_ref.scheduler.output("fm.signal"))
+    fg_ref.stop()
+
+    fg2 = Flowgraph.load_checkpoint(path)
+    fg2.set_mesh(mesh)
+    dti2 = fg2.records["src"].build.modules["src/m"]
+    dti2.attach_buffer(b2)
+    assert fg2.compute(timeout=30.0)
+    got = np.asarray(fg2.scheduler.output("fm.signal"))
+    fg2.stop()
+    np.testing.assert_allclose(got, want, atol=1e-5)

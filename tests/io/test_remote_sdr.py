@@ -2,6 +2,7 @@
 through the TCP remote driver matches the local test-tone driver."""
 
 import numpy as np
+import pytest
 
 from cyberether_tpu import Flowgraph
 from cyberether_tpu.io.remote_sdr import (RemoteSdrDevice,
@@ -67,3 +68,42 @@ def test_soapy_block_over_remote_driver():
     finally:
         fg.stop()
         server.stop()
+
+
+@pytest.mark.parametrize("wire", ["cf32", "cs16", "cs8"])
+def test_wire_formats_roundtrip(wire):
+    """CS8/CS16 wire formats (the SoapyRemote bandwidth modes): the
+    server quantizes, the client decodes through the native
+    converters; tone fidelity survives at the format's LSB."""
+    from cyberether_tpu.io.remote_sdr import (RemoteSdrDevice,
+                                              RemoteSdrServer)
+
+    server = RemoteSdrServer(host="127.0.0.1").start()
+    try:
+        d = RemoteSdrDevice({
+            "deviceString": f"remote=127.0.0.1:{server.port},"
+                            f"driver=test,wire={wire}",
+            "sampleRate": 1e6, "frequency": 1e5})
+        iq = d.read(4096)
+        d.close()
+    finally:
+        server.stop()
+    assert iq is not None and iq.dtype == np.complex64
+    assert iq.size == 4096
+    # the test driver emits a unit-amplitude tone: quantization noise
+    # bounded by ~1 LSB of the wire format
+    assert np.abs(np.abs(iq).max() - np.abs(iq).mean()) < 0.5
+    spec = np.abs(np.fft.fft(iq))
+    peak = spec.max()
+    floor = np.median(spec)
+    assert peak > 100 * max(floor, 1e-12)   # tone still dominant
+    # the test tone carries noise slightly above unit amplitude; the
+    # quantized formats clamp at 1.0 so everything stays bounded
+    assert np.all(np.abs(iq.real) <= 1.1)
+
+
+def test_wire_format_rejected():
+    from cyberether_tpu.io.remote_sdr import _parse_remote
+
+    with pytest.raises(ValueError, match="wire"):
+        _parse_remote("remote=h:1,wire=nope")
