@@ -89,7 +89,7 @@ class SpectrumPipeline:
     def step_pallas_ct(self, iq: jnp.ndarray,
                        interpret: bool = False, win=None,
                        exact: bool = True,
-                       version: str = "ct4",
+                       version: str = "ct5",
                        stage2: str = "",
                        kb: int = 8) -> jnp.ndarray:
         """Fused Cooley-Tukey kernel (n = m x 128): the m-point stage
@@ -97,15 +97,16 @@ class SpectrumPipeline:
         ~16x fewer MXU flops than the full-DFT kernel at n=2048.
 
         ``exact=True`` (reference grade: HIGHEST-precision stage 2,
-        measured 3.6e-5 of f64 truth on hardware) or False (display
-        grade 1-pass stage 2).  ``stage2`` overrides the mapping:
-        "highest" | "x4" (manual 4-product bf16 compensation, ~3.4e-4
-        — the bf16 hi+lo representation limit; ~18% faster than
-        highest) | "default".  ``version``: "ct4" (round-4 production:
-        window-folded stage-1 tables + kb k1-values per grid cell) or
+        measured 3.2e-5 of f64 truth on hardware at 19.6 Gsamp/s) or
+        False (display grade 1-pass stage 2, 34.6 G).  ``stage2``
+        overrides the mapping: "highest" | "x4" (manual 4-product bf16
+        compensation, ~3.2e-4 — the bf16 hi+lo representation limit;
+        23.4 G) | "default".  ``version``: "ct5" (production:
+        FFT-structured stage 1, needs power-of-two n/128 — falls back
+        to ct4 otherwise), "ct4" (direct stage-1 MACs, any m), or
         "ct1" (round-3 layout, kept for A/B)."""
         from cyberether_tpu.ops.pallas_kernels import (
-            spectrum_fused_ct, spectrum_fused_ct4)
+            spectrum_fused_ct, spectrum_fused_ct4, spectrum_fused_ct5)
 
         w = np.asarray(self._win) if win is None else win
         if version == "ct1":
@@ -113,6 +114,11 @@ class SpectrumPipeline:
                 iq, w, float(self._coeff), float(self._scale),
                 float(self._offset), interpret=interpret, exact=exact)
         s2 = stage2 or ("highest" if exact else "default")
+        m = self.fft_size // 128
+        if version == "ct5" and m & (m - 1) == 0 and m <= 32:
+            return spectrum_fused_ct5(
+                iq, w, float(self._coeff), float(self._scale),
+                float(self._offset), interpret=interpret, stage2=s2)
         return spectrum_fused_ct4(
             iq, w, float(self._coeff), float(self._scale),
             float(self._offset), interpret=interpret, stage2=s2,

@@ -1367,6 +1367,154 @@ def spectrum_fused_ct4(iq: jnp.ndarray, win, coeff: float,
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
 
 
+def _bit_reverse(n: int):
+    bits = n.bit_length() - 1
+    return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
+
+
+def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
+                         mhi_ref, mlo_ref, out_ref, *,
+                         m: int, coeff: float, scale: float,
+                         offset: float, stage2: str = "highest"):
+    """Round-4 final CT spectrum: stage 1 as a RADIX-2 FFT over the
+    chunk axis.
+
+    ct4 computes the m-point stage-1 DFT directly (m MACs per k1 =
+    m^2 full-width VPU ops per batch tile — the measured ~0.22 ms
+    dominating every precision tier).  The m-point transform's
+    butterflies combine whole (tile_b, 128) chunk VALUES with scalar
+    twiddles: every index is a STATIC python-level choice, every op is
+    full vreg width, nothing moves across lanes — exactly the shape
+    this backend runs fast.  m log2(m) butterfly ops replace m^2 MACs
+    (16-pt: ~5x fewer stage-1 flops).  All m k1-bins are produced in
+    ONE grid cell (the butterfly outputs are named values, so the
+    bit-reversal is free static selection); stage 2 + epilogue run per
+    k1 inside the cell.
+
+    Stage-1 arithmetic stays on the VPU's true-f32 ALUs, so the exact
+    path's accuracy is preserved (FFT rounding is O(log m * eps),
+    at-or-below the direct summation's).
+    """
+    f32 = jnp.float32
+
+    def mm(x, j):
+        if stage2 in ("default", "highest"):
+            hi = jax.lax.Precision.HIGHEST \
+                if stage2 == "highest" else None
+            return jnp.dot(x, mhi_ref[j * 128:(j + 1) * 128, :],
+                           preferred_element_type=f32, precision=hi)
+        xh, xl = _split_bf16(x)
+        mh = mhi_ref[j * 128:(j + 1) * 128, :]
+        ml = mlo_ref[j * 128:(j + 1) * 128, :]
+        acc = (jnp.dot(xh, mh, preferred_element_type=f32)
+               + jnp.dot(xh, ml, preferred_element_type=f32)
+               + jnp.dot(xl, mh, preferred_element_type=f32))
+        if stage2 == "x4":
+            acc = acc + jnp.dot(xl, ml, preferred_element_type=f32)
+        return acc
+
+    # stage 0: windowed chunks, loaded once as full-width values
+    rev = _bit_reverse(m)
+    re = [None] * m
+    im = [None] * m
+    for pos, n1 in enumerate(rev):
+        w = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
+        re[pos] = xr_ref[:, n1 * 128:(n1 + 1) * 128] * w
+        im[pos] = xi_ref[:, n1 * 128:(n1 + 1) * 128] * w
+
+    # stage 1: iterative DIT radix-2 over the chunk axis (forward
+    # DFT: W = exp(-2 pi i j / size))
+    size = 2
+    while size <= m:
+        half = size // 2
+        for start in range(0, m, size):
+            for j in range(half):
+                ang = -2.0 * np.pi * j / size
+                wr_ = float(np.cos(ang))
+                wi_ = float(np.sin(ang))
+                a = start + j
+                b = start + j + half
+                if j == 0:               # twiddle = 1
+                    tr, ti = re[b], im[b]
+                elif 4 * j == size:      # twiddle = -i
+                    tr, ti = im[b], -re[b]
+                else:
+                    tr = re[b] * f32(wr_) - im[b] * f32(wi_)
+                    ti = im[b] * f32(wr_) + re[b] * f32(wi_)
+                re[b] = re[a] - tr
+                im[b] = im[a] - ti
+                re[a] = re[a] + tr
+                im[a] = im[a] + ti
+        size *= 2
+
+    # per-k1: twiddle row multiply, stage 2, epilogue — all static
+    for k1 in range(m):
+        tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+        ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+        br = re[k1] * tr - im[k1] * ti
+        bi = re[k1] * ti + im[k1] * tr
+        yr = mm(br, 0) + mm(bi, 1)
+        yi = mm(bi, 0) - mm(br, 1)
+        mag2 = yr * yr + yi * yi
+        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+        norm = db * f32(scale) + f32(offset)
+        out_ref[:, k1 * 128:(k1 + 1) * 128] = \
+            0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+
+def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
+                       scale: float, offset: float, tile_b: int = 128,
+                       interpret: bool = False,
+                       stage2: str = "highest") -> jnp.ndarray:
+    """Fused CT spectrum with FFT-structured stage 1: (B, n, 2) f32 ->
+    (B, n) f32 in [0, 1], natural bin order.  Requires m = n/128 to be
+    a power of two (falls back to the caller's ct4 otherwise).  See
+    :func:`_spectrum_ct5_kernel`."""
+    B, n, _two = iq.shape
+    assert n % 128 == 0, n
+    m = n // 128
+    assert m & (m - 1) == 0 and m <= 32, \
+        f"ct5 needs a power-of-two chunk count <= 32 (got {m})"
+    tile_b = min(tile_b, B)
+    while tile_b > 8 and B % tile_b:
+        tile_b //= 2
+    if B % tile_b:
+        tile_b = B
+    wmr, wmi, twr, twi, cmat, smat = _ct_mats(n)
+    stacked = np.concatenate([cmat, smat], axis=0)
+    if stage2 in ("x3", "x4"):
+        mhi = stacked.astype(np.float32).astype("bfloat16")
+        mlo = (stacked - mhi.astype(np.float32)).astype("bfloat16")
+    else:
+        mhi = stacked.astype(np.float32)
+        mlo = np.zeros_like(stacked, dtype="bfloat16")
+
+    x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    perm = pl.pallas_call(
+        functools.partial(_spectrum_ct5_kernel, m=m,
+                          coeff=float(coeff), scale=float(scale),
+                          offset=float(offset), stage2=stage2),
+        grid=(B // tile_b,),
+        in_specs=[x_spec, x_spec, full(1, n),
+                  full(m * 8, 128), full(m * 8, 128),
+                  full(2 * 128, 128), full(2 * 128, 128)],
+        out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(iq[:, :, 0], iq[:, :, 1],
+      jnp.asarray(win, jnp.float32).reshape(1, n),
+      jnp.asarray(np.repeat(twr, 8, axis=0)),
+      jnp.asarray(np.repeat(twi, 8, axis=0)),
+      jnp.asarray(mhi), jnp.asarray(mlo))
+    return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
+
+
 # (the round-4 "ct2" experiment — stage 1 serialized at k1==0 with a
 # fori_loop register-blocked row sweep — measured 0.6-1.6 ms vs ct1's
 # 0.44 on hardware and was removed; the same idea is reproducible via
