@@ -239,6 +239,11 @@ def _register_builtin() -> None:
         register_case(Case("fft", f"CF32-{n}-mxu", {"forward": True},
                            lambda n=n: {"signal": _cf32(n)},
                            provider="mxu"))
+    for n in (2048, 4096):   # pallas ct5-structure FFT (m = 2^k)
+        register_case(Case("fft", f"CF32-{n}-pallas",
+                           {"forward": True},
+                           lambda n=n: {"signal": _cf32(n)},
+                           provider="pallas"))
 
     def _chan_in():
         return {"buffer": _f32(8192 * 64 * 2).reshape(8192, 64, 2)}

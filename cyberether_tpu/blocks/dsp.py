@@ -139,6 +139,36 @@ class FftMxuModule(FftModule):
         return {"signal": out}, state
 
 
+@register_module
+class FftPallasModule(FftModule):
+    """fft with provider='pallas': the fused ct5-structure kernel
+    (chunk-axis FFT stage 1 + 128-point MXU stage 2 at HIGHEST
+    precision — ops/pallas_kernels.fft_pallas).  Measured ~4-5x the
+    mxu provider for CF32 forward transforms with n = 2^k * 128."""
+
+    provider = "pallas"
+
+    def validate(self) -> None:
+        super().validate()
+        spec = self.input_specs["signal"]
+        if not (spec.dtype == DataType.CF32 and self.config["forward"]):
+            raise ValidationError(
+                "pallas provider supports CF32 forward transforms")
+        n = spec.shape[self._axis]
+        m = n // 128
+        if n % 128 or m & (m - 1) or not (1 <= m <= 32):
+            raise ValidationError(
+                f"pallas provider needs n = m*128, m a power of two "
+                f"<= 32 (got n={n})")
+
+    def apply(self, inputs, state):
+        from cyberether_tpu.ops.pallas_kernels import fft_pallas
+
+        x = jnp.moveaxis(inputs["signal"], self._axis, -1)
+        out = fft_pallas(x, interpret=jax.default_backend() == "cpu")
+        return {"signal": jnp.moveaxis(out, -1, self._axis)}, state
+
+
 # ---------------------------------------------------------------------------
 # amplitude (dsp/amplitude) — |x| -> dB with 1/N normalization offset
 # ---------------------------------------------------------------------------

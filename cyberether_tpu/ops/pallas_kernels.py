@@ -1372,6 +1372,130 @@ def _bit_reverse(n: int):
     return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
 
 
+def _chunk_fft(xr_ref, xi_ref, win_ref, m: int):
+    """In-kernel m-point FFT over the CHUNK axis: butterflies combine
+    whole (tile_b, 128) chunk values with scalar twiddles — static
+    indices, full vreg width, no lane movement.  ``win_ref`` (1, n)
+    multiplies per chunk when given (None: pure transform).  Returns
+    (re, im): m full-width values in natural k1 order."""
+    f32 = jnp.float32
+    rev = _bit_reverse(m)
+    re = [None] * m
+    im = [None] * m
+    for pos, n1 in enumerate(rev):
+        xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128]
+        xci = xi_ref[:, n1 * 128:(n1 + 1) * 128]
+        if win_ref is not None:
+            w = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
+            xcr = xcr * w
+            xci = xci * w
+        re[pos] = xcr
+        im[pos] = xci
+
+    # iterative DIT radix-2 (forward: W = exp(-2 pi i j / size))
+    size = 2
+    while size <= m:
+        half = size // 2
+        for start in range(0, m, size):
+            for j in range(half):
+                ang = -2.0 * np.pi * j / size
+                wr_ = float(np.cos(ang))
+                wi_ = float(np.sin(ang))
+                a = start + j
+                b = start + j + half
+                if j == 0:               # twiddle = 1
+                    tr, ti = re[b], im[b]
+                elif 4 * j == size:      # twiddle = -i
+                    tr, ti = im[b], -re[b]
+                else:
+                    tr = re[b] * f32(wr_) - im[b] * f32(wi_)
+                    ti = im[b] * f32(wr_) + re[b] * f32(wi_)
+                re[b] = re[a] - tr
+                im[b] = im[a] - ti
+                re[a] = re[a] + tr
+                im[a] = im[a] + ti
+        size *= 2
+    return re, im
+
+
+def _fft_ct_kernel(xr_ref, xi_ref, twr_ref, twi_ref, c_ref, s_ref,
+                   or_ref, oi_ref, *, m: int, exact: bool):
+    """Generic n = m x 128 forward C2C FFT (no window, no epilogue):
+    chunk-axis FFT stage 1 + per-k1 twiddle + 128-point MXU DFT.
+    Outputs re/im planes in PERMUTED order (k = k1 + m*k2 at column
+    128*k1 + k2); the caller un-permutes with a free-ish XLA
+    transpose."""
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST if exact else None
+    re, im = _chunk_fft(xr_ref, xi_ref, None, m)
+    for k1 in range(m):
+        tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+        ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+        br = re[k1] * tr - im[k1] * ti
+        bi = re[k1] * ti + im[k1] * tr
+        yr = (jnp.dot(br, c_ref[:, :], preferred_element_type=f32,
+                      precision=hi)
+              + jnp.dot(bi, s_ref[:, :], preferred_element_type=f32,
+                        precision=hi))
+        yi = (jnp.dot(bi, c_ref[:, :], preferred_element_type=f32,
+                      precision=hi)
+              - jnp.dot(br, s_ref[:, :], preferred_element_type=f32,
+                        precision=hi))
+        or_ref[:, k1 * 128:(k1 + 1) * 128] = yr
+        oi_ref[:, k1 * 128:(k1 + 1) * 128] = yi
+
+
+def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
+               interpret: bool = False,
+               exact: bool = True) -> jnp.ndarray:
+    """General-purpose forward C2C FFT on the last axis via the ct5
+    kernel structure: (..., n) complex64 -> (..., n) complex64,
+    natural bin order.  Needs n = m*128 with m a power of two <= 32
+    (the caller picks another provider otherwise).
+
+    ``exact=True`` runs the 128-point stage at HIGHEST precision
+    (module-grade, ~1e-6 relative of ||x||); False at default matmul
+    precision (display grade, ~2x faster).  The fft module's
+    provider='pallas' route (reference cognate: the per-provider FFT
+    implementations, src/domains/dsp/fft/)."""
+    n = x.shape[-1]
+    assert n % 128 == 0, n
+    m = n // 128
+    assert m & (m - 1) == 0 and m <= 32, m
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    xb = x.reshape(B, n)
+    tile_b = min(tile_b, B)
+    while tile_b > 1 and B % tile_b:
+        tile_b //= 2
+    _, _, twr, twi, cmat, smat = _ct_mats(n)
+
+    x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_fft_ct_kernel, m=m, exact=exact),
+        grid=(B // tile_b,),
+        in_specs=[x_spec, x_spec,
+                  full(m * 8, 128), full(m * 8, 128),
+                  full(128, 128), full(128, 128)],
+        out_specs=[pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, n), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(jnp.real(xb).astype(jnp.float32),
+      jnp.imag(xb).astype(jnp.float32),
+      jnp.asarray(np.repeat(twr, 8, axis=0)),
+      jnp.asarray(np.repeat(twi, 8, axis=0)),
+      jnp.asarray(cmat), jnp.asarray(smat))
+    y = (yr + 1j * yi).astype(jnp.complex64)
+    # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
+    return y.reshape(B, m, 128).swapaxes(1, 2).reshape(*lead, n)
+
+
 def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                          mhi_ref, mlo_ref, out_ref, *,
                          m: int, coeff: float, scale: float,
@@ -1413,39 +1537,7 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
             acc = acc + jnp.dot(xl, ml, preferred_element_type=f32)
         return acc
 
-    # stage 0: windowed chunks, loaded once as full-width values
-    rev = _bit_reverse(m)
-    re = [None] * m
-    im = [None] * m
-    for pos, n1 in enumerate(rev):
-        w = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
-        re[pos] = xr_ref[:, n1 * 128:(n1 + 1) * 128] * w
-        im[pos] = xi_ref[:, n1 * 128:(n1 + 1) * 128] * w
-
-    # stage 1: iterative DIT radix-2 over the chunk axis (forward
-    # DFT: W = exp(-2 pi i j / size))
-    size = 2
-    while size <= m:
-        half = size // 2
-        for start in range(0, m, size):
-            for j in range(half):
-                ang = -2.0 * np.pi * j / size
-                wr_ = float(np.cos(ang))
-                wi_ = float(np.sin(ang))
-                a = start + j
-                b = start + j + half
-                if j == 0:               # twiddle = 1
-                    tr, ti = re[b], im[b]
-                elif 4 * j == size:      # twiddle = -i
-                    tr, ti = im[b], -re[b]
-                else:
-                    tr = re[b] * f32(wr_) - im[b] * f32(wi_)
-                    ti = im[b] * f32(wr_) + re[b] * f32(wi_)
-                re[b] = re[a] - tr
-                im[b] = im[a] - ti
-                re[a] = re[a] + tr
-                im[a] = im[a] + ti
-        size *= 2
+    re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m)
 
     # per-k1: twiddle row multiply, stage 2, epilogue — all static
     for k1 in range(m):
