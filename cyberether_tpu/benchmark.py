@@ -57,11 +57,14 @@ def register_case(case: Case) -> None:
     src/benchmark.cc:100-178).  The CLI, the editor's benchmark modal
     and the REST endpoint all list and run from this ONE source;
     plugin-origin cases unload with their plugin
-    (registry.unregister_origin)."""
+    (registry.unregister_origin prunes per-CASE origins, so a plugin
+    case attached to a builtin component unloads without taking the
+    builtin entry with it)."""
     comp = case.component
     if comp not in registry.list_benchmarks():
         registry.register_benchmark(
             comp, lambda component=comp, **kw: run(component, **kw))
+    case._registry_origin = registry._current_origin
     registry.benchmark(comp).cases.append(case)
 
 
@@ -273,4 +276,9 @@ def _register_builtin() -> None:
                                                       sample=1)}))
 
 
-_register_builtin()
+# builtin cases must carry the "builtin" origin even when this
+# module is first imported from inside a plugin's
+# registry.origin() context (a plugin unload would otherwise
+# delete every builtin benchmark)
+with registry.origin("builtin"):
+    _register_builtin()

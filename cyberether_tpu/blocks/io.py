@@ -513,7 +513,15 @@ class AudioModule(Module):
     def present_data(self, outputs, state):
         """Drain pending PCM for the remote stream: the server encodes
         it as a kind="audio" binary frame (f32 payload) and the editor
-        client schedules it through WebAudio."""
+        client schedules it through WebAudio.
+
+        ``seq`` counts samples DRAINED (not produced): every chunk
+        gets a distinct, monotone fingerprint, so the server's dirty
+        tracking can never discard an already-drained chunk (a chunk
+        is destructively consumed here — dropping it would be an
+        audible gap).  The stream is single-listener: each present
+        pass drains the ring once, so a second WS client would receive
+        interleaved segments rather than a copy."""
         ring = getattr(self, "_stream_ring", None)
         if ring is None:
             return None
@@ -523,9 +531,10 @@ class AudioModule(Module):
         pcm = ring.get(n)
         if pcm is None:
             return None
+        self._streamed = getattr(self, "_streamed", 0) + int(pcm.size)
         return {"kind": "audio", "pcm": pcm,
                 "rate": float(self.config["outSampleRate"]),
-                "seq": int(self.samples_out)}
+                "seq": int(self._streamed)}
 
 
 for _type in ("file_reader", "file_writer", "soapy", "websocket", "audio"):

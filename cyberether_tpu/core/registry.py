@@ -192,6 +192,15 @@ class Registry:
             for k in doomed:
                 del table[k]
                 removed += 1
+        # benchmark CASES carry their own origin: a plugin case hung on
+        # a builtin component's entry must unload without removing the
+        # entry (its runner closure references unloaded plugin code)
+        for entry in self._benchmarks.values():
+            keep = [c for c in entry.cases
+                    if getattr(c, "_registry_origin",
+                               "builtin") != origin]
+            removed += len(entry.cases) - len(keep)
+            entry.cases[:] = keep
         return removed
 
 

@@ -735,7 +735,12 @@ class Scheduler:
                 time.sleep(wait)
             wait = min(wait * 2, 0.01)
 
-    def _gate_flags_for(self, seg: DeviceSegment) -> Dict[str, Any]:
+    def _gate_flags_for(self, seg: DeviceSegment,
+                        host: bool = False) -> Dict[str, Any]:
+        """Gate flags as cached device scalars (per-cycle jit args) or
+        — ``host=True`` (the burst stacking path) — plain host floats:
+        np.full over a device scalar would be a blocking ~25 ms d2h
+        fetch through the tunnel."""
         flags = {}
         now = time.monotonic()
         for name in seg.gates:
@@ -746,7 +751,8 @@ class Scheduler:
             fire = (now - last) >= period
             if fire:
                 self._gate_last_fire[name] = now
-            flags[name] = self._flag_scalar(fire, seg.device0)
+            flags[name] = np.float32(1.0 if fire else 0.0) if host \
+                else self._flag_scalar(fire, seg.device0)
         return flags
 
     def _flag_scalar(self, value: bool, device0=None):
@@ -952,7 +958,7 @@ class Scheduler:
             valid_stack[key] = np.full(
                 (k,), 1.0 if np.all(np.asarray(vv)) else 0.0,
                 np.float32)
-        flags = self._gate_flags_for(seg)
+        flags = self._gate_flags_for(seg, host=True)
         gate_stack = {n: np.full((k,), f, np.float32)
                       for n, f in flags.items()}
         state_sub = {m: self._state[m] for m in seg.state_modules

@@ -239,6 +239,7 @@ def ci8_to_cf32(raw: np.ndarray) -> np.ndarray:
     available, numpy otherwise.  SDR CS8 ingest converter."""
     raw = np.ascontiguousarray(raw, np.int8)
     n = raw.size // 2
+    raw = raw[:2 * n]          # tolerate a truncated trailing byte
     lib = load()
     if lib is None or not hasattr(lib, "ce_ci8_to_f32"):
         f = raw.astype(np.float32) * np.float32(1.0 / 127.0)
@@ -253,6 +254,7 @@ def ci16_to_cf32(raw: np.ndarray) -> np.ndarray:
     """Interleaved signed-16 IQ -> complex64 (scale 1/32767)."""
     raw = np.ascontiguousarray(raw, np.int16)
     n = raw.size // 2
+    raw = raw[:2 * n]          # tolerate a truncated trailing sample
     lib = load()
     if lib is None or not hasattr(lib, "ce_ci16_to_f32"):
         f = raw.astype(np.float32) * np.float32(1.0 / 32767.0)

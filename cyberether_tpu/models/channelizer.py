@@ -106,10 +106,10 @@ class Channelizer:
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
         in-kernel decimation.  ``kernel`` picks the arithmetic layout:
-        "v6" (default production: v5 minus the body->win copy and the
-        big-selector decimation — see _channelize_body_v6), "v5" (VPU
-        FIR + one DFT matmul), or "v4" (taps folded into P DFT
-        matmuls)."""
+        "v5" (THE production default: VPU FIR + one DFT matmul +
+        fast3 atan), "v6" (the no-copy-FIR/chunked-decimation
+        experiment — measured neutral-to-slower, kept as a tested
+        variant), or "v4" (taps folded into P DFT matmuls)."""
         from cyberether_tpu.ops.pallas_kernels import (
             channelize_demod_decim, channelize_demod_decim_v5,
             channelize_demod_decim_v6)

@@ -362,7 +362,11 @@ def load_model(path: str) -> OnnxGraph:
 # ---------------------------------------------------------------------------
 
 def _auto_pad(attrs: Dict[str, Any], spatial: int,
-              kshape: Tuple[int, ...]) -> List[Tuple[int, int]]:
+              kshape: Tuple[int, ...],
+              in_shape: Tuple[int, ...]) -> List[Tuple[int, int]]:
+    """Resolve explicit/auto padding.  ``in_shape``: the operand's
+    spatial dims — SAME padding depends on them when stride > 1
+    (total = max((ceil(in/s)-1)*s + k - in, 0), onnx spec)."""
     pads = attrs.get("pads")
     auto = attrs.get("auto_pad", "NOTSET") or "NOTSET"
     if isinstance(auto, bytes):
@@ -371,11 +375,9 @@ def _auto_pad(attrs: Dict[str, Any], spatial: int,
         out = []
         strides = attrs.get("strides") or [1] * spatial
         for i in range(spatial):
-            # SAME: total pad so out = ceil(in/stride); for stride 1
-            # that's k-1.  (Computed per-axis from kernel alone — valid
-            # for the stride-1 models this path supports.)
-            total = max(kshape[i] - strides[i], 0) \
-                if strides[i] > 1 else kshape[i] - 1
+            s = int(strides[i])
+            n = int(in_shape[i])
+            total = max((-(-n // s) - 1) * s + int(kshape[i]) - n, 0)
             lo = total // 2
             hi = total - lo
             out.append((lo, hi) if auto == "SAME_UPPER" else (hi, lo))
@@ -465,7 +467,7 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         strides = a.get("strides") or [1] * spatial
         dil = a.get("dilations") or [1] * spatial
         groups = int(a.get("group", 1))
-        pads = _auto_pad(a, spatial, kshape)
+        pads = _auto_pad(a, spatial, kshape, x.shape[2:])
         dims = ("NCHW"[:2 + spatial] if spatial <= 2
                 else "NCDHW"[:2 + spatial])
         y = jax.lax.conv_general_dilated(
@@ -484,7 +486,7 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         spatial = x.ndim - 2
         kshape = tuple(a["kernel_shape"])
         strides = a.get("strides") or list(kshape)
-        pads = _auto_pad(a, spatial, kshape)
+        pads = _auto_pad(a, spatial, kshape, x.shape[2:])
         window = (1, 1) + kshape
         wstr = (1, 1) + tuple(int(s) for s in strides)
         pad4 = [(0, 0), (0, 0)] + pads

@@ -155,3 +155,53 @@ def test_jax_model_route():
     ctx.run()
     np.testing.assert_allclose(ctx.output("output"), x * 2 + 1,
                                rtol=1e-5)
+
+
+def test_onnx_same_pad_stride2():
+    """SAME_UPPER with stride 2 on an odd spatial size needs
+    input-size-dependent padding (review finding: the kernel-only
+    formula produced wrong shapes silently)."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((2, 1, 3, 3)).astype(np.float32)
+    g = graph(
+        [node("Conv", ["x", "w"], ["out"],
+              {"kernel_shape": [3, 3], "strides": [2, 2],
+               "auto_pad": "SAME_UPPER"})],
+        "same2",
+        inputs=[value_info("x", 1, [1, 1, 7, 7])],
+        outputs=[value_info("out", 1, [1, 2, 4, 4])],
+        initializers=[tensor_proto("w", w)])
+    fn = build_fn(parse_model(model(g)))
+    x = rng.standard_normal((1, 1, 7, 7)).astype(np.float32)
+    got = np.asarray(fn({"x": x})["out"])
+    assert got.shape == (1, 2, 4, 4)           # ceil(7/2) = 4
+    # golden: pad total = (ceil(7/2)-1)*2 + 3 - 7 = 2 -> (1, 1)
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    ref = np.zeros((1, 2, 4, 4), np.float32)
+    for o in range(2):
+        for i in range(4):
+            for j in range(4):
+                ref[0, o, i, j] = np.sum(
+                    xp[0, 0, 2 * i:2 * i + 3, 2 * j:2 * j + 3]
+                    * w[o, 0])
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_benchmark_plugin_case_on_builtin_component_unloads():
+    """A plugin benchmark case attached to a BUILTIN component must
+    unload with the plugin without deleting the builtin entry (review
+    finding)."""
+    from cyberether_tpu import benchmark
+    from cyberether_tpu.core.registry import registry
+
+    before = len(registry.benchmark("fft").cases)
+    with registry.origin("case-test-plugin"):
+        benchmark.register_case(benchmark.Case(
+            "fft", "plugin-variant", {"forward": True}, dict))
+    assert len(registry.benchmark("fft").cases) == before + 1
+    removed = registry.unregister_origin("case-test-plugin")
+    assert removed == 1
+    assert "fft" in benchmark.list_components()   # entry survives
+    assert len(registry.benchmark("fft").cases) == before

@@ -63,3 +63,42 @@ def test_f32_to_s16_clamps():
     assert got[2] == 32767 and got[3] == -32767
     assert got[4] == 32767 and got[5] == -32768
     assert abs(int(got[1]) - 16384) <= 1
+
+
+def test_ci8_odd_size_tolerated():
+    """A truncated capture (odd byte count) drops the trailing half
+    sample in BOTH the native and fallback paths."""
+    raw = np.arange(-3, 4, dtype=np.int8)   # 7 elements -> 3 pairs
+    out = native.ci8_to_cf32(raw)
+    assert out.size == 3
+    out16 = native.ci16_to_cf32(np.arange(5, dtype=np.int16))
+    assert out16.size == 2
+
+
+def test_audio_stream_seq_distinct_per_chunk():
+    """present_data chunks are destructively drained: every chunk must
+    carry a DISTINCT monotone seq so the server's dirty tracking can
+    never discard one (review finding: a backlog > one chunk under the
+    old samples_out stamp produced duplicate fingerprints and audible
+    gaps)."""
+    from cyberether_tpu.blocks.io import AudioModule
+    from cyberether_tpu.core.tensor import TensorSpec
+    from cyberether_tpu.core.types import DataType, Device
+
+    mod = AudioModule(
+        "a", {"inSampleRate": 8000.0, "outSampleRate": 8000.0},
+        {"buffer": TensorSpec((4096,), DataType.F32, Device.CPU)})
+    mod.host_start()
+    pcm = np.random.default_rng(0).standard_normal(100_000) \
+        .astype(np.float32)
+    mod.host_consume({"buffer": pcm}, True)   # backlog >> one chunk
+    seqs = []
+    while True:
+        d = mod.present_data({}, None)
+        if d is None:
+            break
+        seqs.append(d["seq"])
+        assert d["pcm"].size > 0
+    assert len(seqs) >= 3                      # several chunks drained
+    assert len(set(seqs)) == len(seqs)         # all distinct
+    assert seqs == sorted(seqs)                # monotone
