@@ -139,33 +139,50 @@ class FftMxuModule(FftModule):
         return {"signal": out}, state
 
 
+def fft_pallas_eligible(spec, axis: int) -> bool:
+    """Shapes the pallas FFT provider takes: CF32 with n = m*128, m a
+    power of two <= 32 (composites use this to pick the provider)."""
+    if spec.dtype != DataType.CF32:
+        return False
+    n = spec.shape[axis]
+    m = n // 128
+    return n % 128 == 0 and m & (m - 1) == 0 and 1 <= m <= 32
+
+
 @register_module
 class FftPallasModule(FftModule):
     """fft with provider='pallas': the fused ct5-structure kernel
     (chunk-axis FFT stage 1 + 128-point MXU stage 2 at HIGHEST
-    precision — ops/pallas_kernels.fft_pallas).  Measured ~4-5x the
-    mxu provider for CF32 forward transforms with n = 2^k * 128."""
+    precision — ops/pallas_kernels.fft_pallas).  Measured 16.2 Gsamp/s
+    vs 12.5 for XLA's FFT and 5.1 for the mxu provider at
+    (4096, 2048) CF32.  Inverse transforms ride the conjugation
+    identity ifft(x) = conj(fft(conj(x)))/n."""
 
     provider = "pallas"
 
     def validate(self) -> None:
         super().validate()
         spec = self.input_specs["signal"]
-        if not (spec.dtype == DataType.CF32 and self.config["forward"]):
+        if spec.dtype != DataType.CF32:
             raise ValidationError(
-                "pallas provider supports CF32 forward transforms")
-        n = spec.shape[self._axis]
-        m = n // 128
-        if n % 128 or m & (m - 1) or not (1 <= m <= 32):
+                "pallas provider supports CF32 transforms")
+        if not fft_pallas_eligible(spec, self._axis):
             raise ValidationError(
                 f"pallas provider needs n = m*128, m a power of two "
-                f"<= 32 (got n={n})")
+                f"<= 32 (got n={spec.shape[self._axis]})")
 
     def apply(self, inputs, state):
         from cyberether_tpu.ops.pallas_kernels import fft_pallas
 
         x = jnp.moveaxis(inputs["signal"], self._axis, -1)
-        out = fft_pallas(x, interpret=jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if self.config["forward"]:
+            out = fft_pallas(x, interpret=interp)
+        else:
+            # UNNORMALIZED backward (the module's pocketfft
+            # convention, ops/fftops.fft_c2c): conj(fft(conj(x)))
+            out = jnp.conj(fft_pallas(jnp.conj(x),
+                                      interpret=interp))
         return {"signal": jnp.moveaxis(out, -1, self._axis)}, state
 
 

@@ -332,3 +332,20 @@ def test_fft_pallas_matches_numpy():
     got = np.asarray(fft_pallas(jnp.asarray(x), interpret=True))
     ref = np.fft.fft(x)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fft_pallas_inverse_module():
+    """provider='pallas' backward transform: UNNORMALIZED (pocketfft
+    convention) inverse via the conjugation identity; fft->ifft
+    roundtrip recovers n * x."""
+    from cyberether_tpu.testing import TestContext
+
+    rng = np.random.default_rng(2)
+    n = 1024
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    ctx = TestContext("fft", {"forward": False}, provider="pallas")
+    ctx.set_input("signal", np.fft.fft(x).astype(np.complex64))
+    ctx.run()
+    got = np.asarray(ctx.output("signal"))
+    np.testing.assert_allclose(got, n * x, atol=1e-2)
