@@ -57,8 +57,18 @@ class SpectrumEngineBlock(Block):
                          {"buffer": rsh["buffer"]})
         mul = ctx.module("multiply", "multiply", {},
                          {"a": cast["buffer"], "b": sax["buffer"]})
+        # eligible power-of-two*128 transforms ride the fused pallas
+        # FFT (measured 16.2 vs 12.5 Gsamp/s for XLA's FFT); other
+        # shapes keep the generic provider
+        from cyberether_tpu.blocks.dsp import fft_pallas_eligible
+        from cyberether_tpu.core.tensor import TensorSpec
+        from cyberether_tpu.core.types import DataType
+
+        cf_spec = TensorSpec(spec.shape, DataType.CF32, spec.device)
+        prov = "pallas" if fft_pallas_eligible(cf_spec, axis) \
+            else None
         fft = ctx.module("fft", "fft", {"forward": True},
-                         {"signal": mul["product"]})
+                         {"signal": mul["product"]}, provider=prov)
         tail = fft["signal"]
         if self.config["enableAgc"]:
             agc = ctx.module("agc", "agc", {"tileSize": n},
