@@ -204,6 +204,41 @@ def bench_channelizer_pallas() -> float:
         if rate > best:
             best, best_tile, best_compile = rate, tile, compile_s
 
+    # CS8 ingest (the SDR wire format): int8 rows quarter the kernel's
+    # HBM stream; conversion rides the win-copy pass
+    try:
+        iq8 = jax.device_put(np.clip(
+            rng.standard_normal((frames, 128)) * 64, -127,
+            127).astype(np.int8))
+
+        def mk8(n):
+            @jax.jit
+            def f(x8):
+                def body(carry, _):
+                    st, acc = carry
+                    audio, st = model.step_pallas_v4(
+                        st, x8.reshape(frames, C, 2),
+                        tile_m=best_tile)
+                    return (st, acc + audio[0, 0]), None
+                carry, _ = jax.lax.scan(
+                    body, (model.init_state_v4(jnp.int8),
+                           jnp.float32(0)),
+                    None, length=n)
+                return carry[1]
+            return lambda: f(iq8)
+
+        per8, compile8 = scan_steady(mk8)
+        record(f"channelizer-pallas[cs8,tile={best_tile}]",
+               frames * C, per8,
+               bytes_step=(frames * 128
+                           + frames // D * C * 4),
+               mxu_flops=(frames // best_tile) * 2 * 128
+               * ((best_tile + 1) * 128
+                  + (best_tile // D) * 64 * best_tile // 128),
+               compile_s=compile8)
+    except Exception as e:
+        fail("channelizer-cs8", e)
+
     # per-dispatch number for the record (includes tunnel overhead)
     step = model.jitted_step_pallas_v4(tile_m=best_tile)
     st = model.init_state_v4()

@@ -299,7 +299,16 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
             terms = nxt
         return terms[0]
 
-    if fir == "direct" and "fir" in stages:
+    # int8 ingest (SDR CS8): the conversion rides the win-copy pass —
+    # the kernel streams a QUARTER of the f32 HBM traffic, and the FM
+    # discriminator is scale-invariant (atan2 of a ratio), so the raw
+    # +-127 integer scale needs no compensation anywhere
+    i8 = body_ref.dtype == jnp.int8
+
+    def _cvt(v):
+        return v.astype(jnp.float32) if i8 else v
+
+    if fir == "direct" and "fir" in stages and not i8:
         # FIR reads body_ref directly (no win copy); the P
         # halo-touching leading rows come from a small scratch and the
         # two pieces join as an 8-aligned VALUE concat
@@ -312,8 +321,8 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
                       for p in range(P)])
         z = jnp.concatenate([zh, zb], axis=0)
     else:
-        win[0:P, :] = halo_ref[0]
-        win[P:P + tile_m, :] = body_ref[:, :]
+        win[0:P, :] = _cvt(halo_ref[0])
+        win[P:P + tile_m, :] = _cvt(body_ref[:, :])
         if "fir" in stages:
             z = fir_sum([win[p:p + rows, :] * hp_ref[p, :][None, :]
                          for p in range(P)])

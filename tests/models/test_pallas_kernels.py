@@ -349,3 +349,26 @@ def test_fft_pallas_inverse_module():
     ctx.run()
     got = np.asarray(ctx.output("signal"))
     np.testing.assert_allclose(got, n * x, atol=1e-2)
+
+
+def test_channelizer_int8_ingest_matches_f32():
+    """CS8 ingest (the SDR wire format): int8 input rows convert
+    during the win-copy pass (quarter HBM traffic) and the
+    scale-invariant discriminator needs no tap compensation — the i8
+    path must match the f32 path on identical dequantized data
+    bit-for-bit, streaming state included."""
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5)
+    iq = model.make_input_full(1024)
+    q = np.clip(np.round(iq * 127.0), -127, 127).astype(np.int8)
+    a_f32, _ = model.step_pallas_v4(
+        model.init_state_v4(), jnp.asarray(q.astype(np.float32)),
+        interpret=True)
+    st8 = model.init_state_v4(jnp.int8)
+    a_i8, st8 = model.step_pallas_v4(st8, jnp.asarray(q[:512]),
+                                     interpret=True)
+    b_i8, _ = model.step_pallas_v4(st8, jnp.asarray(q[512:]),
+                                   interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(a_i8), np.asarray(b_i8)]),
+        np.asarray(a_f32))
