@@ -579,7 +579,10 @@ class Flowgraph:
     @classmethod
     def from_yaml(cls, text: str, name: str = "main",
                   default_device: Device = Device.TPU) -> "Flowgraph":
-        root = yaml.safe_load(text)
+        try:
+            root = yaml.safe_load(text)
+        except yaml.YAMLError as e:
+            raise GraphError(f"flowgraph YAML does not parse: {e}")
         if not isinstance(root, dict):
             raise GraphError("flowgraph YAML root must be a mapping")
         root = _migrate_v1_to_v2(root)
@@ -593,6 +596,11 @@ class Flowgraph:
         graph = root.get("graph", []) or []
         if not isinstance(graph, list):
             raise GraphError("flowgraph 'graph' must be a sequence")
+        for e in graph:
+            if not isinstance(e, dict) or "name" not in e:
+                raise GraphError(
+                    "every graph node must be a mapping with a "
+                    f"'name' (got {e!r})")
         # producers-first topological creation (flowgraph.cc importFromFile)
         entries = {e["name"]: e for e in graph}
         created: set = set()

@@ -59,6 +59,11 @@ svg{width:100%;height:100%;display:block}
 .surface canvas{border:1px solid var(--edge);background:var(--surf);
  cursor:crosshair}
 .surface .cap{color:var(--dim);font-size:11px}
+.acgrid{margin:2px auto;border-collapse:collapse;font-size:10px;
+ font-family:ui-monospace,monospace;color:var(--txt)}
+.acgrid th{color:var(--dim);font-weight:normal;text-align:left;
+ padding:0 6px;border-bottom:1px solid var(--edge)}
+.acgrid td{padding:0 6px;text-align:left}
 #toast{position:absolute;bottom:12px;left:50%;
  transform:translateX(-50%);background:var(--panel);color:var(--txt);
  border:1px solid var(--edge);border-radius:6px;padding:6px 14px;
@@ -1247,6 +1252,30 @@ function drawMap(g, st) {
     const lat = (lat0 + span) - fy * 2 * span;
     return `${lat.toFixed(3)}° ${lon.toFixed(3)}°`;
   });
+  aircraftTable(st, h.aircraft || []);
+}
+
+// aircraft TEXT GRID under the map (the reference's Sakura text-grid/
+// table widget; the flight tracker lists aircraft beside the map)
+function aircraftTable(st, aircraft) {
+  if (!st.table) {
+    st.table = document.createElement("table");
+    st.table.className = "acgrid";
+    st.canvas.parentElement.insertBefore(
+      st.table, st.canvas.nextSibling);
+  }
+  const rows = aircraft.slice(0, 12).map(a =>
+    `<tr><td>${a.icao || ""}</td><td>${a.callsign || ""}</td>` +
+    `<td>${a.altitude_ft != null ? Math.round(a.altitude_ft) : ""}` +
+    `</td><td>${a.speed_kt != null ? Math.round(a.speed_kt) : ""}` +
+    `</td><td>${a.heading_deg != null ?
+      Math.round(a.heading_deg) + "°" : ""}</td>` +
+    `<td>${a.lat != null ? a.lat.toFixed(3) : ""}</td>` +
+    `<td>${a.lon != null ? a.lon.toFixed(3) : ""}</td>` +
+    `<td>${a.messages != null ? a.messages : ""}</td></tr>`).join("");
+  st.table.innerHTML =
+    "<tr><th>icao</th><th>call</th><th>alt ft</th><th>kt</th>" +
+    "<th>hdg</th><th>lat</th><th>lon</th><th>msgs</th></tr>" + rows;
 }
 boot();
 </script></body></html>"""

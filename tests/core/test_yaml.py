@@ -369,3 +369,40 @@ def test_all_reference_examples_import():
             assert len(fg.records) >= len(declared) // 2, path
         finally:
             fg.stop()
+
+
+@pytest.mark.parametrize("text", [
+    "",                                    # empty
+    "version: 2",                          # no graph
+    "version: 2\ngraph: 12",               # wrong graph type
+    "version: 2\ngraph:\n  - 3\n  - 4",    # wrong node type
+    "version: 2\ngraph:\n  - name: a",     # node without module
+    "version: 2\ngraph:\n  - name: a\n    module: no_such_module",
+    "version: 3\ngraph: []",               # unknown version
+    "{{{{not yaml",                        # parse error
+    "version: 2\ngraph:\n  - name: a\n    module: fft\n"
+    "    input: {signal: '${graph.missing.output.x}'}",
+    "version: 2\ngraph:\n  - name: a\n    module: fft\n"
+    "    input: {signal: 'not-a-link-&&-not-a-name'}",
+    "version: 2\ngraph:\n  - name: a\n    module: signal_generator\n"
+    "    config: {bufferSize: -5}",
+])
+def test_yaml_import_never_crashes(text):
+    """Malformed/hostile YAML must come back as a GraphError (or an
+    incomplete/errored block for resolvable-but-wrong graphs) — never
+    an unhandled exception (reference serialization tests,
+    tests/core/serialization/yaml.cc)."""
+    try:
+        fg = Flowgraph.from_yaml(text)
+    except GraphError:
+        return                        # clean structured rejection
+    except Exception as e:            # pragma: no cover
+        raise AssertionError(
+            f"unstructured failure for {text!r}: {type(e).__name__}: "
+            f"{e}")
+    # graphs that import must then run or mark blocks incomplete/
+    # errored — compute() must not raise
+    try:
+        fg.compute(timeout=5.0)
+    finally:
+        fg.stop()

@@ -127,3 +127,12 @@ def test_editor_ids_referenced_exist():
         r'getElementById\("([a-z]+)_" ?\+', script)}
     for ref in re.findall(r'getElementById\("([^"]+)"\)', script):
         assert ref in ids or ref in dynamic or "_" in ref, ref
+
+
+def test_editor_has_aircraft_table_widget():
+    """Sakura text-grid cognate: the map surface renders an aircraft
+    data table (field names must match the adsb block's aircraft
+    dicts)."""
+    for needle in ("aircraftTable", "acgrid", "altitude_ft",
+                   "speed_kt", "heading_deg", "messages"):
+        assert needle in EDITOR_PAGE, needle
