@@ -89,3 +89,32 @@ def test_broken_entry_rolls_back(tmp_path):
     with pytest.raises(plugin.PluginError):
         plugin.load(str(pdir))
     assert not registry.has_block("half_registered")
+
+
+@pytest.mark.parametrize("payload", [
+    b"",                          # empty file
+    b"not a zip at all",          # garbage bytes
+    b"PK\x03\x04truncated",       # zip magic, truncated
+])
+def test_malformed_cep_rejected_cleanly(tmp_path, payload):
+    """Hostile/corrupt .cep bundles must fail with PluginError, never
+    an unhandled zipfile/OS exception (the loader runs on
+    user-supplied files via --plugin and the editor)."""
+    from cyberether_tpu.core.plugin import PluginError, load
+
+    p = tmp_path / "evil.cep"
+    p.write_bytes(payload)
+    with pytest.raises(PluginError):
+        load(str(p))
+
+
+def test_cep_without_manifest_rejected(tmp_path):
+    import zipfile
+
+    from cyberether_tpu.core.plugin import PluginError, load
+
+    p = tmp_path / "nomanifest.cep"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("readme.txt", "hello")
+    with pytest.raises(PluginError):
+        load(str(p))
