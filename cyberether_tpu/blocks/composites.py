@@ -64,8 +64,14 @@ class SpectrumEngineBlock(Block):
         from cyberether_tpu.core.tensor import TensorSpec
         from cyberether_tpu.core.types import DataType
 
+        from cyberether_tpu.core.types import Device
+
         cf_spec = TensorSpec(spec.shape, DataType.CF32, spec.device)
-        prov = "pallas" if fft_pallas_eligible(cf_spec, axis) \
+        # pick pallas only for device-default (TPU) placement; a
+        # 'device: cpu' composite would run the Mosaic kernel
+        # interpreted — slower than XLA's fft
+        prov = "pallas" if (fft_pallas_eligible(cf_spec, axis)
+                            and self.device != Device.CPU) \
             else None
         fft = ctx.module("fft", "fft", {"forward": True},
                          {"signal": mul["product"]}, provider=prov)

@@ -175,7 +175,11 @@ class FftPallasModule(FftModule):
         from cyberether_tpu.ops.pallas_kernels import fft_pallas
 
         x = jnp.moveaxis(inputs["signal"], self._axis, -1)
-        interp = jax.default_backend() == "cpu"
+        # interpret when THIS module executes on CPU — whether that's
+        # the session default backend or a 'device: cpu' segment
+        # inside a TPU session (Mosaic kernels only lower on TPU)
+        interp = (jax.default_backend() == "cpu"
+                  or self.device == Device.CPU)
         if self.config["forward"]:
             out = fft_pallas(x, interpret=interp)
         else:

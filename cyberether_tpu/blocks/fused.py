@@ -35,12 +35,17 @@ from cyberether_tpu.core.module import Module
 from cyberether_tpu.core.params import Field, Schema
 from cyberether_tpu.core.registry import register_block, register_module
 from cyberether_tpu.core.tensor import TensorSpec
-from cyberether_tpu.core.types import DataType, ValidationError
+from cyberether_tpu.core.types import DataType, Device, ValidationError
 
 
-def _interpret() -> bool:
+def _interpret(module=None) -> bool:
     """Mosaic only lowers on TPU; anywhere else the kernels run in
-    Pallas interpret mode (the tests' CPU platform)."""
+    Pallas interpret mode (the tests' CPU platform).  A module pinned
+    to ``device: cpu`` inside a TPU session must ALSO interpret — its
+    segment executes on the CPU backend regardless of the session
+    default."""
+    if module is not None and module.device == Device.CPU:
+        return True
     return jax.default_backend() == "cpu"
 
 
@@ -120,7 +125,7 @@ class ChannelizerFusedModule(Module):
                              int(self.config["tileM"]),
                              self._model.audio_decim)
         audio, new_state = self._model.step_pallas_v4(
-            state, iq, tile_m=tile, interpret=_interpret())
+            state, iq, tile_m=tile, interpret=_interpret(self))
         return {"audio": audio}, new_state
 
     def apply_mesh(self, inputs, state, mesh):
@@ -143,7 +148,7 @@ class ChannelizerFusedModule(Module):
             iq = _split_complex(iq)
         tile = _largest_tile(local, int(self.config["tileM"]), D)
         fn = self._model.sharded_step_fn(
-            mesh, tile_m=tile, interpret=_interpret())
+            mesh, tile_m=tile, interpret=_interpret(self))
         audio, new_state = fn(state, iq)
         return {"audio": audio}, new_state
 
@@ -207,7 +212,7 @@ class WbfmFusedModule(Module):
         if self._complex_in:
             iq = _split_complex(iq)
         audio, new_state = self._rx.step_pallas(
-            state, iq, interpret=_interpret())
+            state, iq, interpret=_interpret(self))
         return {"audio": audio}, new_state
 
 
@@ -275,12 +280,12 @@ class SpectrumFusedModule(Module):
         if self._complex_in:
             iq = _split_complex(iq)
         if self._use_ct:
-            out = self._pipe.step_pallas_ct(iq, interpret=_interpret(),
+            out = self._pipe.step_pallas_ct(iq, interpret=_interpret(self),
                                             exact=self._ct_exact)
         else:
             out = self._pipe.step_pallas(
                 iq, bf16=bool(self.config["bf16"]),
-                interpret=_interpret())
+                interpret=_interpret(self))
         return {"spectrum": out}, state
 
 

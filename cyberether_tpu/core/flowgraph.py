@@ -597,10 +597,11 @@ class Flowgraph:
         if not isinstance(graph, list):
             raise GraphError("flowgraph 'graph' must be a sequence")
         for e in graph:
-            if not isinstance(e, dict) or "name" not in e:
+            if not isinstance(e, dict) or \
+                    not isinstance(e.get("name"), str):
                 raise GraphError(
                     "every graph node must be a mapping with a "
-                    f"'name' (got {e!r})")
+                    f"string 'name' (got {e!r})")
         # producers-first topological creation (flowgraph.cc importFromFile)
         entries = {e["name"]: e for e in graph}
         created: set = set()

@@ -363,21 +363,26 @@ def load_model(path: str) -> OnnxGraph:
 
 def _auto_pad(attrs: Dict[str, Any], spatial: int,
               kshape: Tuple[int, ...],
-              in_shape: Tuple[int, ...]) -> List[Tuple[int, int]]:
-    """Resolve explicit/auto padding.  ``in_shape``: the operand's
-    spatial dims — SAME padding depends on them when stride > 1
-    (total = max((ceil(in/s)-1)*s + k - in, 0), onnx spec)."""
+              in_shape: Tuple[int, ...],
+              strides, dilations=None) -> List[Tuple[int, int]]:
+    """Resolve explicit/auto padding.  ``strides``/``dilations`` are
+    the values the OP actually applies (callers resolve their own
+    defaults — pooling defaults differ from conv).  SAME padding
+    depends on the input size and the EFFECTIVE kernel
+    (k-1)*dilation + 1: total = max((ceil(in/s)-1)*s + keff - in, 0)
+    per the onnx spec."""
     pads = attrs.get("pads")
     auto = attrs.get("auto_pad", "NOTSET") or "NOTSET"
     if isinstance(auto, bytes):
         auto = auto.decode()
     if auto in ("SAME_UPPER", "SAME_LOWER"):
         out = []
-        strides = attrs.get("strides") or [1] * spatial
+        dil = dilations or [1] * spatial
         for i in range(spatial):
             s = int(strides[i])
             n = int(in_shape[i])
-            total = max((-(-n // s) - 1) * s + int(kshape[i]) - n, 0)
+            keff = (int(kshape[i]) - 1) * int(dil[i]) + 1
+            total = max((-(-n // s) - 1) * s + keff - n, 0)
             lo = total // 2
             hi = total - lo
             out.append((lo, hi) if auto == "SAME_UPPER" else (hi, lo))
@@ -467,7 +472,8 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         strides = a.get("strides") or [1] * spatial
         dil = a.get("dilations") or [1] * spatial
         groups = int(a.get("group", 1))
-        pads = _auto_pad(a, spatial, kshape, x.shape[2:])
+        pads = _auto_pad(a, spatial, kshape, x.shape[2:], strides,
+                         dil)
         dims = ("NCHW"[:2 + spatial] if spatial <= 2
                 else "NCDHW"[:2 + spatial])
         y = jax.lax.conv_general_dilated(
@@ -485,8 +491,9 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         x = inp(0)
         spatial = x.ndim - 2
         kshape = tuple(a["kernel_shape"])
-        strides = a.get("strides") or list(kshape)
-        pads = _auto_pad(a, spatial, kshape, x.shape[2:])
+        # onnx pooling strides default to 1 (NOT the kernel shape)
+        strides = a.get("strides") or [1] * spatial
+        pads = _auto_pad(a, spatial, kshape, x.shape[2:], strides)
         window = (1, 1) + kshape
         wstr = (1, 1) + tuple(int(s) for s in strides)
         pad4 = [(0, 0), (0, 0)] + pads

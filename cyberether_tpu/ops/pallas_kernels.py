@@ -597,7 +597,10 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                                      lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.asarray(sel))
-    scratch = [pltpu.VMEM((2 * P if fir == "direct"
+    # int8 ingest always takes the win-copy path (the conversion rides
+    # the copy), so fir="direct" must not shrink the scratch for it
+    direct = fir == "direct" and x2.dtype != jnp.int8
+    scratch = [pltpu.VMEM((2 * P if direct
                            else tile_m + P, twoC), jnp.float32)]
     if "yall" in stages:      # legacy A/B path only
         scratch.append(pltpu.VMEM((tile_m + 1, twoC), jnp.float32))

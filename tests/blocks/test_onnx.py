@@ -205,3 +205,34 @@ def test_benchmark_plugin_case_on_builtin_component_unloads():
     assert removed == 1
     assert "fft" in benchmark.list_components()   # entry survives
     assert len(registry.benchmark("fft").cases) == before
+
+
+def test_onnx_same_pad_dilation_and_pool_defaults():
+    """Review findings: SAME padding must use the EFFECTIVE kernel
+    (k-1)*dilation + 1, and pooling strides default to 1 (not the
+    kernel shape) per the onnx spec."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((1, 1, 3, 3)).astype(np.float32)
+    g = graph(
+        [node("Conv", ["x", "w"], ["out"],
+              {"kernel_shape": [3, 3], "dilations": [2, 2],
+               "auto_pad": "SAME_UPPER"})],
+        "dil",
+        inputs=[value_info("x", 1, [1, 1, 8, 8])],
+        outputs=[value_info("out", 1, [1, 1, 8, 8])],
+        initializers=[tensor_proto("w", w)])
+    fn = build_fn(parse_model(model(g)))
+    x = rng.standard_normal((1, 1, 8, 8)).astype(np.float32)
+    assert np.asarray(fn({"x": x})["out"]).shape == (1, 1, 8, 8)
+
+    g2 = graph(
+        [node("MaxPool", ["x"], ["out"],
+              {"kernel_shape": [2, 2], "auto_pad": "SAME_UPPER"})],
+        "poolstride",
+        inputs=[value_info("x", 1, [1, 1, 4, 4])],
+        outputs=[value_info("out", 1, [1, 1, 4, 4])])
+    fn2 = build_fn(parse_model(model(g2)))
+    got = np.asarray(fn2({"x": x[:, :, :4, :4]})["out"])
+    assert got.shape == (1, 1, 4, 4)           # stride defaults to 1
