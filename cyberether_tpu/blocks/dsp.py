@@ -22,7 +22,8 @@ from cyberether_tpu.core.module import Module, PASS_FLAG
 from cyberether_tpu.core.params import Field, Schema
 from cyberether_tpu.core.registry import register_block, register_module
 from cyberether_tpu.core.tensor import SignalAxes, TensorSpec
-from cyberether_tpu.core.types import DataType, Taint, ValidationError
+from cyberether_tpu.core.types import (DataType, Device, Taint,
+                                       ValidationError)
 
 
 def resolve_signal_axes(spec: TensorSpec) -> SignalAxes:
