@@ -488,10 +488,14 @@ class RemoteServer:
 
         from cyberether_tpu.remote.highlight import highlight
 
-        body = await request.json()
+        body = await self._body(request)
+        try:
+            err_line = int(body.get("errLine", 0))
+        except (TypeError, ValueError):
+            raise web.HTTPBadRequest(text="errLine must be an int")
         html_out = highlight(str(body.get("code", "")),
                              kind=str(body.get("kind", "py")),
-                             err_line=int(body.get("errLine", 0)))
+                             err_line=err_line)
         return web.json_response({"html": html_out})
 
     async def _examples(self, request):
