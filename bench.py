@@ -204,6 +204,32 @@ def bench_channelizer_pallas() -> float:
         if rate > best:
             best, best_tile, best_compile = rate, tile, compile_s
 
+    # opt-in coherent discriminator: complex lag products averaged
+    # over the decimation window, ONE angle per audio sample (D-fold
+    # fewer atans; measured at the stream floor)
+    try:
+        def mkc(n):
+            @jax.jit
+            def f(x2):
+                def body(carry, _):
+                    st, acc = carry
+                    audio, st = model.step_pallas_v4(
+                        st, x2.reshape(frames, C, 2),
+                        tile_m=best_tile, demod_mode="coherent")
+                    return (st, acc + audio[0, 0]), None
+                carry, _ = jax.lax.scan(
+                    body, (model.init_state_v4(), jnp.float32(0)),
+                    None, length=n)
+                return carry[1]
+            return lambda: f(iq)
+
+        perc, compilec = scan_steady(mkc)
+        record("channelizer-pallas[coherent]", frames * C, perc,
+               bytes_step=(frames * 128 + frames // D * C) * 4,
+               compile_s=compilec)
+    except Exception as e:
+        fail("channelizer-coherent", e)
+
     # CS8 ingest (the SDR wire format): int8 rows quarter the kernel's
     # HBM stream; conversion rides the win-copy pass
     try:

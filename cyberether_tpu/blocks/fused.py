@@ -75,7 +75,12 @@ class ChannelizerFusedModule(Module):
                     Field("audioDecim", "int", 16),
                     Field("sampleRate", "float", 128e6),
                     Field("deviation", "float", 75e3),
-                    Field("tileM", "int", 4096))
+                    Field("tileM", "int", 4096),
+                    # classic: per-sample discriminator then boxcar
+                    # (reference parity).  coherent: average the
+                    # complex lag products, ONE angle per audio
+                    # sample — D-fold fewer atans, noise-better
+                    Field("demodMode", "str", "classic"))
 
     def validate(self) -> None:
         spec = self.input_specs["buffer"]
@@ -125,7 +130,8 @@ class ChannelizerFusedModule(Module):
                              int(self.config["tileM"]),
                              self._model.audio_decim)
         audio, new_state = self._model.step_pallas_v4(
-            state, iq, tile_m=tile, interpret=_interpret(self))
+            state, iq, tile_m=tile, interpret=_interpret(self),
+            demod_mode=str(self.config["demodMode"]))
         return {"audio": audio}, new_state
 
     def apply_mesh(self, inputs, state, mesh):

@@ -102,7 +102,8 @@ class Channelizer:
     def step_pallas_v4(self, state, iq: jnp.ndarray,
                        tile_m: int = 512, interpret: bool = False,
                        kernel: str = "v5", decim_mode: str = "sel",
-                       atan_mode: str = "fast3"
+                       atan_mode: str = "fast3",
+                       demod_mode: str = "classic"
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
         in-kernel decimation.  ``kernel`` picks the arithmetic layout:
@@ -117,6 +118,10 @@ class Channelizer:
         C, Pt = self.channels, self.taps_per_branch
         M = iq.shape[0]
         x2 = iq.reshape(M, 2 * C)          # free: minor dims collapse
+        if demod_mode == "coherent":
+            # the averaged-product intermediates put tile 4096 ~0.5 MB
+            # over the 16 MB scoped-vmem limit (measured OOM)
+            tile_m = min(tile_m, 2048)
         tile = min(tile_m, M)
         grid = M // tile
         if grid > 1:
@@ -146,7 +151,7 @@ class Channelizer:
                 x2, halos, self._hp5, self._bperm5,
                 float(self._fm_ref), self.audio_decim, tile_m=tile,
                 interpret=interpret, decim_mode=decim_mode,
-                atan_mode=atan_mode)
+                atan_mode=atan_mode, demod_mode=demod_mode)
             if decim_mode == "none":
                 D = self.audio_decim
                 audio = audio.reshape(M // D, D, C).mean(1)

@@ -263,7 +263,8 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
                         fir: str = "win",
                         firtree: bool = False,
                         atan_mode: str = "recip",
-                        gain_in_sel: bool = False):
+                        gain_in_sel: bool = False,
+                        demod_mode: str = "classic"):
     """Roofline variant: VPU polyphase FIR + ONE DFT matmul.
 
     v4 folds the taps into P pre-multiplied DFT matrices and pays P
@@ -354,6 +355,24 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
     g = jnp.float32(1.0 if gain_in_sel else ref_gain)
     newt = atan_mode == "recip"
     p3 = atan_mode == "fast3"
+    if demod_mode == "coherent" and "atan" in stages \
+            and decim == "sel" and sel_ref is not None:
+        # coherent discriminator: average the complex lag products
+        # over the decimation window FIRST, then take ONE angle per
+        # audio sample — D-fold fewer atans, and statistically the
+        # better estimator (angle of the averaged autocorrelation vs
+        # average of noisy angles).  atan2 of a ratio is
+        # scale-invariant, so the boxcar mean needs no normalization
+        # bookkeeping.  Opt-in: it is NOT bit-comparable to the
+        # reference's per-sample discriminator (second-order in the
+        # within-window phase spread).
+        drm = jnp.dot(sel_ref[:, :], dr,
+                      preferred_element_type=jnp.float32)
+        dim = jnp.dot(sel_ref[:, :], di,
+                      preferred_element_type=jnp.float32)
+        out_ref[:, :] = _atan2(dim, drm, recip=True, newton=newt,
+                               poly3=p3) * jnp.float32(ref_gain)
+        return
     if "atan" not in stages:
         demod = (di + dr) * g
     elif atan_mode.endswith("pack"):
@@ -540,7 +559,8 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                               fir: str = "win",
                               firtree: bool = False,
                               atan_mode: str = "recip",
-                              gain_in_sel: bool = False
+                              gain_in_sel: bool = False,
+                              demod_mode: str = "classic"
                               ) -> jnp.ndarray:
     """v5 wrapper: (M, 2C) interleaved frames -> (M//decim, C) audio
     (``decim_mode="none"``: (M, C) undecimated demod — the caller
@@ -576,7 +596,8 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
             ref_gain=float(ref_gain), stages=stages,
             decim=decim_mode, fir=fir, firtree=firtree,
             atan_mode=atan_mode,
-            gain_in_sel=gain_in_sel and has_sel)
+            gain_in_sel=gain_in_sel and has_sel,
+            demod_mode=demod_mode)
 
     in_specs = [
         pl.BlockSpec((tile_m, twoC), lambda i: (i, 0),

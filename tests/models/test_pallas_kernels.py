@@ -372,3 +372,52 @@ def test_channelizer_int8_ingest_matches_f32():
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(a_i8), np.asarray(b_i8)]),
         np.asarray(a_f32))
+
+
+def test_channelizer_coherent_demod():
+    """Opt-in coherent discriminator: complex lag products averaged
+    over the decimation window, then one angle per audio sample —
+    pinned against an independent numpy golden of the same estimator
+    and behaviorally close to the classic path on clean FM."""
+    import jax
+
+    # deviation chosen so the per-frame phase step stays well under
+    # pi (any FM discriminator aliases beyond that; the default toy
+    # deviation of 75 kHz over a 100 kHz channel exceeds it)
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5, deviation=10e3)
+    iq = model.make_input_full(1024)
+    got, _ = model.step_pallas_v4(model.init_state_v4(),
+                                  jnp.asarray(iq), interpret=True,
+                                  demod_mode="coherent")
+    # numpy golden via the XLA path's lag products
+    st = model.init_state()
+    x = jnp.transpose(jnp.asarray(iq), (2, 1, 0))
+    ext = jnp.concatenate([st["hist"], x], axis=-1)
+    z = jax.lax.conv_general_dilated(
+        ext, model._rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=8, preferred_element_type=jnp.float32)
+    yr = model._Wr @ z[0] - model._Wi @ z[1]
+    yi = model._Wr @ z[1] + model._Wi @ z[0]
+    pr = jnp.concatenate([st["prev"][0][:, None], yr[:, :-1]], axis=1)
+    pi = jnp.concatenate([st["prev"][1][:, None], yi[:, :-1]], axis=1)
+    dr = np.asarray(pr * yr + pi * yi).T
+    di = np.asarray(pr * yi - pi * yr).T
+    drm = dr.reshape(256, 4, 8).mean(1)
+    dim = di.reshape(256, 4, 8).mean(1)
+    ref = np.arctan2(dim, drm) * float(model._fm_ref)
+    # 5e-3: kernel-vs-XLA MXU numerics in the lag products (the
+    # documented 1e-2 demod class) — the golden reuses the XLA path's
+    # y values, not the kernel's own FIR/DFT rounding
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3)
+    # estimator agreement with the classic path on clean carriers
+    classic, _ = model.step_pallas_v4(model.init_state_v4(),
+                                      jnp.asarray(iq),
+                                      interpret=True)
+    d = np.abs(np.asarray(got) - np.asarray(classic))
+    # the two estimators legitimately diverge at phase-wrap points
+    # (classic averages wrapped angles; coherent takes the principal
+    # angle of the averaged product) — agreement is statistical
+    assert float(np.mean(d)) < 0.05
+    assert float(np.quantile(d, 0.95)) < 0.2
