@@ -224,8 +224,14 @@ def bench_channelizer_pallas() -> float:
             return lambda: f(iq)
 
         perc, compilec = scan_steady(mkc)
+        tile_c = min(best_tile, 2048)       # coherent clamps the tile
+        grid_c = frames // tile_c
         record("channelizer-pallas[coherent]", frames * C, perc,
-               bytes_step=(frames * 128 + frames // D * C) * 4,
+               bytes_step=(frames * 128 + grid_c * Pt * 128
+                           + frames // D * C) * 4,
+               mxu_flops=grid_c * 2 * 128 * ((tile_c + 1) * 128
+                                             + 2 * (tile_c // D) * 64
+                                             * tile_c // 128),
                compile_s=compilec)
     except Exception as e:
         fail("channelizer-coherent", e)

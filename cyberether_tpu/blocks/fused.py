@@ -83,6 +83,11 @@ class ChannelizerFusedModule(Module):
                     Field("demodMode", "str", "classic"))
 
     def validate(self) -> None:
+        if str(self.config["demodMode"]) not in ("classic",
+                                                 "coherent"):
+            raise ValidationError(
+                "demodMode must be 'classic' or 'coherent' "
+                f"(got {self.config['demodMode']!r})")
         spec = self.input_specs["buffer"]
         if spec.dtype == DataType.CF32 and spec.rank == 2:
             self._complex_in = True
@@ -154,7 +159,8 @@ class ChannelizerFusedModule(Module):
             iq = _split_complex(iq)
         tile = _largest_tile(local, int(self.config["tileM"]), D)
         fn = self._model.sharded_step_fn(
-            mesh, tile_m=tile, interpret=_interpret(self))
+            mesh, tile_m=tile, interpret=_interpret(self),
+            demod_mode=str(self.config["demodMode"]))
         audio, new_state = fn(state, iq)
         return {"audio": audio}, new_state
 

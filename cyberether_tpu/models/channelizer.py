@@ -119,9 +119,20 @@ class Channelizer:
         M = iq.shape[0]
         x2 = iq.reshape(M, 2 * C)          # free: minor dims collapse
         if demod_mode == "coherent":
+            if kernel != "v5" or decim_mode != "sel":
+                raise ValueError(
+                    "demod_mode='coherent' requires the v5 kernel "
+                    "with selector decimation (got kernel="
+                    f"{kernel!r}, decim_mode={decim_mode!r})")
             # the averaged-product intermediates put tile 4096 ~0.5 MB
-            # over the 16 MB scoped-vmem limit (measured OOM)
-            tile_m = min(tile_m, 2048)
+            # over the 16 MB scoped-vmem limit (measured OOM); keep
+            # the M-divisibility and decim-multiple invariants while
+            # clamping
+            t = min(tile_m, 2048, M)
+            while t > self.audio_decim and (M % t or
+                                            t % self.audio_decim):
+                t -= self.audio_decim
+            tile_m = t if M % t == 0 else M
         tile = min(tile_m, M)
         grid = M // tile
         if grid > 1:
@@ -279,7 +290,8 @@ class Channelizer:
         return jax.jit(self.step, donate_argnums=(0,))
 
     def sharded_step_fn(self, mesh: Mesh, tile_m: int = 512,
-                        interpret: bool = False, kernel: str = "v5"):
+                        interpret: bool = False, kernel: str = "v5",
+                        demod_mode: str = "classic"):
         """Time-sharded fused-kernel step, UNJITTED (composable inside
         a larger jitted program — the scheduler's segment compiler
         calls this from ``ChannelizerFusedModule.apply_mesh``): each
@@ -309,7 +321,8 @@ class Channelizer:
             hist = jnp.where(idx == 0, state["hist"], recv)
             audio, _ = self.step_pallas_v4(
                 {"hist": hist}, iq, tile_m=min(tile_m, M),
-                interpret=interpret, kernel=kernel)
+                interpret=interpret, kernel=kernel,
+                demod_mode=demod_mode)
             new_hist = jax.lax.psum(
                 jnp.where(idx == n_t - 1, tail, 0.0), "time")
             return audio, {"hist": new_hist}

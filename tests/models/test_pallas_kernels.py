@@ -421,3 +421,47 @@ def test_channelizer_coherent_demod():
     # angle of the averaged product) — agreement is statistical
     assert float(np.mean(d)) < 0.05
     assert float(np.quantile(d, 0.95)) < 0.2
+
+
+def test_coherent_clamp_and_guards():
+    """Review findings: the coherent tile clamp must preserve the
+    M-divisibility invariant, and coherent with an incompatible
+    kernel/decim mode must raise instead of silently running
+    classic."""
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5, deviation=10e3)
+    iq = model.make_input_full(768)     # 768 % 2048-style clamps
+    audio, _ = model.step_pallas_v4(
+        model.init_state_v4(), jnp.asarray(iq), interpret=True,
+        tile_m=768, demod_mode="coherent")
+    assert audio.shape == (768 // 4, 8)
+    with pytest.raises(ValueError, match="coherent"):
+        model.step_pallas_v4(model.init_state_v4(), jnp.asarray(iq),
+                             interpret=True, kernel="v6",
+                             demod_mode="coherent")
+    with pytest.raises(ValueError, match="coherent"):
+        model.step_pallas_v4(model.init_state_v4(), jnp.asarray(iq),
+                             interpret=True, decim_mode="none",
+                             demod_mode="coherent")
+
+
+def test_coherent_demod_under_mesh():
+    """demodMode must survive the apply_mesh path: the sharded step
+    with coherent demod matches the single-device coherent step."""
+    from cyberether_tpu.parallel.mesh import make_mesh
+
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5, deviation=10e3)
+    iq = model.make_input_full(1024)
+    ref, _ = model.step_pallas_v4(model.init_state_v4(),
+                                  jnp.asarray(iq), interpret=True,
+                                  tile_m=128,
+                                  demod_mode="coherent")
+    mesh = make_mesh(time=4, channels=2)
+    fn = model.sharded_step_fn(mesh, tile_m=128, interpret=True,
+                               demod_mode="coherent")
+    import jax
+
+    got, _ = jax.jit(fn)(model.init_state_v4(), jnp.asarray(iq))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
