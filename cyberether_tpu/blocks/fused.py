@@ -239,7 +239,13 @@ class SpectrumFusedModule(Module):
     schema = Schema(Field("rangeMin", "float", -100.0),
                     Field("rangeMax", "float", 0.0),
                     Field("bf16", "bool", False),
-                    Field("algorithm", "str", "auto"))
+                    Field("algorithm", "str", "auto"),
+                    # precision tier of the ct path: "" follows the
+                    # bf16 knob (false->exact, true->display);
+                    # explicit: exact (HIGHEST stage 2, 3.2e-5 of f64)
+                    # | accurate (manual bf16-x4 compensation, ~3e-4,
+                    # ~25% faster) | display (1-pass, fastest)
+                    Field("precision", "str", ""))
 
     def validate(self) -> None:
         spec = self.input_specs["buffer"]
@@ -272,6 +278,14 @@ class SpectrumFusedModule(Module):
         # shapes ct cannot take).
         ct_ok = n % 128 == 0 and n // 128 <= 32
         self._use_ct = algo == "ct" or (algo == "auto" and ct_ok)
+        prec = str(self.config["precision"])
+        if prec not in ("", "exact", "accurate", "display"):
+            raise ValidationError(
+                "precision must be exact/accurate/display "
+                f"(got {prec!r})")
+        self._ct_stage2 = {"": "", "exact": "highest",
+                           "accurate": "x4",
+                           "display": "default"}[prec]
         self._ct_exact = not bool(self.config["bf16"])
         if algo == "ct" and not ct_ok:
             raise ValidationError(
@@ -293,7 +307,8 @@ class SpectrumFusedModule(Module):
             iq = _split_complex(iq)
         if self._use_ct:
             out = self._pipe.step_pallas_ct(iq, interpret=_interpret(self),
-                                            exact=self._ct_exact)
+                                            exact=self._ct_exact,
+                                            stage2=self._ct_stage2)
         else:
             out = self._pipe.step_pallas(
                 iq, bf16=bool(self.config["bf16"]),

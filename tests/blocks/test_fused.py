@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from cyberether_tpu import Flowgraph
 from cyberether_tpu.core.registry import registry
+from cyberether_tpu.core.tensor import SignalAxes
 
 
 def test_fused_providers_registered():
@@ -158,3 +159,40 @@ def test_channelizer_block_complex_input():
         np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
     finally:
         fg.stop()
+
+
+def test_spectrum_precision_tiers():
+    """The ct path's three measured precision tiers are reachable from
+    block config: exact/accurate/display all run; exact == the default
+    non-bf16 output; accurate sits between exact and display."""
+    import numpy as np
+
+    from cyberether_tpu.testing import TestContext
+
+    rng = np.random.default_rng(0)
+    iq = rng.standard_normal((16, 1024, 2)).astype(np.float32)
+    outs = {}
+    for prec in ("exact", "accurate", "display"):
+        ctx = TestContext("spectrum", {"precision": prec},
+                          provider="pallas")
+        ctx.set_input("buffer", iq,
+                      axes=SignalAxes(batch=0, sample=1))
+        ctx.run()
+        outs[prec] = np.asarray(ctx.output("spectrum"))
+    ctx = TestContext("spectrum", {}, provider="pallas")
+    ctx.set_input("buffer", iq, axes=SignalAxes(batch=0, sample=1))
+    ctx.run()
+    default = np.asarray(ctx.output("spectrum"))
+    np.testing.assert_allclose(outs["exact"], default, atol=1e-6)
+    # interpret-mode matmuls are true f32, so tiers only differ by the
+    # split arithmetic — accurate must stay near exact
+    assert np.abs(outs["accurate"] - outs["exact"]).max() < 1e-3
+    import pytest
+
+    from cyberether_tpu.core.types import ValidationError
+
+    ctx = TestContext("spectrum", {"precision": "wrong"},
+                      provider="pallas")
+    ctx.set_input("buffer", iq, axes=SignalAxes(batch=0, sample=1))
+    with pytest.raises(ValidationError, match="precision"):
+        ctx.run()

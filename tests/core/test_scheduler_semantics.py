@@ -267,3 +267,39 @@ def test_profile_attribution_sums_to_segment_totals():
         assert set(raw) == set(prof)
     finally:
         fg.stop()
+
+
+def test_long_run_no_structural_growth():
+    """Soak: hundreds of cycles plus live view twiddling must not grow
+    the scheduler's retained structures (leak-class regression —
+    _latest/_valid/_metrics/h2d cache are keyed by port, not cycle)."""
+    from cyberether_tpu.core.flowgraph import Flowgraph
+
+    fg = Flowgraph()
+    fg.block_create("sg", "signal_generator", {
+        "signalType": "cosine", "signalDataType": "CF32",
+        "sampleRate": 1e6, "frequency": 1e5, "bufferSize": 1024})
+    fg.block_create("spec", "spectrum_engine", {"enableScale": True},
+                    {"buffer": "${graph.sg.output.signal}"})
+    fg.block_create("wf", "waterfall", {"height": 64},
+                    {"signal": "${graph.spec.output.buffer}"})
+    try:
+        for _ in range(10):
+            assert fg.compute(timeout=30.0)
+        fg.present()
+        sched = fg.scheduler
+        sizes = (len(sched._latest), len(sched._valid),
+                 len(sched._metrics), len(sched._h2d_cache),
+                 len(sched._flag_cache), len(sched._state))
+        for i in range(300):
+            assert fg.compute(timeout=30.0)
+            if i % 50 == 0:
+                fg.present()
+                fg.block_set_view("wf", {"zoom": 1.0 + (i % 3)})
+        fg.present()
+        after = (len(sched._latest), len(sched._valid),
+                 len(sched._metrics), len(sched._h2d_cache),
+                 len(sched._flag_cache), len(sched._state))
+        assert after == sizes, (sizes, after)
+    finally:
+        fg.stop()
