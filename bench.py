@@ -376,11 +376,17 @@ def bench_wbfm() -> float:
 
     best = 0.0
     n = 8_192_000
-    for impl in ("pallas", "fft"):
+    for impl in ("pallas", "pallas-coherent", "fft"):
         try:
             rx = WbfmReceiver(fir_impl="fft", fast_atan2=True)
             iq = jax.device_put(rx.make_input(n))
-            stepfn = rx.step_pallas if impl == "pallas" else rx.step
+            if impl == "pallas-coherent":
+                stepfn = (lambda st, x:
+                          rx.step_pallas(st, x,
+                                         demod_mode="coherent"))
+            else:
+                stepfn = (rx.step_pallas if impl == "pallas"
+                          else rx.step)
 
             def mk(k, stepfn=stepfn):
                 @jax.jit
@@ -399,7 +405,7 @@ def bench_wbfm() -> float:
             extra = dict(
                 bytes_step=n * 4 * 5,       # xp+xc planes + demod out
                 mxu_flops=(n // 128) * 4 * 2 * 128 * 128,
-            ) if impl == "pallas" else {}
+            ) if impl.startswith("pallas") else {}
             rate = record(f"wbfm[{impl}]", n, per,
                           compile_s=compile_s, **extra)
             best = max(best, rate)

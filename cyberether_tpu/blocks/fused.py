@@ -177,7 +177,8 @@ class WbfmFusedModule(Module):
                     Field("channelBandwidth", "float", 200e3),
                     Field("audioDecim", "int", 40),
                     Field("taps", "int", 129),
-                    Field("deviation", "float", 75e3))
+                    Field("deviation", "float", 75e3),
+                    Field("demodMode", "str", "classic"))
 
     def validate(self) -> None:
         spec = self.input_specs["buffer"]
@@ -198,6 +199,11 @@ class WbfmFusedModule(Module):
                 f"wbfm length ({n}) must divide 128 and audioDecim")
         if not (1 < int(self.config["taps"]) <= 129):
             raise ValidationError("taps must be in (1, 129]")
+        if str(self.config["demodMode"]) not in ("classic",
+                                                 "coherent"):
+            raise ValidationError(
+                "demodMode must be 'classic' or 'coherent' "
+                f"(got {self.config['demodMode']!r})")
         from cyberether_tpu.models.wbfm import WbfmReceiver
 
         self._rx = WbfmReceiver(
@@ -224,7 +230,8 @@ class WbfmFusedModule(Module):
         if self._complex_in:
             iq = _split_complex(iq)
         audio, new_state = self._rx.step_pallas(
-            state, iq, interpret=_interpret(self))
+            state, iq, interpret=_interpret(self),
+            demod_mode=str(self.config["demodMode"]))
         return {"audio": audio}, new_state
 
 

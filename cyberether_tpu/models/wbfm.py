@@ -85,7 +85,8 @@ class WbfmReceiver:
         return audio, new_state
 
     def step_pallas(self, state, iq: jnp.ndarray,
-                    interpret: bool = False, version: str = "v2"):
+                    interpret: bool = False, version: str = "v2",
+                    demod_mode: str = "classic"):
         """Fused Pallas path: channel FIR + discriminator in one VMEM
         pass (banded MXU matmuls — see ops/pallas_kernels
         wbfm_fused_v2); audio decimation stays in XLA.  Same
@@ -102,8 +103,19 @@ class WbfmReceiver:
             from cyberether_tpu.ops.pallas_kernels import \
                 wbfm_fused_v2
 
-            demod = wbfm_fused_v2(iq, self._taps, state["fir_hist"],
-                                  self._ref, interpret=interpret)
+            if demod_mode == "coherent":
+                # opt-in: complex lag products averaged over the
+                # decimation window in-kernel, one angle per audio
+                # sample (see the channelizer's coherent mode)
+                audio = wbfm_fused_v2(
+                    iq, self._taps, state["fir_hist"], self._ref,
+                    interpret=interpret,
+                    coherent_decim=self.audio_decim)
+                demod = None
+            else:
+                demod = wbfm_fused_v2(iq, self._taps,
+                                      state["fir_hist"], self._ref,
+                                      interpret=interpret)
             x = None
         else:
             from cyberether_tpu.ops.pallas_kernels import wbfm_fused
@@ -111,8 +123,9 @@ class WbfmReceiver:
             x = iq.T                                # (2, n)
             demod = wbfm_fused(x, self._taps, state["fir_hist"],
                                self._ref, interpret=interpret)
-        audio = demod.reshape(n // self.audio_decim,
-                              self.audio_decim).mean(-1)
+        if demod is not None:
+            audio = demod.reshape(n // self.audio_decim,
+                                  self.audio_decim).mean(-1)
         new_hist = (iq[n - K:, :].T if x is None else x[:, n - K:]) \
             if K else state["fir_hist"]
         # last filtered sample (the lag-1 carry other impls thread)
@@ -128,7 +141,8 @@ class WbfmReceiver:
 
     def jitted_step_pallas(self):
         return jax.jit(self.step_pallas, donate_argnums=(0,),
-                       static_argnames=("interpret",))
+                       static_argnames=("interpret", "version",
+                                        "demod_mode"))
 
     def make_input(self, n: int, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)

@@ -1803,11 +1803,21 @@ def _wbfm_bands_v2(hkey: bytes):
 
 
 def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
-                    m2_ref, out_ref, win, *, tile_r: int,
-                    ref_gain: float, fast3: bool):
+                    m2_ref, *rest, tile_r: int,
+                    ref_gain: float, fast3: bool, crows: int = 0):
     """One grid step, v2 layout: ``tile_r`` interleaved rows of 128
     complex samples.  FIR + de-interleave as two banded MXU matmuls,
-    then the roll-based lag-1 discriminator of the v1 kernel."""
+    then the roll-based lag-1 discriminator of the v1 kernel.
+
+    ``crows`` (opt-in coherent discriminator): group-average the
+    complex lag products over the audio-decimation window BEFORE the
+    angle — the flat-order D-sample groups tile as ``crows`` rows per
+    chunk (lcm(D, 128)/128), summed by per-row selector matmuls
+    against a lane-padded S table; one atan per audio sample."""
+    if crows:
+        sel_ref, out_ref, win = rest
+    else:
+        out_ref, win = rest
     win[0:1, :] = halo_ref[0]
     win[1:tile_r + 1, :] = body_ref[:, :]
     yall = (jnp.dot(win[0:tile_r, :], m1_ref[:, :],
@@ -1831,6 +1841,22 @@ def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
     pi_ = delayed(yi, hi_ref[0, t])
     dr = pr * yr + pi_ * yi
     di = pr * yi - pi_ * yr
+    if crows:
+        nch = tile_r // crows
+        d3r = dr.reshape(nch, crows, 128)
+        d3i = di.reshape(nch, crows, 128)
+        ar = ai = None
+        for r in range(crows):
+            s_r = sel_ref[r * 128:(r + 1) * 128, :]
+            tr_ = jnp.dot(d3r[:, r, :], s_r,
+                          preferred_element_type=jnp.float32)
+            ti_ = jnp.dot(d3i[:, r, :], s_r,
+                          preferred_element_type=jnp.float32)
+            ar = tr_ if ar is None else ar + tr_
+            ai = ti_ if ai is None else ai + ti_
+        out_ref[:, :] = _atan2(ai, ar, recip=True, newton=not fast3,
+                               poly3=fast3) * jnp.float32(ref_gain)
+        return
     out_ref[:, :] = _atan2(di, dr, recip=True, newton=not fast3,
                            poly3=fast3) * jnp.float32(ref_gain)
 
@@ -1838,7 +1864,8 @@ def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
 def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
                   hist: jnp.ndarray, ref_gain: float,
                   tile_r: int = 512, interpret: bool = False,
-                  fast3: bool = True) -> jnp.ndarray:
+                  fast3: bool = True,
+                  coherent_decim: int = 0) -> jnp.ndarray:
     """Round-4 WBFM front end: NO prep passes.
 
     The v1 kernel streamed TWO row-planes per component (xp = the
@@ -1865,6 +1892,20 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
     h = np.asarray(taps, np.float32)
     M1, M2 = _wbfm_bands_v2(h.tobytes())
 
+    crows = 0
+    gper = 0
+    if coherent_decim:
+        D = int(coherent_decim)
+        import math as _math
+
+        crows = _math.lcm(D, 128) // 128    # rows per group-chunk
+        gper = crows * 128 // D             # audio samples per chunk
+        assert gper <= 128, (D, gper)
+        # tile must hold whole group-chunks AND keep both the input
+        # block (tile_r rows) and the output block (tile_r/crows
+        # rows) sublane-aligned: tile_r % (8 * crows) == 0
+        L = 8 * crows
+        tile_r = max(L, (tile_r // L) * L)
     tile_r = max(1, min(tile_r, nf))
     pad = (-nf) % tile_r
     nfp = nf + pad
@@ -1905,32 +1946,59 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
     hr = hy[:, 127].reshape(1, ntiles)
     hi_ = hy[:, 255].reshape(1, ntiles)
 
+    in_specs = [
+        pl.BlockSpec((tile_r, 256), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ntiles), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ntiles), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((256, 256), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((256, 256), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [iq2, halos, hr, hi_, m1j, m2j]
+    if crows:
+        # lane-padded selector table S (crows*128, 128): column g of
+        # row-block r sums the samples of flat-order group g that land
+        # in chunk-row r; lanes >= gper are zero (atan2(0,0) = 0)
+        D = int(coherent_decim)
+        S = np.zeros((crows * 128, 128), np.float32)
+        for r in range(crows):
+            for lane in range(128):
+                g = (r * 128 + lane) // D
+                S[r * 128 + lane, g] = 1.0 / D
+        in_specs.append(pl.BlockSpec((crows * 128, 128),
+                                     lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(S))
+        out_rows = tile_r // crows
+        out_shape = jax.ShapeDtypeStruct((nfp // crows, 128),
+                                         jnp.float32)
+    else:
+        out_rows = tile_r
+        out_shape = jax.ShapeDtypeStruct((nfp, 128), jnp.float32)
+
     out = pl.pallas_call(
         functools.partial(_wbfm_kernel_v2, tile_r=tile_r,
-                          ref_gain=float(ref_gain), fast3=fast3),
+                          ref_gain=float(ref_gain), fast3=fast3,
+                          crows=crows),
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((tile_r, 256), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ntiles), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ntiles), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((256, 256), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 256), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_rows, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nfp, 128), jnp.float32),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tile_r + 1, 256), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(iq2, halos, hr, hi_, m1j, m2j)
+    )(*args)
+    if crows:
+        # (nfp/crows, 128) rows of gper valid lanes -> flat audio
+        return out[:, :gper].reshape(-1)[:n // int(coherent_decim)]
     return out.reshape(nfp * 128)[:n]
 
 

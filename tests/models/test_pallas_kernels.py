@@ -465,3 +465,34 @@ def test_coherent_demod_under_mesh():
     got, _ = jax.jit(fn)(model.init_state_v4(), jnp.asarray(iq))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_wbfm_coherent_demod():
+    """wbfm opt-in coherent discriminator (D=40 flat-order groups via
+    the lane-padded selector table): agrees statistically with the
+    classic path on smooth FM, streams state identically, and the
+    block config reaches it."""
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+
+    rx = WbfmReceiver()
+    n = 128 * 200 * 5        # multiple coherent chunks + padding mix
+    iq = jnp.asarray(rx.make_input(n, seed=3))
+    a_cl, st_cl = rx.step_pallas(rx.init_state(), iq, interpret=True)
+    a_co, st_co = rx.step_pallas(rx.init_state(), iq, interpret=True,
+                                 demod_mode="coherent")
+    assert a_co.shape == a_cl.shape == (n // 40,)
+    d = np.abs(np.asarray(a_co) - np.asarray(a_cl))
+    assert float(np.mean(d)) < 0.01
+    assert float(np.quantile(d, 0.99)) < 0.05
+    for k in st_cl:
+        np.testing.assert_array_equal(np.asarray(st_co[k]),
+                                      np.asarray(st_cl[k]))
+    # streaming continuity in coherent mode
+    half = n // 2
+    a1, st1 = rx.step_pallas(rx.init_state(), iq[:half],
+                             interpret=True, demod_mode="coherent")
+    a2, _ = rx.step_pallas(st1, iq[half:], interpret=True,
+                           demod_mode="coherent")
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a1), np.asarray(a2)]),
+        np.asarray(a_co), atol=1e-5)
