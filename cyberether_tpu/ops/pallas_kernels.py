@@ -1588,7 +1588,7 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
 
 
 def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
-                       scale: float, offset: float, tile_b: int = 128,
+                       scale: float, offset: float, tile_b: int = 0,
                        interpret: bool = False,
                        stage2: str = "highest") -> jnp.ndarray:
     """Fused CT spectrum with FFT-structured stage 1: (B, n, 2) f32 ->
@@ -1600,6 +1600,11 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     m = n // 128
     assert m & (m - 1) == 0 and m <= 32, \
         f"ct5 needs a power-of-two chunk count <= 32 (got {m})"
+    if not tile_b:
+        # measured (r4j): the 1-pass display tier gains from the
+        # bigger batch tile; the multi-pass tiers' extra stage-2
+        # operands put tile 256 over the scoped-vmem limit
+        tile_b = 256 if stage2 == "default" else 128
     tile_b = min(tile_b, B)
     while tile_b > 8 and B % tile_b:
         tile_b //= 2
