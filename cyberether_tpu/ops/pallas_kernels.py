@@ -300,11 +300,12 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
             terms = nxt
         return terms[0]
 
-    # int8 ingest (SDR CS8): the conversion rides the win-copy pass —
-    # the kernel streams a QUARTER of the f32 HBM traffic, and the FM
-    # discriminator is scale-invariant (atan2 of a ratio), so the raw
-    # +-127 integer scale needs no compensation anywhere
-    i8 = body_ref.dtype == jnp.int8
+    # fixed-point ingest (SDR CS8/CS16): the conversion rides the
+    # win-copy pass — the kernel streams a quarter/half of the f32
+    # HBM traffic, and the FM discriminator is scale-invariant (atan2
+    # of a ratio), so the raw integer scale needs no compensation
+    # anywhere
+    i8 = body_ref.dtype in (jnp.int8, jnp.int16)
 
     def _cvt(v):
         return v.astype(jnp.float32) if i8 else v
@@ -618,9 +619,11 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                                      lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.asarray(sel))
-    # int8 ingest always takes the win-copy path (the conversion rides
-    # the copy), so fir="direct" must not shrink the scratch for it
-    direct = fir == "direct" and x2.dtype != jnp.int8
+    # fixed-point ingest always takes the win-copy path (the
+    # conversion rides the copy), so fir="direct" must not shrink the
+    # scratch for it
+    direct = fir == "direct" and x2.dtype not in (jnp.int8,
+                                                  jnp.int16)
     scratch = [pltpu.VMEM((2 * P if direct
                            else tile_m + P, twoC), jnp.float32)]
     if "yall" in stages:      # legacy A/B path only

@@ -496,3 +496,21 @@ def test_wbfm_coherent_demod():
     np.testing.assert_allclose(
         np.concatenate([np.asarray(a1), np.asarray(a2)]),
         np.asarray(a_co), atol=1e-5)
+
+
+def test_channelizer_int16_ingest_matches_f32():
+    """CS16 ingest: same contract as CS8 — bit-identical to the f32
+    path on dequantized data."""
+    model = Channelizer(channels=8, taps_per_branch=4, audio_decim=4,
+                        sample_rate=8e5)
+    iq = model.make_input_full(512)
+    q = np.clip(np.round(iq * 32767.0), -32767,
+                32767).astype(np.int16)
+    a_f32, _ = model.step_pallas_v4(
+        model.init_state_v4(), jnp.asarray(q.astype(np.float32)),
+        interpret=True)
+    a_i16, _ = model.step_pallas_v4(
+        model.init_state_v4(jnp.int16), jnp.asarray(q),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_i16),
+                                  np.asarray(a_f32))
