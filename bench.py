@@ -402,10 +402,24 @@ def bench_wbfm() -> float:
                 return lambda: f(iq)
 
             per, compile_s = scan_steady(mk)
-            extra = dict(
-                bytes_step=n * 4 * 5,       # xp+xc planes + demod out
-                mxu_flops=(n // 128) * 4 * 2 * 128 * 128,
-            ) if impl.startswith("pallas") else {}
+            if impl == "pallas":
+                extra = dict(
+                    bytes_step=n * 4 * 5,   # xp+xc planes + demod out
+                    mxu_flops=(n // 128) * 4 * 2 * 128 * 128)
+            elif impl == "pallas-coherent":
+                D = rx.audio_decim
+                import math as _math
+                crows = _math.lcm(D, 128) // 128
+                extra = dict(
+                    # in planes + 1/D-rate audio out
+                    bytes_step=(n * 2 + n // D) * 4,
+                    # band matmuls + crows selector matmuls (HIGHEST
+                    # ~ 6 passes) per plane
+                    mxu_flops=(n // 128) * 2 * 2 * 128 * 256
+                    + 2 * 6 * crows * (n // 128 // crows) * 2
+                    * 128 * 128)
+            else:
+                extra = {}
             rate = record(f"wbfm[{impl}]", n, per,
                           compile_s=compile_s, **extra)
             best = max(best, rate)

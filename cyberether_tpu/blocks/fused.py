@@ -293,6 +293,11 @@ class SpectrumFusedModule(Module):
         self._ct_stage2 = {"": "", "exact": "highest",
                            "accurate": "x4",
                            "display": "default"}[prec]
+        if prec and not self._use_ct:
+            raise ValidationError(
+                "precision tiers are a property of the ct path; "
+                f"algorithm={algo!r} with this fft size does not "
+                "take it (precision rides the bf16 knob there)")
         self._ct_exact = not bool(self.config["bf16"])
         if algo == "ct" and not ct_ok:
             raise ValidationError(

@@ -99,6 +99,9 @@ class WbfmReceiver:
         A/B."""
         n = iq.shape[0]
         K = self.taps - 1
+        if demod_mode == "coherent" and version != "v2":
+            raise ValueError(
+                "demod_mode='coherent' requires the v2 kernel")
         if version == "v2":
             from cyberether_tpu.ops.pallas_kernels import \
                 wbfm_fused_v2

@@ -367,10 +367,13 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         # bookkeeping.  Opt-in: it is NOT bit-comparable to the
         # reference's per-sample discriminator (second-order in the
         # within-window phase spread).
-        drm = jnp.dot(sel_ref[:, :], dr,
-                      preferred_element_type=jnp.float32)
+        hiP = jax.lax.Precision.HIGHEST   # near-free on this small
+        drm = jnp.dot(sel_ref[:, :], dr,  # matmul; default would
+                      preferred_element_type=jnp.float32,  # round the
+                      precision=hiP)      # products to bf16 operands
         dim = jnp.dot(sel_ref[:, :], di,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=hiP)
         out_ref[:, :] = _atan2(dim, drm, recip=True, newton=newt,
                                poly3=p3) * jnp.float32(ref_gain)
         return
@@ -1854,12 +1857,15 @@ def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
         d3r = dr.reshape(nch, crows, 128)
         d3i = di.reshape(nch, crows, 128)
         ar = ai = None
+        hiP = jax.lax.Precision.HIGHEST   # see channelizer coherent
         for r in range(crows):
             s_r = sel_ref[r * 128:(r + 1) * 128, :]
             tr_ = jnp.dot(d3r[:, r, :], s_r,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=hiP)
             ti_ = jnp.dot(d3i[:, r, :], s_r,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=hiP)
             ar = tr_ if ar is None else ar + tr_
             ai = ti_ if ai is None else ai + ti_
         out_ref[:, :] = _atan2(ai, ar, recip=True, newton=not fast3,
@@ -1889,7 +1895,10 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
     iq:   (n, 2) float32 raw interleaved IQ, n % 128 == 0
     taps: (T,) float32 real channel filter, T <= 129
     hist: (2, T-1) float32 trailing samples of the previous block
-    Returns demod (n,) float32 (caller decimates + carries history).
+    Returns demod (n,) float32 (caller decimates + carries history) —
+    EXCEPT with ``coherent_decim=D``, which averages the complex lag
+    products over D-sample windows in-kernel and returns
+    already-decimated audio of shape (n // D,).
     """
     T = int(taps.shape[-1])
     K = T - 1
@@ -1907,6 +1916,12 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
         import math as _math
 
         crows = _math.lcm(D, 128) // 128    # rows per group-chunk
+        if crows > 16:
+            raise ValueError(
+                f"coherent_decim={D} needs a {crows * 128}-row "
+                "selector table (lcm(D,128)/128 > 16) — over the "
+                "scoped-vmem budget; use a D sharing more factors "
+                "with 128 or the classic mode")
         gper = crows * 128 // D             # audio samples per chunk
         assert gper <= 128, (D, gper)
         # tile must hold whole group-chunks AND keep both the input

@@ -514,3 +514,33 @@ def test_channelizer_int16_ingest_matches_f32():
         interpret=True)
     np.testing.assert_array_equal(np.asarray(a_i16),
                                   np.asarray(a_f32))
+
+
+def test_coherent_guards_wbfm_and_spectrum_precision():
+    """Review findings: v1+coherent raises; oversized coherent_decim
+    raises; spectrum precision on a non-ct path raises."""
+    from cyberether_tpu.models.wbfm import WbfmReceiver
+    from cyberether_tpu.ops.pallas_kernels import wbfm_fused_v2
+
+    rx = WbfmReceiver()
+    iq = jnp.asarray(rx.make_input(128 * 40))
+    with pytest.raises(ValueError, match="coherent"):
+        rx.step_pallas(rx.init_state(), iq, interpret=True,
+                       version="v1", demod_mode="coherent")
+    with pytest.raises(ValueError, match="selector table"):
+        wbfm_fused_v2(iq, rx._taps, rx.init_state()["fir_hist"],
+                      1.0, interpret=True, coherent_decim=250)
+
+    from cyberether_tpu.core.types import ValidationError
+    from cyberether_tpu.testing import TestContext
+
+    x = np.random.default_rng(0).standard_normal(
+        (8, 1024, 2)).astype(np.float32)
+    ctx = TestContext("spectrum",
+                      {"algorithm": "dft", "precision": "exact"},
+                      provider="pallas")
+    from cyberether_tpu.core.tensor import SignalAxes
+
+    ctx.set_input("buffer", x, axes=SignalAxes(batch=0, sample=1))
+    with pytest.raises(ValidationError, match="precision"):
+        ctx.run()
