@@ -236,3 +236,106 @@ def test_onnx_same_pad_dilation_and_pool_defaults():
     fn2 = build_fn(parse_model(model(g2)))
     got = np.asarray(fn2({"x": x[:, :, :4, :4]})["out"])
     assert got.shape == (1, 1, 4, 4)           # stride defaults to 1
+
+
+def _torch_export(net, x, monkeypatch, opset=13):
+    """torch.onnx.export to bytes.  The torchscript exporter's last
+    step (splicing custom onnxscript functions) needs the `onnx`
+    package even when there are none to splice — shim it to identity,
+    which is exactly its behavior for plain aten models."""
+    import io
+
+    import torch
+    from torch.onnx._internal.torchscript_exporter import \
+        onnx_proto_utils
+
+    monkeypatch.setattr(onnx_proto_utils, "_add_onnxscript_fn",
+                        lambda model_bytes, custom_opsets: model_bytes)
+    buf = io.BytesIO()
+    torch.onnx.export(net, (x,), buf, input_names=["input"],
+                      output_names=["output"], opset_version=opset,
+                      dynamo=False)
+    return buf.getvalue()
+
+
+def test_torch_exported_convnet(monkeypatch, tmp_path):
+    """A real torch.onnx export (Conv/BN/ReLU/mean/Linear/Softmax)
+    through the onnx_inference MODULE — exercises genuine exporter
+    output (BN folded into Conv, Constant nodes, Gemm transB) rather
+    than hand-built graphs."""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm2d(8)
+            self.c2 = nn.Conv2d(8, 16, 3, padding=1)
+            self.fc = nn.Linear(16, 10)
+
+        def forward(self, x):
+            x = torch.relu(self.bn(self.c1(x)))
+            x = torch.relu(self.c2(x))
+            x = x.mean(dim=(2, 3))
+            return torch.softmax(self.fc(x), dim=-1)
+
+    torch.manual_seed(0)
+    net = Net().eval()
+    x = torch.randn(2, 3, 16, 16)
+    path = tmp_path / "convnet.onnx"
+    path.write_bytes(_torch_export(net, x, monkeypatch))
+
+    ctx = TestContext("onnx_inference", {"modelPath": str(path),
+                                         "provider": "jax"})
+    ctx.set_input("input", np.asarray(x))
+    ctx.run()
+    got = np.asarray(ctx.output("output"))
+    np.testing.assert_allclose(got, net(x).detach().numpy(), atol=1e-5)
+
+
+def test_torch_exported_attention_block(monkeypatch):
+    """A hand-rolled pre-LN multi-head attention block (LayerNorm
+    decomposed at opset 13, GELU via Erf, batched 4D MatMul attention)
+    exported by torch and executed by the pure-JAX route."""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    class Block(nn.Module):
+        def __init__(self, d=32, h=4):
+            super().__init__()
+            self.h, self.dk = h, d // h
+            self.ln1 = nn.LayerNorm(d)
+            self.ln2 = nn.LayerNorm(d)
+            self.q = nn.Linear(d, d)
+            self.k = nn.Linear(d, d)
+            self.v = nn.Linear(d, d)
+            self.o = nn.Linear(d, d)
+            self.ff = nn.Sequential(nn.Linear(d, 64), nn.GELU(),
+                                    nn.Linear(64, d))
+
+        def forward(self, x):
+            b, t, d = x.shape
+            y = self.ln1(x)
+
+            def split(z):
+                return z.view(b, t, self.h, self.dk).transpose(1, 2)
+
+            q, k, v = split(self.q(y)), split(self.k(y)), \
+                split(self.v(y))
+            a = torch.softmax(
+                q @ k.transpose(-1, -2) / self.dk ** 0.5, -1)
+            y = (a @ v).transpose(1, 2).reshape(b, t, d)
+            x = x + self.o(y)
+            return x + self.ff(self.ln2(x))
+
+    torch.manual_seed(0)
+    net = Block().eval()
+    x = torch.randn(2, 10, 32)
+    g = parse_model(_torch_export(net, x, monkeypatch))
+    ops = {n.op_type for n in g.nodes}
+    assert {"MatMul", "Softmax", "Erf", "ReduceMean"} <= ops
+    out = build_fn(g)({"input": np.asarray(x)})
+    np.testing.assert_allclose(np.asarray(out["output"]),
+                               net(x).detach().numpy(), atol=1e-5)
