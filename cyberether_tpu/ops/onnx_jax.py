@@ -20,10 +20,13 @@ Two layers:
   :class:`UnsupportedOnnxOp` at build time (never mid-run).
 
 Supported ops (static shapes, inference mode): Add Sub Mul Div Pow
-Sqrt Exp Log Neg Abs Erf Relu LeakyRelu Sigmoid Tanh Softmax Clip
-MatMul Gemm Conv MaxPool AveragePool GlobalAveragePool
-BatchNormalization Reshape Transpose Flatten Squeeze Unsqueeze Concat
-Slice Gather ReduceMean ReduceSum Identity Constant Cast Shape Dropout.
+Sqrt Exp Log Neg Abs Erf Sin Cos Relu LeakyRelu Gelu Sigmoid Tanh
+Softmax Clip Min Max Equal Greater Less Where MatMul Gemm Conv
+MaxPool AveragePool GlobalAveragePool BatchNormalization
+LayerNormalization Reshape Transpose Flatten Squeeze Unsqueeze Expand
+Split Concat Slice Gather ReduceMean ReduceSum ReduceMax ReduceMin
+ArgMax Trilu Range ConstantOfShape Identity Constant Cast Shape
+Dropout.
 """
 
 from __future__ import annotations
@@ -426,14 +429,32 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
     unops = {"Sqrt": jnp.sqrt, "Exp": jnp.exp, "Log": jnp.log,
              "Neg": jnp.negative, "Abs": jnp.abs,
              "Erf": jax.scipy.special.erf,
+             "Sin": jnp.sin, "Cos": jnp.cos,
              "Relu": lambda x: jnp.maximum(x, 0),
              "Sigmoid": jax.nn.sigmoid, "Tanh": jnp.tanh,
              "Identity": lambda x: x}
+    cmpops = {"Equal": jnp.equal, "Greater": jnp.greater,
+              "Less": jnp.less}
 
     if op in binops:
         set_out(0, binops[op](inp(0), inp(1)))
     elif op in unops:
         set_out(0, unops[op](inp(0)))
+    elif op in cmpops:
+        set_out(0, cmpops[op](inp(0), inp(1)))
+    elif op in ("Min", "Max"):          # variadic in ONNX
+        red = jnp.minimum if op == "Min" else jnp.maximum
+        out = env[node.inputs[0]]
+        for nm in node.inputs[1:]:
+            out = red(out, env[nm])
+        set_out(0, out)
+    elif op == "Where":
+        set_out(0, jnp.where(inp(0), inp(1), inp(2)))
+    elif op == "Gelu":
+        x = inp(0)
+        approx = a.get("approximate", "none")
+        ap = approx.decode() if isinstance(approx, bytes) else approx
+        set_out(0, jax.nn.gelu(x, approximate=(ap == "tanh")))
     elif op == "LeakyRelu":
         alpha = a.get("alpha", 0.01)
         x = inp(0)
@@ -590,7 +611,7 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         x, ind = inp(0), inp(1)
         set_out(0, jnp.take(x, jnp.asarray(ind),
                             axis=a.get("axis", 0)))
-    elif op in ("ReduceMean", "ReduceSum"):
+    elif op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
         x = inp(0)
         axes = a.get("axes")
         if axes is None and len(node.inputs) > 1 and node.inputs[1]:
@@ -598,8 +619,79 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
                                               op)]
         axes = tuple(int(v) for v in axes) if axes else None
         keep = bool(a.get("keepdims", 1))
-        red = jnp.mean if op == "ReduceMean" else jnp.sum
+        red = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+               "ReduceMax": jnp.max, "ReduceMin": jnp.min}[op]
         set_out(0, red(x, axis=axes, keepdims=keep))
+    elif op == "ArgMax":
+        x = inp(0)
+        ax = int(a.get("axis", 0))
+        out = jnp.argmax(x, axis=ax).astype(jnp.int64)
+        if a.get("keepdims", 1):
+            out = jnp.expand_dims(out, ax)
+        set_out(0, out)
+    elif op == "Expand":
+        x = inp(0)
+        shape = [int(d) for d in _const_of(env, node.inputs[1],
+                                           "Expand")]
+        # ONNX Expand is bidirectional numpy broadcasting: a target
+        # dim of 1 keeps the input's extent
+        full = list(jnp.broadcast_shapes(tuple(x.shape),
+                                         tuple(shape)))
+        set_out(0, jnp.broadcast_to(x, full))
+    elif op == "Split":
+        x = inp(0)
+        ax = int(a.get("axis", 0))
+        sizes = a.get("split")
+        if sizes is None and len(node.inputs) > 1 and node.inputs[1]:
+            sizes = [int(d) for d in _const_of(env, node.inputs[1],
+                                               "Split")]
+        if sizes is None:
+            k = len(node.outputs)
+            if x.shape[ax] % k:
+                raise UnsupportedOnnxOp(
+                    f"Split: {x.shape[ax]} not divisible by {k}")
+            sizes = [x.shape[ax] // k] * k
+        off = 0
+        for i, sz in enumerate(sizes):
+            set_out(i, jax.lax.slice_in_dim(x, off, off + int(sz),
+                                            axis=ax))
+            off += int(sz)
+    elif op == "Trilu":
+        x = inp(0)
+        k = int(_const_of(env, node.inputs[1], "Trilu")) \
+            if len(node.inputs) > 1 and node.inputs[1] else 0
+        fn = jnp.triu if a.get("upper", 1) else jnp.tril
+        set_out(0, fn(x, k=k))
+    elif op == "Range":
+        start = _const_of(env, node.inputs[0], "Range")
+        limit = _const_of(env, node.inputs[1], "Range")
+        delta = _const_of(env, node.inputs[2], "Range")
+        set_out(0, np.arange(start.item(), limit.item(),
+                             delta.item(),
+                             dtype=np.result_type(start, limit,
+                                                  delta)))
+    elif op == "ConstantOfShape":
+        shape = [int(d) for d in _const_of(env, node.inputs[0],
+                                           "ConstantOfShape")]
+        val = np.asarray(a.get("value", np.zeros(1, np.float32)))
+        set_out(0, np.full(shape, val.reshape(-1)[0],
+                           dtype=val.dtype))
+    elif op == "LayerNormalization":
+        x, scale = inp(0), inp(1)
+        bias = inp(2)
+        ax = int(a.get("axis", -1))
+        eps = a.get("epsilon", 1e-5)
+        axes = tuple(range(ax % x.ndim, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes,
+                       keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean) * inv * scale
+        if bias is not None:
+            y = y + bias
+        set_out(0, y)
+        set_out(1, mean)
+        set_out(2, inv)
     elif op == "Constant":
         for key in ("value", "value_float", "value_int",
                     "value_floats", "value_ints"):
@@ -632,12 +724,18 @@ def build_fn(graph: OnnxGraph
     """
     known = {
         "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Exp", "Log",
-        "Neg", "Abs", "Erf", "Relu", "LeakyRelu", "Sigmoid", "Tanh",
-        "Identity", "Clip", "Softmax", "MatMul", "Gemm", "Conv",
+        "Neg", "Abs", "Erf", "Sin", "Cos", "Relu", "LeakyRelu",
+        "Gelu", "Sigmoid", "Tanh", "Identity", "Clip", "Softmax",
+        "Min", "Max", "Equal", "Greater", "Less", "Where",
+        "MatMul", "Gemm", "Conv",
         "MaxPool", "AveragePool", "GlobalAveragePool",
-        "BatchNormalization", "Reshape", "Transpose", "Flatten",
-        "Squeeze", "Unsqueeze", "Concat", "Slice", "Gather",
-        "ReduceMean", "ReduceSum", "Constant", "Cast", "Shape",
+        "BatchNormalization", "LayerNormalization",
+        "Reshape", "Transpose", "Flatten",
+        "Squeeze", "Unsqueeze", "Expand", "Split", "Concat",
+        "Slice", "Gather",
+        "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
+        "ArgMax", "Trilu", "Range", "ConstantOfShape",
+        "Constant", "Cast", "Shape",
         "Dropout",
     }
     bad = sorted({n.op_type for n in graph.nodes} - known)

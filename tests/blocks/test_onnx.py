@@ -339,3 +339,109 @@ def test_torch_exported_attention_block(monkeypatch):
     out = build_fn(g)({"input": np.asarray(x)})
     np.testing.assert_allclose(np.asarray(out["output"]),
                                net(x).detach().numpy(), atol=1e-5)
+
+
+def test_onnx_jax_extended_op_subset():
+    """Round-4 op additions: comparisons/Where, variadic Min/Max,
+    Expand, Trilu, Range, ConstantOfShape, ArgMax, ReduceMax/Min,
+    Gelu/Sin/Cos — each against a numpy golden."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    y = rng.standard_normal((3, 4)).astype(np.float32)
+
+    g = graph(
+        [node("Greater", ["x", "y"], ["gt"]),
+         node("Where", ["gt", "x", "y"], ["mx"]),
+         node("Max", ["x", "y"], ["mx2"]),
+         node("Min", ["x", "y", "x"], ["mn"]),
+         node("Equal", ["mx", "mx2"], ["eq"]),
+         node("Trilu", ["x"], ["tu"], {"upper": 1}),
+         node("ReduceMax", ["x"], ["rmax"], {"keepdims": 0}),
+         node("ReduceMin", ["x"], ["rmin"], {"keepdims": 0}),
+         node("ArgMax", ["x"], ["am"], {"axis": 1, "keepdims": 0}),
+         node("Sin", ["x"], ["sn"]),
+         node("Cos", ["x"], ["cs"]),
+         node("Gelu", ["x"], ["gl"]),
+         node("Expand", ["x", "eshape"], ["ex"]),
+         node("Range", ["r0", "r1", "r2"], ["rg"]),
+         node("ConstantOfShape", ["cshape"], ["cz"],
+              {"value": np.asarray([2.5], np.float32)})],
+        "ext",
+        inputs=[value_info("x", 1, [3, 4]),
+                value_info("y", 1, [3, 4])],
+        outputs=[value_info(n, 1, []) for n in
+                 ("mx", "mx2", "mn", "eq", "tu", "rmax", "rmin",
+                  "am", "sn", "cs", "gl", "ex", "rg", "cz")],
+        initializers=[
+            tensor_proto("eshape", np.asarray([2, 3, 4], np.int64)),
+            tensor_proto("r0", np.asarray(0, np.int64)),
+            tensor_proto("r1", np.asarray(8, np.int64)),
+            tensor_proto("r2", np.asarray(2, np.int64)),
+            tensor_proto("cshape", np.asarray([2, 2], np.int64))])
+    out = build_fn(parse_model(model(g)))({"x": x, "y": y})
+
+    np.testing.assert_allclose(out["mx"], np.maximum(x, y))
+    np.testing.assert_allclose(out["mx2"], np.maximum(x, y))
+    np.testing.assert_allclose(out["mn"], np.minimum(x, y))
+    assert np.asarray(out["eq"]).all()
+    np.testing.assert_allclose(out["tu"], np.triu(x))
+    np.testing.assert_allclose(out["rmax"], x.max(), rtol=1e-6)
+    np.testing.assert_allclose(out["rmin"], x.min(), rtol=1e-6)
+    np.testing.assert_array_equal(out["am"], x.argmax(1))
+    np.testing.assert_allclose(out["sn"], np.sin(x), atol=1e-6)
+    np.testing.assert_allclose(out["cs"], np.cos(x), atol=1e-6)
+    from scipy.stats import norm
+
+    np.testing.assert_allclose(out["gl"], x * norm.cdf(x), atol=1e-5)
+    assert np.asarray(out["ex"]).shape == (2, 3, 4)
+    np.testing.assert_array_equal(out["rg"], np.arange(0, 8, 2))
+    np.testing.assert_allclose(out["cz"],
+                               np.full((2, 2), 2.5, np.float32))
+
+
+def test_torch_exported_causal_block_both_opsets(monkeypatch):
+    """A causal-masked attention block (tril buffer + masked_fill)
+    exports with Where/Split at opset 13 and additionally native
+    LayerNormalization at opset 17 — both execute exactly."""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    class CausalBlock(nn.Module):
+        def __init__(self, d=32, h=4, t=10):
+            super().__init__()
+            self.h, self.dk = h, d // h
+            self.ln = nn.LayerNorm(d)
+            self.qkv = nn.Linear(d, 3 * d)
+            self.o = nn.Linear(d, d)
+            self.register_buffer(
+                "mask", torch.tril(torch.ones(t, t)).bool())
+
+        def forward(self, x):
+            b, t, d = x.shape
+            q, k, v = self.qkv(self.ln(x)).split(d, dim=-1)
+
+            def sp(z):
+                return z.view(b, t, self.h, self.dk).transpose(1, 2)
+
+            q, k, v = sp(q), sp(k), sp(v)
+            s = q @ k.transpose(-1, -2) / self.dk ** 0.5
+            s = s.masked_fill(~self.mask[:t, :t], float("-inf"))
+            y = (torch.softmax(s, -1) @ v).transpose(1, 2) \
+                .reshape(b, t, d)
+            return x + self.o(torch.nn.functional.gelu(y))
+
+    torch.manual_seed(1)
+    net = CausalBlock().eval()
+    x = torch.randn(2, 10, 32)
+    want = net(x).detach().numpy()
+    for opset, op_probe in ((13, "Where"), (17,
+                                            "LayerNormalization")):
+        g = parse_model(_torch_export(net, x, monkeypatch,
+                                      opset=opset))
+        assert op_probe in {n.op_type for n in g.nodes}
+        out = build_fn(g)({"input": np.asarray(x)})
+        np.testing.assert_allclose(np.asarray(out["output"]), want,
+                                   atol=1e-5)
