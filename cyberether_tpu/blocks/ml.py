@@ -46,7 +46,9 @@ class InferenceModule(Module):
         Field("modelPath", "str", ""),
         Field("inputNames", "list[str]", ["input"]),
         Field("outputNames", "list[str]", ["output"]),
-        Field("provider", "str", "auto"))   # auto | jax | ort
+        Field("provider", "str", "auto"),   # auto | jax | ort
+        # exact-f32 MatMul/Gemm/Conv (TPU default is bf16-class)
+        Field("highPrecision", "bool", False))
 
     def define(self) -> None:
         self.input_ports = tuple(self.config["inputNames"])
@@ -99,7 +101,8 @@ class InferenceModule(Module):
         from cyberether_tpu.ops.onnx_jax import build_fn, load_model
 
         graph = load_model(path)
-        fn = build_fn(graph)
+        fn = build_fn(graph, precision="highest"
+                      if self.config["highPrecision"] else None)
         missing = [n for n in self.config["inputNames"]
                    if n not in graph.input_names]
         if missing and graph.input_names:

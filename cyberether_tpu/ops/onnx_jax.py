@@ -410,7 +410,8 @@ def _const_of(env: Dict[str, Any], name: str, what: str) -> np.ndarray:
         f"do not map to XLA static shapes)")
 
 
-def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
+def _apply_node(node: OnnxNode, env: Dict[str, Any],
+                precision=None) -> None:
     op = node.op_type
     a = node.attrs
 
@@ -473,7 +474,8 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         set_out(0, jax.nn.softmax(inp(0), axis=axis))
     elif op == "MatMul":
         set_out(0, jnp.matmul(inp(0), inp(1),
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32,
+                              precision=precision))
     elif op == "Gemm":
         x, w = inp(0), inp(1)
         if a.get("transA", 0):
@@ -481,7 +483,8 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         if a.get("transB", 0):
             w = w.T
         y = a.get("alpha", 1.0) * jnp.matmul(
-            x, w, preferred_element_type=jnp.float32)
+            x, w, preferred_element_type=jnp.float32,
+            precision=precision)
         c = inp(2)
         if c is not None:
             y = y + a.get("beta", 1.0) * c
@@ -503,7 +506,8 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
             dimension_numbers=(dims, dims.replace("N", "O")
                                .replace("C", "I", 1), dims),
             feature_group_count=groups,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=precision)
         b = inp(2)
         if b is not None:
             y = y + jnp.reshape(b, (1, -1) + (1,) * spatial)
@@ -715,13 +719,21 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any]) -> None:
         raise UnsupportedOnnxOp(op)
 
 
-def build_fn(graph: OnnxGraph
+def build_fn(graph: OnnxGraph, precision: Optional[str] = None
              ) -> Callable[[Dict[str, Any]], Dict[str, Any]]:
     """OnnxGraph -> pure jittable fn(inputs dict) -> outputs dict.
 
     Validation pass: every node's op must be in the subset, checked
     here (not mid-run) by a dry scan of op types.
+
+    ``precision`` ("highest" | "high" | None) applies to every
+    MatMul/Gemm/Conv: the TPU default is bf16-class even for f32
+    inputs (CLAUDE.md), ~3e-3 off a CPU run through an attention
+    block; "highest" restores exact f32 at ~6x MXU passes.
     """
+    prec = ({"highest": jax.lax.Precision.HIGHEST,
+             "high": jax.lax.Precision.HIGH}[precision.lower()]
+            if isinstance(precision, str) else precision)
     known = {
         "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Exp", "Log",
         "Neg", "Abs", "Erf", "Sin", "Cos", "Relu", "LeakyRelu",
@@ -750,7 +762,7 @@ def build_fn(graph: OnnxGraph
         env: Dict[str, Any] = dict(inits)
         env.update(inputs)
         for node in graph.nodes:
-            _apply_node(node, env)
+            _apply_node(node, env, precision=prec)
         return {n: env[n] for n in out_names}
 
     return fn

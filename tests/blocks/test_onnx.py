@@ -445,3 +445,33 @@ def test_torch_exported_causal_block_both_opsets(monkeypatch):
         out = build_fn(g)({"input": np.asarray(x)})
         np.testing.assert_allclose(np.asarray(out["output"]), want,
                                    atol=1e-5)
+
+
+def test_high_precision_knob(monkeypatch, tmp_path):
+    """highPrecision threads Precision.HIGHEST into every
+    MatMul/Gemm/Conv (TPU default is bf16-class; measured 3.3e-3 off
+    on an attention block, ~1e-5 with the knob).  On CPU both routes
+    are exact — this asserts plumbing, not numerics."""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    torch.manual_seed(2)
+    net = nn.Sequential(nn.Linear(8, 16), nn.Tanh(),
+                        nn.Linear(16, 4)).eval()
+    x = torch.randn(3, 8)
+    raw = _torch_export(net, x, monkeypatch)
+    g = parse_model(raw)
+    out = build_fn(g, precision="highest")({"input": np.asarray(x)})
+    np.testing.assert_allclose(np.asarray(out["output"]),
+                               net(x).detach().numpy(), atol=1e-5)
+
+    path = tmp_path / "mlp.onnx"
+    path.write_bytes(raw)
+    ctx = TestContext("onnx_inference",
+                      {"modelPath": str(path), "provider": "jax",
+                       "highPrecision": True})
+    ctx.set_input("input", np.asarray(x))
+    ctx.run()
+    np.testing.assert_allclose(np.asarray(ctx.output("output")),
+                               net(x).detach().numpy(), atol=1e-5)
