@@ -413,10 +413,9 @@ def bench_wbfm() -> float:
                 extra = dict(
                     # in planes + 1/D-rate audio out
                     bytes_step=(n * 2 + n // D) * 4,
-                    # band matmuls + crows selector matmuls (HIGHEST
-                    # ~ 6 passes) per plane
+                    # band matmuls + crows selector matmuls per plane
                     mxu_flops=(n // 128) * 2 * 2 * 128 * 256
-                    + 2 * 6 * crows * (n // 128 // crows) * 2
+                    + 2 * crows * (n // 128 // crows) * 2
                     * 128 * 128)
             else:
                 extra = {}

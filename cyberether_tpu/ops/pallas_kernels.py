@@ -367,13 +367,15 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         # bookkeeping.  Opt-in: it is NOT bit-comparable to the
         # reference's per-sample discriminator (second-order in the
         # within-window phase spread).
-        hiP = jax.lax.Precision.HIGHEST   # near-free on this small
-        drm = jnp.dot(sel_ref[:, :], dr,  # matmul; default would
-                      preferred_element_type=jnp.float32,  # round the
-                      precision=hiP)      # products to bf16 operands
+        # deliberately DEFAULT precision: HIGHEST here was measured
+        # 0.377 vs 0.160 ms/step on the full coherent chain (the
+        # selector matmul is tile-sized, not small — the ~6-pass cost
+        # dominates), and the f32-accumulated bf16 products are ample
+        # for demodulated audio (coherent-vs-classic golden at 5e-3)
+        drm = jnp.dot(sel_ref[:, :], dr,
+                      preferred_element_type=jnp.float32)
         dim = jnp.dot(sel_ref[:, :], di,
-                      preferred_element_type=jnp.float32,
-                      precision=hiP)
+                      preferred_element_type=jnp.float32)
         out_ref[:, :] = _atan2(dim, drm, recip=True, newton=newt,
                                poly3=p3) * jnp.float32(ref_gain)
         return
@@ -1857,15 +1859,15 @@ def _wbfm_kernel_v2(body_ref, halo_ref, hr_ref, hi_ref, m1_ref,
         d3r = dr.reshape(nch, crows, 128)
         d3i = di.reshape(nch, crows, 128)
         ar = ai = None
-        hiP = jax.lax.Precision.HIGHEST   # see channelizer coherent
+        # DEFAULT precision on purpose — see the channelizer coherent
+        # branch: HIGHEST was a measured 2.4x step cost for no audible
+        # precision need
         for r in range(crows):
             s_r = sel_ref[r * 128:(r + 1) * 128, :]
             tr_ = jnp.dot(d3r[:, r, :], s_r,
-                          preferred_element_type=jnp.float32,
-                          precision=hiP)
+                          preferred_element_type=jnp.float32)
             ti_ = jnp.dot(d3i[:, r, :], s_r,
-                          preferred_element_type=jnp.float32,
-                          precision=hiP)
+                          preferred_element_type=jnp.float32)
             ar = tr_ if ar is None else ar + tr_
             ai = ti_ if ai is None else ai + ti_
         out_ref[:, :] = _atan2(ai, ar, recip=True, newton=not fast3,
