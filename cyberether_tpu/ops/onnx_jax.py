@@ -24,7 +24,8 @@ Sqrt Exp Log Neg Abs Erf Sin Cos Relu LeakyRelu Gelu Sigmoid Tanh
 Softmax Clip Min Max Equal Greater Less Where MatMul Gemm Conv
 MaxPool AveragePool GlobalAveragePool BatchNormalization
 LayerNormalization Reshape Transpose Flatten Squeeze Unsqueeze Expand
-Split Concat Slice Gather ReduceMean ReduceSum ReduceMax ReduceMin
+Split Pad Concat Slice Gather ReduceMean ReduceSum ReduceMax
+ReduceMin
 ArgMax Trilu Range ConstantOfShape Identity Constant Cast Shape
 Dropout.
 """
@@ -581,6 +582,28 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         for ax in sorted(int(v) for v in axes):
             x = jnp.expand_dims(x, ax)
         set_out(0, x)
+    elif op == "Pad":
+        x = inp(0)
+        mode = a.get("mode", b"constant")
+        mode = mode.decode() if isinstance(mode, bytes) else mode
+        pads = a.get("pads")
+        if pads is None:
+            pads = [int(d) for d in _const_of(env, node.inputs[1],
+                                              "Pad")]
+        val = 0.0
+        if len(node.inputs) > 2 and node.inputs[2]:
+            val = float(_const_of(env, node.inputs[2],
+                                  "Pad").reshape(-1)[0])
+        elif "value" in a:
+            val = float(np.asarray(a["value"]).reshape(-1)[0])
+        half = len(pads) // 2          # ONNX: all begins, then all ends
+        width = list(zip(pads[:half], pads[half:]))
+        jmode = {"constant": "constant", "reflect": "reflect",
+                 "edge": "edge"}.get(mode)
+        if jmode is None:
+            raise UnsupportedOnnxOp(f"Pad mode {mode!r}")
+        kw = {"constant_values": val} if jmode == "constant" else {}
+        set_out(0, jnp.pad(x, width, mode=jmode, **kw))
     elif op == "Concat":
         xs = [env[n] for n in node.inputs]
         set_out(0, jnp.concatenate(xs, axis=a.get("axis", 0)))
@@ -743,7 +766,7 @@ def build_fn(graph: OnnxGraph, precision: Optional[str] = None
         "MaxPool", "AveragePool", "GlobalAveragePool",
         "BatchNormalization", "LayerNormalization",
         "Reshape", "Transpose", "Flatten",
-        "Squeeze", "Unsqueeze", "Expand", "Split", "Concat",
+        "Squeeze", "Unsqueeze", "Expand", "Split", "Pad", "Concat",
         "Slice", "Gather",
         "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
         "ArgMax", "Trilu", "Range", "ConstantOfShape",

@@ -475,3 +475,25 @@ def test_high_precision_knob(monkeypatch, tmp_path):
     ctx.run()
     np.testing.assert_allclose(np.asarray(ctx.output("output")),
                                net(x).detach().numpy(), atol=1e-5)
+
+
+def test_onnx_pad_op():
+    """ONNX Pad: begins-then-ends layout, constant value via operand
+    or attribute, reflect/edge modes."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    g = graph(
+        [node("Pad", ["x", "pads", "val"], ["pc"]),
+         node("Pad", ["x", "pads"], ["pr"], {"mode": "reflect"})],
+        "pad",
+        inputs=[value_info("x", 1, [2, 3])],
+        outputs=[value_info("pc", 1, []), value_info("pr", 1, [])],
+        initializers=[
+            tensor_proto("pads", np.asarray([1, 0, 0, 2], np.int64)),
+            tensor_proto("val", np.asarray([5.0], np.float32))])
+    out = build_fn(parse_model(model(g)))({"x": x})
+    np.testing.assert_allclose(
+        out["pc"], np.pad(x, [(1, 0), (0, 2)], constant_values=5.0))
+    np.testing.assert_allclose(
+        out["pr"], np.pad(x, [(1, 0), (0, 2)], mode="reflect"))
