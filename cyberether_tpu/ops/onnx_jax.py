@@ -597,13 +597,30 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         elif "value" in a:
             val = float(np.asarray(a["value"]).reshape(-1)[0])
         half = len(pads) // 2          # ONNX: all begins, then all ends
-        width = list(zip(pads[:half], pads[half:]))
+        if len(node.inputs) > 3 and node.inputs[3]:
+            axes = [int(d) % x.ndim
+                    for d in _const_of(env, node.inputs[3], "Pad")]
+        else:
+            axes = list(range(x.ndim))
+        if half != len(axes):
+            raise UnsupportedOnnxOp(
+                f"Pad: {len(pads)} pad values for {len(axes)} axes")
+        width = [(0, 0)] * x.ndim
+        for i, ax in enumerate(axes):
+            width[ax] = (pads[i], pads[half + i])
         jmode = {"constant": "constant", "reflect": "reflect",
                  "edge": "edge"}.get(mode)
         if jmode is None:
             raise UnsupportedOnnxOp(f"Pad mode {mode!r}")
+        # negative pads are ONNX crop semantics: pad the positive
+        # parts, slice away the negative ones
+        pos = [(max(b, 0), max(e, 0)) for b, e in width]
         kw = {"constant_values": val} if jmode == "constant" else {}
-        set_out(0, jnp.pad(x, width, mode=jmode, **kw))
+        y = jnp.pad(x, pos, mode=jmode, **kw)
+        idx = tuple(slice(-min(b, 0),
+                          None if e >= 0 else e)
+                    for b, e in width)
+        set_out(0, y[idx])
     elif op == "Concat":
         xs = [env[n] for n in node.inputs]
         set_out(0, jnp.concatenate(xs, axis=a.get("axis", 0)))
@@ -652,7 +669,14 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
     elif op == "ArgMax":
         x = inp(0)
         ax = int(a.get("axis", 0))
-        out = jnp.argmax(x, axis=ax).astype(jnp.int64)
+        if a.get("select_last_index", 0):
+            out = (x.shape[ax] - 1
+                   - jnp.argmax(jnp.flip(x, ax), axis=ax))
+        else:
+            out = jnp.argmax(x, axis=ax)
+        # ONNX mandates int64; with jax x64 disabled this yields
+        # int32 — correct values, narrower carrier
+        out = out.astype(jnp.int64)
         if a.get("keepdims", 1):
             out = jnp.expand_dims(out, ax)
         set_out(0, out)

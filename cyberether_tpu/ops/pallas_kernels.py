@@ -1931,7 +1931,12 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
         # rows) sublane-aligned: tile_r % (8 * crows) == 0
         L = 8 * crows
         tile_r = max(L, (tile_r // L) * L)
-    tile_r = max(1, min(tile_r, nf))
+        # short-input clamp must KEEP the L-multiple invariant (the
+        # kernel reshapes each tile to (nch, crows, 128)); zero-pad
+        # covers the remainder and the output is sliced to n//D below
+        tile_r = min(tile_r, -(-nf // L) * L)
+    else:
+        tile_r = max(1, min(tile_r, nf))
     pad = (-nf) % tile_r
     nfp = nf + pad
     ntiles = nfp // tile_r
