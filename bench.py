@@ -631,6 +631,26 @@ def bench_timeblock_scaling() -> None:
         f"{out.stderr[-500:]}")
 
 
+def diff_previous_archive(arch_path, results, factor=1.4):
+    """Outlier guard: per-row ms_per_step vs the PREVIOUS archive —
+    axon claim-mode artifacts can slow one row 3x for a whole run
+    (observed: spectrum[pallas-ct] 0.43 -> 1.52 ms with zero code
+    change).  A flagged row means "re-run before trusting", not
+    "regression"."""
+    try:
+        with open(arch_path) as f:
+            prev = {r["name"]: r for r in json.load(f)["results"]}
+    except (OSError, KeyError, ValueError):
+        return []                      # first run / old format
+    notes = []
+    for r in results:
+        old = prev.get(r["name"])
+        if old and r["ms_per_step"] > factor * old["ms_per_step"]:
+            notes.append(f"{r['name']}: {old['ms_per_step']:.3f} -> "
+                         f"{r['ms_per_step']:.3f} ms")
+    return notes
+
+
 def main() -> None:
     log("devices:", jax.devices())
     t0 = time.perf_counter()
@@ -698,6 +718,12 @@ def main() -> None:
     head = next((r for r in RESULTS
                  if rate and abs(r["msamp_s"] * 1e6 - rate)
                  < 0.01 * rate), None)
+    arch_path = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "bench_results.json")
+    suspect = diff_previous_archive(arch_path, RESULTS)
+    for note in suspect:
+        log("OUTLIER? row slowed >1.4x vs previous archive —", note)
+
     archive = {
         "wall_s": round(time.perf_counter() - t_start, 1),
         "device": str(jax.devices()[0]),
@@ -706,12 +732,11 @@ def main() -> None:
                   "bf16_tflops": MEAS_BF16_TFLOPS},
         "reconciliation": reconciliation,
         "failures": FAILURES,
+        "suspect_rows": suspect,
         "results": RESULTS,
     }
     try:
-        with open(os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "bench_results.json"),
-                "w") as f:
+        with open(arch_path, "w") as f:
             json.dump(archive, f, indent=1)
     except OSError as e:
         log("could not archive bench_results.json:", e)
@@ -726,6 +751,7 @@ def main() -> None:
         "compile_s": head.get("compile_s") if head else None,
         "reconciliation": (round(reconciliation, 3)
                            if reconciliation else None),
+        "suspect_rows": suspect,
         "failures": FAILURES,
     }), flush=True)
 
