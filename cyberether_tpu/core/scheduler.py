@@ -1240,8 +1240,12 @@ class Scheduler:
                     break
                 from cyberether_tpu.utils.xfer import to_device
 
-                ins[port] = to_device(_fetch(v) if _is_tagged(v)
-                                      else v)
+                raw = _fetch(v) if _is_tagged(v) else v
+                # device arrays stay on device: to_device would
+                # round-trip through np.asarray — 25 ms per value on
+                # axon and UNIMPLEMENTED for complex intermediates
+                ins[port] = raw if isinstance(raw, jax.Array) \
+                    else to_device(raw)
             if missing:
                 continue
             st = self._state.get(name)      # realified at the boundary

@@ -303,3 +303,38 @@ def test_long_run_no_structural_growth():
         assert after == sizes, (sizes, after)
     finally:
         fg.stop()
+
+
+def test_profile_keeps_device_arrays_on_device(monkeypatch):
+    """profile() must not round-trip device-resident link values
+    through the host: np.asarray of a complex intermediate is
+    UNIMPLEMENTED on the axon TPU backend (and a ~25 ms fetch for
+    everything else).  Spy on to_device: it may only ever see
+    host-side values."""
+    import jax
+
+    from cyberether_tpu.core.flowgraph import Flowgraph
+    from cyberether_tpu.utils import xfer
+
+    seen = []
+    real = xfer.to_device
+
+    def spy(v):
+        seen.append(type(v))
+        assert not isinstance(v, jax.Array), \
+            "profile() sent a device array through to_device"
+        return real(v)
+
+    fg = Flowgraph()
+    fg.block_create("sg", "signal_generator", {
+        "signalType": "cosine", "signalDataType": "CF32",
+        "sampleRate": 1e6, "frequency": 1e5, "bufferSize": 2048})
+    fg.block_create("spec", "spectrum_engine", {"enableScale": True},
+                    {"buffer": "${graph.sg.output.signal}"})
+    try:
+        for _ in range(2):
+            assert fg.compute(timeout=30.0)
+        monkeypatch.setattr(xfer, "to_device", spy)
+        assert fg.scheduler.profile(iters=1)
+    finally:
+        fg.stop()
