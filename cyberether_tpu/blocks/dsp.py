@@ -380,8 +380,8 @@ class AmModule(Module):
                 self.input_specs["signal"].with_dtype(DataType.F32)}
 
     def init_state(self):
-        return {"prev_env": jnp.zeros((self._lanes,), jnp.float32),
-                "prev_out": jnp.zeros((self._lanes,), jnp.float32)}
+        return {"prev_env": np.zeros((self._lanes,), jnp.float32),
+                "prev_out": np.zeros((self._lanes,), jnp.float32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"]
@@ -490,10 +490,15 @@ class FmModule(Module):
         return ref, alpha
 
     def init_state(self):
-        st = {"prev": jnp.zeros((self._lanes,), jnp.complex64),
-              "has_prev": jnp.zeros((self._lanes,), jnp.bool_)}
+        # HOST templates only (np, not jnp): eagerly creating a
+        # complex64 device array is a complex h2d — UNIMPLEMENTED on
+        # the axon backend and it POISONS the whole device stream
+        # (every later fetch fails); the scheduler realifies state at
+        # upload (_upload_state)
+        st = {"prev": np.zeros((self._lanes,), np.complex64),
+              "has_prev": np.zeros((self._lanes,), np.bool_)}
         if self.config["deemphasis"] != "none" and not self._wide:
-            st["deemph"] = jnp.zeros((self._lanes,), jnp.float32)
+            st["deemph"] = np.zeros((self._lanes,), np.float32)
         if self._wide:
             st["stereo"] = _wide_fm_init(self._lanes)
         return st
@@ -765,7 +770,7 @@ class RrcFilterModule(Module):
         if self._batch is not None:
             lanes //= spec.shape[self._batch]
         dt = spec.dtype.jnp_dtype
-        return {"history": jnp.zeros(
+        return {"history": np.zeros(
             (lanes, int(self.config["taps"]) - 1), dt)}
 
     def apply(self, inputs, state):
@@ -820,7 +825,7 @@ class OverlapAddModule(Module):
         shape = list(ovl.shape)
         if self._batch is not None:
             shape[self._batch] = 1
-        return {"prev": jnp.zeros(tuple(shape), ovl.dtype.jnp_dtype)}
+        return {"prev": np.zeros(tuple(shape), ovl.dtype.jnp_dtype)}
 
     def apply(self, inputs, state):
         buf = inputs["buffer"]
@@ -953,9 +958,9 @@ class PhaseCorrectionModule(Module):
     def init_state(self):
         spec = self.input_specs["signal"]
         nch = spec.shape[self._channel] if self._channel is not None else 1
-        return {"phases": jnp.zeros((nch,), jnp.float64)
+        return {"phases": np.zeros((nch,), jnp.float64)
                 if jax.config.jax_enable_x64
-                else jnp.zeros((nch,), jnp.float32)}
+                else np.zeros((nch,), jnp.float32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"]
@@ -1043,13 +1048,15 @@ class SignalGeneratorModule(Module):
                         "sampleRate": float(self.config["sampleRate"])})}
 
     def init_state(self):
-        st = {"phase": jnp.asarray(
-            float(self.config["phase"]) % (2 * np.pi), jnp.float64
-            if jax.config.jax_enable_x64 else jnp.float32)}
+        # host templates only (np): see FmModule.init_state
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        st = {"phase": np.asarray(
+            float(self.config["phase"]) % (2 * np.pi), dt)}
         if self.config["signalType"] == "chirp":
-            st["chirp_time"] = jnp.asarray(0.0, st["phase"].dtype)
+            st["chirp_time"] = np.asarray(0.0, dt)
         if self.config["signalType"] == "noise":
-            st["key"] = jax.random.PRNGKey(int(self.config["seed"]))
+            st["key"] = np.asarray(
+                jax.random.PRNGKey(int(self.config["seed"])))
         return st
 
     def apply(self, inputs, state):

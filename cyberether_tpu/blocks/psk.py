@@ -125,21 +125,23 @@ class PskDemodModule(Module):
             sampleRate=float(self.config["symbolRate"]))}
 
     def init_state(self):
+        # host numpy templates only — see FmModule.init_state: eager
+        # jnp complex creation is a poisoning h2d on axon
         L = self._lanes
-        c0 = jnp.zeros((L,), jnp.complex64)
+        c0 = np.zeros((L,), np.complex64)
         return {
-            "hist": jnp.zeros((L, self._hist_cap), jnp.complex64),
-            "occ": jnp.zeros((L,), jnp.int32),
-            "mu": jnp.zeros((L,), jnp.float32),
-            "omega": jnp.full((L,), self._omega_nom, jnp.float32),
-            "index": jnp.zeros((L,), jnp.int32),
-            "phase": jnp.zeros((L,), jnp.float32),
-            "freq": jnp.zeros((L,), jnp.float32),
+            "hist": np.zeros((L, self._hist_cap), np.complex64),
+            "occ": np.zeros((L,), np.int32),
+            "mu": np.zeros((L,), np.float32),
+            "omega": np.full((L,), self._omega_nom, np.float32),
+            "index": np.zeros((L,), np.int32),
+            "phase": np.zeros((L,), np.float32),
+            "freq": np.zeros((L,), np.float32),
             "prev_sym": c0,
             "prev_dec": c0,
-            "has_prev": jnp.zeros((L,), jnp.bool_),
-            "pend": jnp.zeros((L, self._pend_cap), jnp.complex64),
-            "pend_n": jnp.zeros((L,), jnp.int32),
+            "has_prev": np.zeros((L,), np.bool_),
+            "pend": np.zeros((L, self._pend_cap), np.complex64),
+            "pend_n": np.zeros((L,), np.int32),
         }
 
     # -- decision / error functions (module_impl.cc helpers) --------------

@@ -94,8 +94,8 @@ class LineplotModule(Module):
 
     def init_state(self):
         if int(self.config["averaging"]) > 1:
-            return {"avg": jnp.zeros((self._width,), jnp.float32),
-                    "count": jnp.zeros((), jnp.int32)}
+            return {"avg": np.zeros((self._width,), jnp.float32),
+                    "count": np.zeros((), jnp.int32)}
         return None
 
     def apply(self, inputs, state):
@@ -166,8 +166,8 @@ class WaterfallModule(Module):
 
     def init_state(self):
         h = int(self.config["height"])
-        return {"buf": jnp.zeros((h, self._width), jnp.float32),
-                "seq": jnp.zeros((), jnp.int32)}
+        return {"buf": np.zeros((h, self._width), jnp.float32),
+                "seq": np.zeros((), jnp.int32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"]
@@ -241,7 +241,7 @@ class SpectrogramModule(Module):
 
     def init_state(self):
         h = int(self.config["height"])
-        return {"heat": jnp.zeros((h, self._width), jnp.float32)}
+        return {"heat": np.zeros((h, self._width), jnp.float32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"]
@@ -285,7 +285,7 @@ class ConstellationModule(Module):
 
     def init_state(self):
         s = int(self.config["size"])
-        return {"heat": jnp.zeros((s, s), jnp.float32)}
+        return {"heat": np.zeros((s, s), jnp.float32)}
 
     def apply(self, inputs, state):
         x = inputs["signal"].reshape(-1)

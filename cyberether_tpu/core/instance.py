@@ -127,8 +127,20 @@ class Instance:
         self._computing = False
         self._presenting = False
         for t in (self._compute_thread, self._present_thread):
-            if t is not None and t.is_alive():
-                t.join(timeout=5.0)
+            # wait for the thread however long its in-flight device
+            # call takes: a daemon thread killed inside a tunnel
+            # dispatch/compile aborts the whole process at interpreter
+            # exit ("FATAL: exception not rethrown"); a cold graph
+            # build through the tunnel is ~30-60 s, so this is a real
+            # wait, not a hang (Ctrl-C twice force-exits)
+            waited = 0.0
+            while t is not None and t.is_alive():
+                t.join(timeout=30.0)
+                if t.is_alive():
+                    waited += 30.0
+                    log.warning("waiting for %s (%.0f s — in-flight "
+                                "device compile/dispatch?)",
+                                t.name, waited)
         self._compute_thread = None
         self._present_thread = None
         for fg in self.flowgraphs.values():

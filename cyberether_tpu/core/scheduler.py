@@ -132,10 +132,17 @@ def _state_mask(template):
 
 
 def _upload_state(template):
-    """Host init_state template -> device pytree in realified (planes)
-    form.  Complex leaves split on host so the upload is float32 only;
-    templates must be host arrays (numpy / python scalars)."""
+    """init_state template -> device pytree in realified (planes)
+    form.  Host complex leaves split on host so the upload is float32
+    only; leaves that are ALREADY device arrays never round-trip
+    through the host (np.asarray of a device complex leaf is
+    UNIMPLEMENTED on axon — jnp-built init_states hit exactly that)."""
     def leaf(v):
+        if isinstance(v, jax.Array):
+            if jnp.issubdtype(v.dtype, jnp.complexfloating):
+                from cyberether_tpu.utils.xfer import _split
+                return _split(v)          # device-side planes
+            return v
         a = np.asarray(v)
         if np.iscomplexobj(a):
             return jnp.asarray(
@@ -1096,7 +1103,8 @@ class Scheduler:
                         if val is None:
                             v = False
                         ins[p] = val
-                        v = v and bool(np.asarray(self._valid.get(k, True)))
+                        v = v and bool(_fetch(
+                            self._valid.get(k, True)))
                     if mod.is_sink:
                         if all(x is not None for x in ins.values()):
                             host_ins = {p: _fetch(x)

@@ -40,6 +40,16 @@ def to_device(value: Any):
     return jnp.asarray(v)
 
 
+@jax.jit
+def _materialize(x):
+    """Force a fresh device buffer: axon cannot d2h a view that
+    ALIASES another buffer (observed on an f32 validity scalar packed
+    into a segment's output tuple alongside complex planes)."""
+    if jnp.issubdtype(x.dtype, jnp.bool_):
+        return jnp.logical_or(x, False)
+    return x + jnp.zeros((), x.dtype)
+
+
 def fetch(value: Any) -> np.ndarray:
     """Download a device array; complex comes back as split planes."""
     if isinstance(value, np.ndarray):
@@ -48,4 +58,10 @@ def fetch(value: Any) -> np.ndarray:
             jnp.issubdtype(value.dtype, jnp.complexfloating):
         planes = np.asarray(_split(value))
         return (planes[0] + 1j * planes[1]).astype(np.complex64)
-    return np.asarray(value)
+    try:
+        return np.asarray(value)
+    except jax.errors.JaxRuntimeError:
+        if not isinstance(value, jax.Array):
+            raise
+        # aliased-view d2h gap: copy device-side, then download
+        return np.asarray(_materialize(value))

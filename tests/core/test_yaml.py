@@ -406,3 +406,34 @@ def test_yaml_import_never_crashes(text):
         fg.compute(timeout=5.0)
     finally:
         fg.stop()
+
+
+def test_init_state_templates_are_host_side():
+    """init_state must return HOST templates (numpy / scalars), never
+    jax.Array leaves: eagerly creating a complex64 device array is a
+    complex h2d — UNIMPLEMENTED on the axon TPU backend and it POISONS
+    the device stream (every later fetch fails; 'run simple-fm'
+    crashed exactly this way).  Sweep every module of every registered
+    example flowgraph."""
+    import jax
+
+    from cyberether_tpu.core.registry import registry
+
+    checked = 0
+    for name in registry.list_examples():
+        fg = Flowgraph.from_yaml(registry.example(name).yaml_text)
+        try:
+            for rec in fg.records.values():
+                if rec.build is None:
+                    continue
+                for mname, mod in rec.build.modules.items():
+                    st = mod.init_state()
+                    if st is None:
+                        continue
+                    for leaf in jax.tree_util.tree_leaves(st):
+                        assert not isinstance(leaf, jax.Array), \
+                            (name, mname, type(leaf))
+                        checked += 1
+        finally:
+            fg.stop()
+    assert checked > 0
