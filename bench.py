@@ -645,9 +645,17 @@ def diff_previous_archive(arch_path, results, factor=1.4):
     notes = []
     for r in results:
         old = prev.get(r["name"])
-        if old and r["ms_per_step"] > factor * old["ms_per_step"]:
-            notes.append(f"{r['name']}: {old['ms_per_step']:.3f} -> "
-                         f"{r['ms_per_step']:.3f} ms")
+        cur_ms = r.get("ms_per_step")
+        old_ms = old.get("ms_per_step") if old else None
+        # Rows without a per-step time (e.g. timeblock-scaling[cpu-proxy])
+        # carry no latency to diff — skip them instead of KeyError'ing
+        # after the whole TPU run has already completed (round-4 record
+        # loss, VERDICT r4 item 1).
+        if cur_ms is None or old_ms is None:
+            continue
+        if cur_ms > factor * old_ms:
+            notes.append(f"{r['name']}: {old_ms:.3f} -> "
+                         f"{cur_ms:.3f} ms")
     return notes
 
 
@@ -720,7 +728,11 @@ def main() -> None:
                  < 0.01 * rate), None)
     arch_path = os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "bench_results.json")
-    suspect = diff_previous_archive(arch_path, RESULTS)
+    try:
+        suspect = diff_previous_archive(arch_path, RESULTS)
+    except Exception as e:        # the guard must never cost the record
+        log("diff_previous_archive failed (ignored):", e)
+        suspect = []
     for note in suspect:
         log("OUTLIER? row slowed >1.4x vs previous archive —", note)
 

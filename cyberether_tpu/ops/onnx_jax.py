@@ -175,8 +175,15 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         arr = np.asarray(int64_data, np.int64).astype(
             np_dtype).reshape(shape)
     elif int32_data:
-        arr = np.asarray(int32_data, np.int32).astype(
-            np_dtype).reshape(shape)
+        if data_type == 10:
+            # float16 initializers ride int32_data as raw uint16 bit
+            # patterns (ONNX TensorProto spec) — reinterpret, don't
+            # numerically cast (ADVICE r4)
+            arr = np.asarray(int32_data, np.uint16).view(
+                np.float16).reshape(shape)
+        else:
+            arr = np.asarray(int32_data, np.int32).astype(
+                np_dtype).reshape(shape)
     elif double_data:
         arr = np.asarray(double_data, np.float64).astype(
             np_dtype).reshape(shape)
@@ -313,6 +320,7 @@ class OnnxGraph:
     inputs: List[Tuple[str, Optional[int], Tuple]]
     outputs: List[Tuple[str, Optional[int], Tuple]]
     name: str = ""
+    opset: int = 13     # default-domain ai.onnx opset version
 
     @property
     def input_names(self) -> List[str]:
@@ -346,13 +354,27 @@ def _parse_graph(buf: bytes) -> OnnxGraph:
 
 
 def parse_model(data: bytes) -> OnnxGraph:
-    """ModelProto bytes -> OnnxGraph (field 7 = graph)."""
+    """ModelProto bytes -> OnnxGraph (field 7 = graph; field 8 =
+    opset_import, whose default-domain version changes op semantics —
+    e.g. Softmax is coalesced-2D before opset 13)."""
     graph = None
+    opset = None
     for fnum, wire, val in _fields(data):
         if fnum == 7 and wire == 2:
             graph = _parse_graph(val)
+        elif fnum == 8 and wire == 2:        # OperatorSetIdProto
+            domain, version = "", None
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:
+                    domain = v2.decode()
+                elif f2 == 2 and w2 == 0:
+                    version = _signed(v2)
+            if domain in ("", "ai.onnx") and version is not None:
+                opset = version
     if graph is None:
         raise OnnxParseError("no graph in model")
+    if opset is not None:
+        graph.opset = opset
     return graph
 
 
@@ -412,7 +434,7 @@ def _const_of(env: Dict[str, Any], name: str, what: str) -> np.ndarray:
 
 
 def _apply_node(node: OnnxNode, env: Dict[str, Any],
-                precision=None) -> None:
+                precision=None, opset: int = 13) -> None:
     op = node.op_type
     a = node.attrs
 
@@ -471,8 +493,16 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
             x = jnp.minimum(x, hi)
         set_out(0, x)
     elif op == "Softmax":
-        axis = a.get("axis", -1)
-        set_out(0, jax.nn.softmax(inp(0), axis=axis))
+        x = inp(0)
+        if opset >= 13:
+            set_out(0, jax.nn.softmax(x, axis=a.get("axis", -1)))
+        else:
+            # opset < 13: coalesced semantics — flatten to 2D from
+            # `axis` (default 1), softmax the trailing flat dim
+            axis = a.get("axis", 1) % max(x.ndim, 1)
+            flat = x.reshape(
+                int(np.prod(x.shape[:axis], dtype=np.int64)), -1)
+            set_out(0, jax.nn.softmax(flat, axis=-1).reshape(x.shape))
     elif op == "MatMul":
         set_out(0, jnp.matmul(inp(0), inp(1),
                               preferred_element_type=jnp.float32,
@@ -809,7 +839,8 @@ def build_fn(graph: OnnxGraph, precision: Optional[str] = None
         env: Dict[str, Any] = dict(inits)
         env.update(inputs)
         for node in graph.nodes:
-            _apply_node(node, env, precision=prec)
+            _apply_node(node, env, precision=prec,
+                        opset=graph.opset)
         return {n: env[n] for n in out_names}
 
     return fn

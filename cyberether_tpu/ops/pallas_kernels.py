@@ -1965,8 +1965,12 @@ def wbfm_fused_v2(iq: jnp.ndarray, taps: jnp.ndarray,
     # numerics (a plain dot differs ~1e-3 in the lag value: a visible
     # per-tile-boundary discriminator error)
     m1j, m2j = jnp.asarray(M1), jnp.asarray(M2)
+    # row two before each tile's start; with tile_r == 1 the t=1 tile's
+    # "two before" is the history row itself — a raw iq2[-1] would wrap
+    # to the LAST row and corrupt the lag-1 carry (ADVICE r4)
     wp_rows = [jnp.zeros((256,), jnp.float32)] + [
-        iq2[t * tile_r - 2, :] for t in range(1, ntiles)]
+        (hrow if t * tile_r - 2 < 0 else iq2[t * tile_r - 2, :])
+        for t in range(1, ntiles)]
     wc_rows = [hrow] + [iq2[t * tile_r - 1, :]
                         for t in range(1, ntiles)]
     wp = jnp.stack(wp_rows, axis=0)

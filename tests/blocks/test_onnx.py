@@ -559,3 +559,52 @@ def test_wbfm_coherent_short_input():
     classic = np.asarray(demod)[:k].reshape(-1, 6).mean(-1)
     d = np.abs(np.asarray(audio)[10:-10] - classic[10:-10]).mean()
     assert d < 5e-3, d
+
+
+def test_onnx_softmax_opset_semantics():
+    """Softmax before opset 13 is coalesced (flatten-to-2D from axis);
+    opset>=13 is per-axis (ADVICE r4)."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    g = graph([node("Softmax", ["x"], ["out"], {"axis": 1})],
+              "sm", inputs=[value_info("x", 1, [2, 3, 4])],
+              outputs=[value_info("out", 1, [2, 3, 4])])
+
+    got11 = np.asarray(build_fn(parse_model(model(g, opset=11)))(
+        {"x": x})["out"])
+    flat = x.reshape(2, 12)
+    e = np.exp(flat - flat.max(axis=1, keepdims=True))
+    ref11 = (e / e.sum(axis=1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(got11, ref11, atol=1e-6)
+
+    got13 = np.asarray(build_fn(parse_model(model(g, opset=13)))(
+        {"x": x})["out"])
+    e = np.exp(x - x.max(axis=1, keepdims=True))
+    ref13 = e / e.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(got13, ref13, atol=1e-6)
+    assert not np.allclose(ref11, ref13)       # semantics differ
+
+
+def test_onnx_fp16_initializer_int32_data():
+    """float16 initializers stored via int32_data hold raw uint16 bit
+    patterns — must be reinterpreted, not numerically cast (ADVICE
+    r4)."""
+    from cyberether_tpu.ops.onnx_jax import parse_model
+    from tests.support.onnx_build import f_bytes, f_string, f_varint
+
+    w = np.asarray([1.5, -2.25, 0.007812, 65504.0], np.float16)
+    bits = w.view(np.uint16)
+    tp = f_varint(1, 4)                       # dims
+    tp += f_varint(2, 10)                     # data_type = FLOAT16
+    for b in bits:
+        tp += f_varint(5, int(b))             # int32_data (unpacked)
+    tp += f_string(8, "w16")
+    g = graph([node("Identity", ["w16"], ["out"])], "fp16",
+              inputs=[], outputs=[value_info("out", 10, [4])],
+              initializers=[tp])
+    parsed = parse_model(model(g))
+    np.testing.assert_array_equal(
+        parsed.initializers["w16"].view(np.uint16), bits)
+    assert parsed.initializers["w16"].dtype == np.float16
