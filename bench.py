@@ -608,7 +608,7 @@ def bench_timeblock_scaling() -> None:
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     out = subprocess.run(
         [sys.executable, "-m", "cyberether_tpu.parallel.timeblock"],
-        capture_output=True, text=True, timeout=600, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in out.stdout.splitlines():
         if line.startswith("TIMEBLOCK_STATS "):
@@ -618,13 +618,21 @@ def bench_timeblock_scaling() -> None:
                 samples_per_step=stats["frames_per_cycle"] * 64,
                 msamp_s=round(stats["samples_per_s"] / 1e6, 2),
                 efficiency=round(stats["efficiency"], 4),
+                proxy_efficiency=round(
+                    stats.get("proxy_efficiency", 0.0), 4),
+                shared_hardware=stats.get("shared_hardware"),
+                overhead_ms_n=round(
+                    stats.get("overhead_ms_n", 0.0), 3),
                 n_devices=stats["n_devices"],
                 samples_per_s_1dev=round(
                     stats["samples_per_s_1dev"], 1)))
             log(f"timeblock-scaling[cpu-proxy]: "
                 f"{stats['samples_per_s']/1e6:.1f} Msamp/s on "
-                f"{stats['n_devices']} virtual devices, efficiency "
-                f"{stats['efficiency']:.2f}")
+                f"{stats['n_devices']} virtual devices, naive "
+                f"efficiency {stats['efficiency']:.2f} (shared-CPU "
+                f"cap ~{1.0/stats['n_devices']:.2f}), per-sample "
+                f"proxy efficiency "
+                f"{stats.get('proxy_efficiency', 0.0):.2f}")
             return
     raise RuntimeError(
         f"no TIMEBLOCK_STATS in output: {out.stdout[-500:]} "

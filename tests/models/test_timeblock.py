@@ -74,3 +74,29 @@ def test_scaling_efficiency_1_to_2_procs():
           f"efficiency: {eff:.2f}")
     assert s1["cycles_per_s"] > 0 and s2["cycles_per_s"] > 0
     assert s2["processes"] == 2 and s1["processes"] == 1
+
+
+def test_measure_device_scaling_decomposition():
+    """The scaling measurement reports both the naive efficiency and
+    the shared-hardware-normalized proxy efficiency with the fixed-
+    overhead/compute decomposition (VERDICT r4 item 2).  Tiny shapes —
+    this checks the machinery, not the committed number."""
+    from cyberether_tpu.parallel.timeblock import (
+        _fit_cycle_cost, measure_device_scaling)
+
+    # exact fit on synthetic points: t = 2e-3 + 5e-9 * samples
+    a, b = _fit_cycle_cost([(1e6, 2e-3 + 5e-9 * 1e6),
+                            (4e6, 2e-3 + 5e-9 * 4e6),
+                            (16e6, 2e-3 + 5e-9 * 16e6)])
+    assert abs(a - 2e-3) < 1e-6 and abs(b - 5e-9) < 1e-12
+
+    stats = measure_device_scaling(n_devices=2, frames=256,
+                                   sweep=(1, 2))
+    for key in ("efficiency", "proxy_efficiency", "shared_hardware",
+                "overhead_ms_n", "ns_per_sample_n",
+                "compute_fraction_n", "sweep"):
+        assert key in stats, key
+    assert stats["shared_hardware"] is True      # CPU conftest
+    assert stats["proxy_efficiency"] > 0
+    assert len(stats["sweep"]) == 4              # 2 meshes x 2 sizes
+    assert 0 < stats["compute_fraction_n"] <= 1.0
