@@ -216,6 +216,33 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_onnx_census(args) -> int:
+    import json as _json
+
+    from cyberether_tpu.ops.onnx_jax import load_model, op_census
+
+    census = op_census(load_model(args.model))
+    if args.format == "json":
+        print(_json.dumps(census, indent=1))
+        return 0 if census["runnable"] else 3
+    print(f"graph: {census['graph'] or '(unnamed)'}  "
+          f"opset {census['opset']}  {census['node_count']} nodes")
+    for name, dims in census["inputs"]:
+        print(f"  input  {name}: {list(dims)}")
+    for name, dims in census["outputs"]:
+        print(f"  output {name}: {list(dims)}")
+    for op_name, cnt in census["ops"].items():
+        mark = " " if op_name not in census["unsupported"] else "!"
+        print(f"  {mark} {op_name:<24} x{cnt}")
+    if census["runnable"]:
+        print("runnable on the pure-JAX executor")
+        return 0
+    print(f"NOT runnable: {', '.join(census['unsupported'])} "
+          "unsupported (the optional onnxruntime provider covers "
+          "the full opset)")
+    return 3
+
+
 def _cmd_sdr_server(args) -> int:
     import time as _time
 
@@ -279,6 +306,14 @@ def main(argv: Optional[list] = None) -> int:
     dp = sub.add_parser("describe", help="show a block's interface")
     dp.add_argument("block")
 
+    cp = sub.add_parser(
+        "onnx-census",
+        help="report which ops a .onnx model uses and whether the "
+             "pure-JAX executor covers them")
+    cp.add_argument("model")
+    cp.add_argument("--format", default="text",
+                    choices=("text", "json"))
+
     sp = sub.add_parser(
         "sdr-server",
         help="serve local SDR drivers to remote clients (the "
@@ -296,6 +331,8 @@ def main(argv: Optional[list] = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "describe":
         return _cmd_describe(args)
+    if args.cmd == "onnx-census":
+        return _cmd_onnx_census(args)
     if args.cmd == "sdr-server":
         return _cmd_sdr_server(args)
     if args.cmd == "run":

@@ -102,7 +102,7 @@ class Channelizer:
     def step_pallas_v4(self, state, iq: jnp.ndarray,
                        tile_m: int = 512, interpret: bool = False,
                        kernel: str = "v5", decim_mode: str = "sel",
-                       atan_mode: str = "fast3",
+                       atan_mode: str = "ypack",
                        demod_mode: str = "classic"
                        ) -> Tuple[jnp.ndarray, dict]:
         """Fused production step: interleaved layout + parallel grid +
@@ -154,10 +154,13 @@ class Channelizer:
                 decim_mode="chunk" if decim_mode == "sel"
                 else decim_mode)
         elif kernel == "v5":
-            # atan_mode "fast3" (3-term minimax + raw hardware
-            # reciprocal, ~1e-4 rad worst case vs the demod's 1e-2
-            # reference tolerance) measured 0.206 vs 0.263 ms/step at
-            # tile 4096 — the production default (r4c ablation)
+            # atan_mode "ypack" (round 5): the filterbank output is
+            # lane-packed through the win scratch so the lag products
+            # AND the fast3 atan chain run at full 128-lane width —
+            # measured 0.136 vs 0.213 ms/step at tile 4096, BIT-
+            # IDENTICAL to the fast3 classic path (r5b ablation); the
+            # wrapper falls back to fast3 when tile/decim alignment
+            # rules out packing
             audio = channelize_demod_decim_v5(
                 x2, halos, self._hp5, self._bperm5,
                 float(self._fm_ref), self.audio_decim, tile_m=tile,

@@ -433,6 +433,189 @@ def _const_of(env: Dict[str, Any], name: str, what: str) -> np.ndarray:
         f"do not map to XLA static shapes)")
 
 
+def _resize(node: OnnxNode, env: Dict[str, Any],
+            a: Dict[str, Any]) -> jnp.ndarray:
+    """ONNX Resize (opset 11+): nearest / linear over any axes whose
+    scale != 1, with the coordinate_transformation_modes real exports
+    use (half_pixel / pytorch_half_pixel / asymmetric / align_corners).
+    scales/sizes must be constants (XLA static shapes); the per-axis
+    source coordinates are precomputed as numpy index/weight tables,
+    so the lowering is static takes — no dynamic gather.
+
+    Reference op surface:
+    /root/reference/include/jetstream/domains/ml/onnx_inference/module.hh:9-17
+    (ORT executes the full opset; this covers the export-common
+    subset)."""
+    x = env[node.inputs[0]]
+    mode = a.get("mode", b"nearest")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    ct = a.get("coordinate_transformation_mode", b"half_pixel")
+    ct = ct.decode() if isinstance(ct, bytes) else ct
+    nearest_mode = a.get("nearest_mode", b"round_prefer_floor")
+    nearest_mode = (nearest_mode.decode()
+                    if isinstance(nearest_mode, bytes)
+                    else nearest_mode)
+    if mode not in ("nearest", "linear"):
+        raise UnsupportedOnnxOp(f"Resize mode {mode!r}")
+    if ct not in ("half_pixel", "pytorch_half_pixel", "asymmetric",
+                  "align_corners"):
+        raise UnsupportedOnnxOp(
+            f"Resize coordinate_transformation_mode {ct!r}")
+    # output extents from sizes (input 3) or scales (input 2)
+    out_shape = None
+    if len(node.inputs) > 3 and node.inputs[3]:
+        out_shape = [int(d) for d in
+                     _const_of(env, node.inputs[3], "Resize sizes")]
+    else:
+        scales = np.asarray(
+            _const_of(env, node.inputs[2], "Resize scales"),
+            np.float64).reshape(-1)
+        if scales.size != x.ndim:
+            raise UnsupportedOnnxOp(
+                f"Resize: {scales.size} scales for rank {x.ndim}")
+        out_shape = [int(np.floor(s * d))
+                     for s, d in zip(scales, x.shape)]
+
+    def src_coord(out_i: np.ndarray, n_out: int, n_in: int
+                  ) -> np.ndarray:
+        sc = n_out / n_in
+        if ct == "asymmetric":
+            return out_i / sc
+        if ct == "align_corners":
+            if n_out == 1:
+                return np.zeros_like(out_i, np.float64)
+            return out_i * (n_in - 1) / (n_out - 1)
+        c = (out_i + 0.5) / sc - 0.5
+        if ct == "pytorch_half_pixel" and n_out <= 1:
+            return np.zeros_like(out_i, np.float64)
+        return c
+
+    y = x
+    for ax in range(x.ndim):
+        n_in, n_out = x.shape[ax], out_shape[ax]
+        if n_in == n_out:
+            continue
+        oi = np.arange(n_out, dtype=np.float64)
+        c = src_coord(oi, n_out, n_in)
+        if mode == "nearest":
+            if nearest_mode == "floor":
+                idx = np.floor(c)
+            elif nearest_mode == "ceil":
+                idx = np.ceil(c)
+            elif nearest_mode == "round_prefer_ceil":
+                idx = np.floor(c + 0.5)
+            else:                      # round_prefer_floor
+                idx = np.ceil(c - 0.5)
+            idx = np.clip(idx, 0, n_in - 1).astype(np.int32)
+            y = jnp.take(y, jnp.asarray(idx), axis=ax)
+        else:                          # linear
+            lo = np.clip(np.floor(c), 0, n_in - 1).astype(np.int32)
+            hi = np.clip(lo + 1, 0, n_in - 1)
+            w = np.clip(c - lo, 0.0, 1.0).astype(np.float32)
+            wshape = [1] * y.ndim
+            wshape[ax] = n_out
+            wj = jnp.asarray(w).reshape(wshape)
+            y = (jnp.take(y, jnp.asarray(lo), axis=ax) * (1 - wj)
+                 + jnp.take(y, jnp.asarray(hi), axis=ax) * wj)
+    return y
+
+
+def _recurrent(op: str, node: OnnxNode, env: Dict[str, Any],
+               a: Dict[str, Any], inp, set_out) -> None:
+    """ONNX GRU / LSTM (default activations, layout=0) via lax.scan.
+
+    Gate order per spec: GRU = z r h, LSTM = i o f c.  Supports
+    forward / reverse / bidirectional, optional bias and initial
+    states; sequence_lens, peepholes, clip and custom activations
+    raise UnsupportedOnnxOp."""
+    if a.get("layout", 0):
+        raise UnsupportedOnnxOp(f"{op} layout=1")
+    if a.get("clip") or a.get("activations"):
+        raise UnsupportedOnnxOp(f"{op} custom clip/activations")
+    ngates = 3 if op == "GRU" else 4
+    X = env[node.inputs[0]]            # (seq, batch, input)
+    W = jnp.asarray(env[node.inputs[1]])   # (dirs, G*H, input)
+    R = jnp.asarray(env[node.inputs[2]])   # (dirs, G*H, H)
+    dirs = W.shape[0]
+    H = W.shape[1] // ngates
+    seq, batch = X.shape[0], X.shape[1]
+    Bb = inp(3)
+    if len(node.inputs) > 4 and node.inputs[4]:
+        raise UnsupportedOnnxOp(f"{op} sequence_lens")
+    if op == "LSTM" and len(node.inputs) > 7 and node.inputs[7]:
+        raise UnsupportedOnnxOp("LSTM peepholes")
+    h0 = inp(5)
+    if h0 is None:
+        h0 = jnp.zeros((dirs, batch, H), X.dtype)
+    c0 = inp(6) if op == "LSTM" else None
+    if op == "LSTM" and c0 is None:
+        c0 = jnp.zeros((dirs, batch, H), X.dtype)
+    lbr = int(a.get("linear_before_reset", 0))
+    direction = a.get("direction", b"forward")
+    direction = (direction.decode()
+                 if isinstance(direction, bytes) else direction)
+    exp_dirs = 2 if direction == "bidirectional" else 1
+    if dirs != exp_dirs:
+        raise UnsupportedOnnxOp(
+            f"{op}: W has {dirs} directions for {direction}")
+
+    def run_dir(d: int, reverse: bool):
+        Wd, Rd = W[d].T, R[d].T        # (input, G*H), (H, G*H)
+        if Bb is not None:
+            wb = jnp.asarray(Bb)[d, :ngates * H]
+            rb = jnp.asarray(Bb)[d, ngates * H:]
+        else:
+            wb = rb = jnp.zeros((ngates * H,), X.dtype)
+        xs = jnp.flip(X, 0) if reverse else X
+        xg = jnp.dot(xs, Wd) + wb      # (seq, batch, G*H)
+
+        if op == "GRU":
+            def step(h, xt):
+                hg = jnp.dot(h, Rd)
+                z = jax.nn.sigmoid(xt[..., :H] + hg[..., :H]
+                                   + rb[:H])
+                r = jax.nn.sigmoid(xt[..., H:2 * H]
+                                   + hg[..., H:2 * H] + rb[H:2 * H])
+                if lbr:
+                    hh = jnp.tanh(xt[..., 2 * H:]
+                                  + r * (hg[..., 2 * H:]
+                                         + rb[2 * H:]))
+                else:
+                    hh = jnp.tanh(xt[..., 2 * H:]
+                                  + jnp.dot(r * h, Rd[:, 2 * H:])
+                                  + rb[2 * H:])
+                hn = (1 - z) * hh + z * h
+                return hn, hn
+
+            hT, ys = jax.lax.scan(step, h0[d], xg)
+            cT = None
+        else:
+            def step(carry, xt):
+                h, c = carry
+                g = xt + jnp.dot(h, Rd) + rb
+                i = jax.nn.sigmoid(g[..., :H])
+                o = jax.nn.sigmoid(g[..., H:2 * H])
+                f = jax.nn.sigmoid(g[..., 2 * H:3 * H])
+                cc = jnp.tanh(g[..., 3 * H:])
+                cn = f * c + i * cc
+                hn = o * jnp.tanh(cn)
+                return (hn, cn), hn
+
+            (hT, cT), ys = jax.lax.scan(step, (h0[d], c0[d]), xg)
+        if reverse:
+            ys = jnp.flip(ys, 0)
+        return ys, hT, cT
+
+    outs = [run_dir(0, direction == "reverse")]
+    if direction == "bidirectional":
+        outs.append(run_dir(1, True))
+    Y = jnp.stack([o[0] for o in outs], axis=1)  # (seq,dirs,batch,H)
+    set_out(0, Y)
+    set_out(1, jnp.stack([o[1] for o in outs], axis=0))
+    if op == "LSTM":
+        set_out(2, jnp.stack([o[2] for o in outs], axis=0))
+
+
 def _apply_node(node: OnnxNode, env: Dict[str, Any],
                 precision=None, opset: int = 13) -> None:
     op = node.op_type
@@ -550,6 +733,16 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         # onnx pooling strides default to 1 (NOT the kernel shape)
         strides = a.get("strides") or [1] * spatial
         pads = _auto_pad(a, spatial, kshape, x.shape[2:], strides)
+        if a.get("ceil_mode", 0):
+            # ceil output extent: widen the end pad so the last
+            # (partial) window is included
+            pads = list(pads)
+            for i in range(spatial):
+                n = x.shape[2 + i] + pads[i][0] + pads[i][1]
+                s, k = int(strides[i]), int(kshape[i])
+                extra = (-((n - k) % -s)) % s
+                if extra:
+                    pads[i] = (pads[i][0], pads[i][1] + extra)
         window = (1, 1) + kshape
         wstr = (1, 1) + tuple(int(s) for s in strides)
         pad4 = [(0, 0), (0, 0)] + pads
@@ -792,8 +985,74 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         set_out(0, inp(0))             # inference mode: identity
         if len(node.outputs) > 1:
             set_out(1, jnp.ones(inp(0).shape, bool))
+    elif op == "InstanceNormalization":
+        x, scale, bias = inp(0), inp(1), inp(2)
+        eps = a.get("epsilon", 1e-5)
+        axes = tuple(range(2, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes,
+                       keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        y = (x - mean) * jax.lax.rsqrt(var + eps) \
+            * scale.reshape(shape)
+        if bias is not None:
+            y = y + bias.reshape(shape)
+        set_out(0, y)
+    elif op == "Resize":
+        set_out(0, _resize(node, env, a))
+    elif op in ("GRU", "LSTM"):
+        _recurrent(op, node, env, a,
+                   lambda i, d=None: inp(i, d), set_out)
     else:
         raise UnsupportedOnnxOp(op)
+
+
+#: ops the pure-JAX executor implements (the validation set for
+#: build_fn and the census tool)
+KNOWN_OPS = frozenset({
+    "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Exp", "Log",
+    "Neg", "Abs", "Erf", "Sin", "Cos", "Relu", "LeakyRelu",
+    "Gelu", "Sigmoid", "Tanh", "Identity", "Clip", "Softmax",
+    "Min", "Max", "Equal", "Greater", "Less", "Where",
+    "MatMul", "Gemm", "Conv",
+    "MaxPool", "AveragePool", "GlobalAveragePool",
+    "BatchNormalization", "LayerNormalization",
+    "Reshape", "Transpose", "Flatten",
+    "Squeeze", "Unsqueeze", "Expand", "Split", "Pad", "Concat",
+    "Slice", "Gather",
+    "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
+    "ArgMax", "Trilu", "Range", "ConstantOfShape",
+    "Constant", "Cast", "Shape",
+    "Dropout",
+    "InstanceNormalization", "Resize", "GRU", "LSTM",
+})
+
+
+def op_census(graph: OnnxGraph) -> Dict[str, Any]:
+    """Per-op census of a parsed model: what it uses, what the pure-
+    JAX executor covers, and which nodes would block execution.
+
+    CLI: ``python -m cyberether_tpu onnx-census model.onnx``.
+    (Reference delegates the full opset to ONNX Runtime —
+    /root/reference/src/domains/ml/onnx_inference/module_impl.cc;
+    this tool tells a user up front whether a given export runs on
+    the JAX route or needs the optional ORT provider.)"""
+    counts: Dict[str, int] = {}
+    for n in graph.nodes:
+        counts[n.op_type] = counts.get(n.op_type, 0) + 1
+    unsupported = {k: v for k, v in counts.items()
+                   if k not in KNOWN_OPS}
+    return {
+        "graph": graph.name,
+        "opset": graph.opset,
+        "node_count": len(graph.nodes),
+        "ops": dict(sorted(counts.items())),
+        "unsupported": dict(sorted(unsupported.items())),
+        "runnable": not unsupported,
+        "inputs": [(n, d) for n, _, d in graph.inputs
+                   if n not in graph.initializers],
+        "outputs": [(n, d) for n, _, d in graph.outputs],
+    }
 
 
 def build_fn(graph: OnnxGraph, precision: Optional[str] = None
@@ -811,23 +1070,7 @@ def build_fn(graph: OnnxGraph, precision: Optional[str] = None
     prec = ({"highest": jax.lax.Precision.HIGHEST,
              "high": jax.lax.Precision.HIGH}[precision.lower()]
             if isinstance(precision, str) else precision)
-    known = {
-        "Add", "Sub", "Mul", "Div", "Pow", "Sqrt", "Exp", "Log",
-        "Neg", "Abs", "Erf", "Sin", "Cos", "Relu", "LeakyRelu",
-        "Gelu", "Sigmoid", "Tanh", "Identity", "Clip", "Softmax",
-        "Min", "Max", "Equal", "Greater", "Less", "Where",
-        "MatMul", "Gemm", "Conv",
-        "MaxPool", "AveragePool", "GlobalAveragePool",
-        "BatchNormalization", "LayerNormalization",
-        "Reshape", "Transpose", "Flatten",
-        "Squeeze", "Unsqueeze", "Expand", "Split", "Pad", "Concat",
-        "Slice", "Gather",
-        "ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
-        "ArgMax", "Trilu", "Range", "ConstantOfShape",
-        "Constant", "Cast", "Shape",
-        "Dropout",
-    }
-    bad = sorted({n.op_type for n in graph.nodes} - known)
+    bad = sorted({n.op_type for n in graph.nodes} - KNOWN_OPS)
     if bad:
         raise UnsupportedOnnxOp(
             f"ops outside the pure-JAX subset: {bad}")

