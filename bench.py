@@ -340,6 +340,10 @@ def bench_spectrum() -> float:
             ("pallas-ct-fast",
              lambda x, w: pipe.step_pallas_ct(x, win=w, exact=False),
              dict(mxu_flops=ct_flops)),
+            ("pallas-ct-fastb",
+             lambda x, w: pipe.step_pallas_ct(x, win=w,
+                                              stage2="dbatch"),
+             dict(mxu_flops=ct_flops)),
             ("pallas-f32", lambda x, w: pipe.step_pallas(x, win=w),
              dict(mxu_flops=dft_flops)),
             ("pallas-bf16",

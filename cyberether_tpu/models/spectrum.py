@@ -101,7 +101,15 @@ class SpectrumPipeline:
         False (display grade 1-pass stage 2, 34.6 G).  ``stage2``
         overrides the mapping: "highest" | "x4" (manual 4-product bf16
         compensation, ~3.2e-4 — the bf16 hi+lo representation limit;
-        23.4 G) | "default".  ``version``: "ct5" (production:
+        23.4 G) | "default" | "dbatch" (display matmuls batched over
+        k1: 36.3 G, r5b — the fast-display production pick) | "k5" /
+        "k6" (hoisted 3-way-split K-stacked bf16: 1.4e-4 at 19.7 G /
+        3.4e-5 at 17.9 G, r5d) | "hfft64"/"fft64"/"hbatch" (measured
+        negative results, kept for A/B — see tools/ablation/r5*).
+        Five stage-2 restructures were measured on hardware in round
+        5; the HIGHEST 6-pass cost tracks MAC passes (not call count,
+        not VPU splitting), so "highest" remains the exact tier.
+        ``version``: "ct5" (production:
         FFT-structured stage 1, needs power-of-two n/128 — falls back
         to ct4 otherwise), "ct4" (direct stage-1 MACs, any m), or
         "ct1" (round-3 layout, kept for A/B)."""

@@ -1849,10 +1849,10 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     assert m & (m - 1) == 0 and m <= 32, \
         f"ct5 needs a power-of-two chunk count <= 32 (got {m})"
     if not tile_b:
-        # measured (r4j): the 1-pass display tier gains from the
+        # measured (r4j/r5b): the 1-pass display tiers gain from the
         # bigger batch tile; the multi-pass tiers' extra stage-2
         # operands put tile 256 over the scoped-vmem limit
-        tile_b = 256 if stage2 == "default" else 128
+        tile_b = 256 if stage2 in ("default", "dbatch") else 128
     tile_b = min(tile_b, B)
     while tile_b > 8 and B % tile_b:
         tile_b //= 2

@@ -221,9 +221,34 @@ function paletteCommands() {
     {label: "toggle theme", run: () =>
       document.getElementById("themebtn").click()},
     {label: "save layout", run: () =>
-      document.getElementById("savebtn").click()});
+      document.getElementById("savebtn").click()},
+    {label: "undo", run: () => doUndoRedo("undo")},
+    {label: "redo", run: () => doUndoRedo("redo")});
   return cmds;
 }
+
+// ---- undo/redo: server-side snapshot journal (Sakura action queue
+// cognate); ctrl-Z / ctrl-shift-Z / ctrl-Y --------------------------
+async function doUndoRedo(kind) {
+  if (!fgName) return;
+  try {
+    const res = await apiSend("POST",
+      `flowgraph/${fgName}/${kind}`, {});
+    if (res.ok) { sel = null; toast(kind + " ✓"); refresh(); }
+    else toast(`nothing to ${kind}`, true);
+  } catch (e) { toast(`${kind} failed: ` + e.message, true); }
+}
+document.addEventListener("keydown", (ev) => {
+  if (!(ev.ctrlKey || ev.metaKey)) return;
+  const tag = (document.activeElement || {}).tagName;
+  if (tag === "INPUT" || tag === "TEXTAREA") return;
+  const k = ev.key.toLowerCase();
+  if (k === "z" && !ev.shiftKey) {
+    ev.preventDefault(); doUndoRedo("undo");
+  } else if (k === "y" || (k === "z" && ev.shiftKey)) {
+    ev.preventDefault(); doUndoRedo("redo");
+  }
+});
 
 function openPalette() {
   showModal("command palette",

@@ -67,21 +67,46 @@ def py_highlight(src: str, err_line: int = 0) -> str:
 _MD_H = re.compile(r"^(#{1,3})\s+(.*)$", re.M)
 
 
+def _md_inline(body: str) -> str:
+    body = re.sub(r"\*\*([^*]+)\*\*", r"<b>\1</b>", body)
+    body = re.sub(r"\*([^*]+)\*", r"<i>\1</i>", body)
+    body = re.sub(r"`([^`]+)`", r"<code>\1</code>", body)
+    # [text](url): escape already ran, so quotes are entities
+    return re.sub(r"\[([^\]]+)\]\((https?://[^)\s]+)\)",
+                  r'<a href="\2" target="_blank">\1</a>', body)
+
+
 def md_to_html(md: str) -> str:
-    """Minimal markdown (headers/bold/italic/code) -> HTML, matching
-    the note block's preview."""
+    """Minimal markdown (headers/bold/italic/code/lists/links) ->
+    HTML, matching the note block's preview (the Sakura markdown
+    view/editor pair, include/jetstream/render/sakura/base.hh)."""
     esc = _esc(md)
     parts = []
     for par in re.split(r"\n\n+", esc):
         h = _MD_H.search(par)
         if h:
             n = len(h.group(1))
-            parts.append(f"<h{n}>{h.group(2)}</h{n}>")
+            parts.append(f"<h{n}>{_md_inline(h.group(2))}</h{n}>")
             continue
-        body = re.sub(r"\*\*([^*]+)\*\*", r"<b>\1</b>", par)
-        body = re.sub(r"\*([^*]+)\*", r"<i>\1</i>", body)
-        body = re.sub(r"`([^`]+)`", r"<code>\1</code>", body)
-        parts.append("<p>" + body.replace("\n", "<br>") + "</p>")
+        lines = par.splitlines()
+        if lines and all(re.match(r"^\s*[-*+]\s+", ln)
+                         for ln in lines if ln.strip()):
+            items = "".join(
+                "<li>" + _md_inline(
+                    re.sub(r"^\s*[-*+]\s+", "", ln)) + "</li>"
+                for ln in lines if ln.strip())
+            parts.append(f"<ul>{items}</ul>")
+            continue
+        if lines and all(re.match(r"^\s*\d+[.)]\s+", ln)
+                         for ln in lines if ln.strip()):
+            items = "".join(
+                "<li>" + _md_inline(
+                    re.sub(r"^\s*\d+[.)]\s+", "", ln)) + "</li>"
+                for ln in lines if ln.strip())
+            parts.append(f"<ol>{items}</ol>")
+            continue
+        parts.append("<p>" + _md_inline(par).replace("\n", "<br>")
+                     + "</p>")
     return "".join(parts)
 
 

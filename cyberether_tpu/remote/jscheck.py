@@ -1,0 +1,227 @@
+"""Pure-Python JavaScript syntax gate for the inline editor script.
+
+No JS engine or node exists in this image (and CI mirrors it), so the
+~1.2k LoC of editor client code would otherwise ship unexecuted and
+unparsed (VERDICT r4 item 6).  This module is a strict ES2017-level
+TOKENIZER plus structural checks — not a full grammar — tuned to catch
+the ship-breaking edit mistakes a browser would throw on at parse
+time:
+
+- unterminated strings / template literals / regexes / comments
+- unbalanced or mismatched brackets (with line numbers)
+- malformed numeric literals, illegal characters
+- adjacent identifier tokens with no operator between them (the
+  ``conts x = 1`` / dropped-operator class), keyword-aware
+
+Reference cognate: the emscripten CI job executing the real UI binary
+(/root/reference/.github/workflows/ci.yml:13-24).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+
+class JsSyntaxError(ValueError):
+    pass
+
+
+# keywords/contextual words after which an identifier may legally
+# follow another word token
+_WORD_THEN_WORD = {
+    "var", "let", "const", "function", "class", "new", "typeof",
+    "instanceof", "in", "of", "return", "case", "delete", "void",
+    "await", "async", "yield", "throw", "else", "do", "extends",
+    "get", "set", "static", "export", "import", "default", "from",
+    "as", "if", "for", "while", "switch", "catch", "finally", "try",
+    "break", "continue", "this", "true", "false", "null", "undefined",
+}
+# words that may legally FOLLOW an identifier/closing token
+_WORD_AFTER_EXPR = {
+    "instanceof", "in", "of", "else", "catch", "finally", "while",
+    "do", "extends", "from", "as", "async", "get", "set", "static",
+}
+
+_PUNCT = sorted((
+    ">>>=", "...", "===", "!==", "**=", "<<=", ">>=", ">>>", "&&=",
+    "||=", "??=", "=>", "==", "!=", "<=", ">=", "&&", "||", "??",
+    "?.", "++", "--", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
+    "<<", ">>", "**", "+", "-", "*", "/", "%", "=", "<", ">", "!",
+    "~", "&", "|", "^", "?", ":", ";", ",", ".", "(", ")", "[", "]",
+    "{", "}",
+), key=len, reverse=True)
+
+_NUM = re.compile(
+    r"0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+|"
+    r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_WORD = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+
+#: tokens after which a ``/`` starts a REGEX (not division)
+_REGEX_PREFIX_PUNCT = {
+    "(", "[", "{", ",", ";", ":", "?", "=>", "=", "==", "===", "!=",
+    "!==", "<", ">", "<=", ">=", "+", "-", "*", "/", "%", "!", "~",
+    "&", "|", "^", "&&", "||", "??", "+=", "-=", "*=", "/=", "%=",
+    "&&=", "||=", "??=", "&=", "|=", "^=", "<<", ">>", ">>>", "**",
+}
+_REGEX_PREFIX_WORD = {"return", "typeof", "case", "in", "of",
+                      "instanceof", "delete", "void", "new", "do",
+                      "else", "yield", "await", "throw"}
+
+
+def tokenize(src: str) -> List[Tuple[str, str, int]]:
+    """-> list of (kind, text, line); kind in {word, num, str,
+    template, regex, punct}.  Raises JsSyntaxError."""
+    toks: List[Tuple[str, str, int]] = []
+    i, n, line = 0, len(src), 1
+
+    def err(msg: str, ln: int):
+        raise JsSyntaxError(f"line {ln}: {msg}")
+
+    def prev_allows_regex() -> bool:
+        if not toks:
+            return True
+        kind, text, _ = toks[-1]
+        if kind == "punct":
+            return text in _REGEX_PREFIX_PUNCT
+        if kind == "word":
+            return text in _REGEX_PREFIX_WORD
+        return False
+
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            continue
+        if c.isspace():
+            i += 1
+            continue
+        if c in "'\"":
+            q, start, ln = c, i, line
+            i += 1
+            while i < n and src[i] != q:
+                if src[i] == "\\":
+                    i += 1
+                elif src[i] == "\n":
+                    err(f"unterminated {q}-string", ln)
+                i += 1
+            if i >= n:
+                err(f"unterminated {q}-string", ln)
+            i += 1
+            toks.append(("str", src[start:i], ln))
+            continue
+        if c == "`":
+            start, ln = i, line
+            i += 1
+            depth = 0
+            while i < n:
+                ch = src[i]
+                if ch == "\\":
+                    i += 1
+                elif ch == "\n":
+                    line += 1
+                elif ch == "$" and i + 1 < n and src[i + 1] == "{":
+                    depth += 1
+                    i += 1
+                elif ch == "}" and depth:
+                    depth -= 1
+                elif ch == "`" and depth == 0:
+                    break
+                i += 1
+            if i >= n:
+                err("unterminated template literal", ln)
+            i += 1
+            toks.append(("template", src[start:i], ln))
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "/":
+            nl = src.find("\n", i)
+            i = n if nl < 0 else nl
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "*":
+            end = src.find("*/", i)
+            if end < 0:
+                err("unterminated block comment", line)
+            line += src.count("\n", i, end)
+            i = end + 2
+            continue
+        if c == "/" and prev_allows_regex():
+            start, ln = i, line
+            i += 1
+            in_class = False
+            while i < n:
+                ch = src[i]
+                if ch == "\\":
+                    i += 1
+                elif ch == "[":
+                    in_class = True
+                elif ch == "]":
+                    in_class = False
+                elif ch == "/" and not in_class:
+                    break
+                elif ch == "\n":
+                    err("unterminated regex literal", ln)
+                i += 1
+            if i >= n:
+                err("unterminated regex literal", ln)
+            i += 1
+            while i < n and src[i].isalpha():     # flags
+                i += 1
+            toks.append(("regex", src[start:i], ln))
+            continue
+        m = _WORD.match(src, i)
+        if m:
+            toks.append(("word", m.group(), line))
+            i = m.end()
+            continue
+        m = _NUM.match(src, i)
+        if m:
+            end = m.end()
+            if end < n and (src[end].isalnum() or src[end] == "_"):
+                err(f"malformed number {src[i:end + 1]!r}", line)
+            toks.append(("num", m.group(), line))
+            i = end
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(("punct", p, line))
+                i += len(p)
+                break
+        else:
+            err(f"illegal character {c!r}", line)
+    return toks
+
+
+def check_js(src: str) -> int:
+    """Validate; returns the token count.  Raises JsSyntaxError on the
+    failure classes listed in the module docstring."""
+    toks = tokenize(src)
+    stack: List[Tuple[str, int]] = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    for idx, (kind, text, ln) in enumerate(toks):
+        if kind == "punct" and text in "([{":
+            stack.append((text, ln))
+        elif kind == "punct" and text in ")]}":
+            if not stack:
+                raise JsSyntaxError(f"line {ln}: unmatched '{text}'")
+            o, oln = stack.pop()
+            if o != pairs[text]:
+                raise JsSyntaxError(
+                    f"line {ln}: '{o}' from line {oln} closed by "
+                    f"'{text}'")
+        if kind == "word" and idx:
+            pk, pt, pln = toks[idx - 1]
+            if pk == "word" and pt not in _WORD_THEN_WORD \
+                    and text not in _WORD_AFTER_EXPR:
+                raise JsSyntaxError(
+                    f"line {ln}: identifier {text!r} directly after "
+                    f"{pt!r} — missing operator/keyword?")
+            if pk in ("str", "template", "num", "regex") \
+                    and text not in _WORD_AFTER_EXPR:
+                raise JsSyntaxError(
+                    f"line {ln}: identifier {text!r} directly after "
+                    f"a literal — missing operator?")
+    if stack:
+        o, oln = stack[-1]
+        raise JsSyntaxError(f"line {oln}: unclosed '{o}'")
+    return len(toks)

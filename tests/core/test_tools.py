@@ -89,3 +89,33 @@ def test_platform_dirs(tmp_path, monkeypatch):
 
     assert data_dir().startswith(str(tmp_path))
     assert cache_dir().startswith(str(tmp_path))
+
+
+def test_fetch_url_local():
+    """fetch_url against an in-process HTTP server (the reference's
+    src/platform/url.cc role; no external egress needed)."""
+    import http.server
+    import threading
+
+    from cyberether_tpu.utils.platform import fetch_url
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"payload-ok"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        got = fetch_url(f"http://127.0.0.1:{srv.server_port}/x",
+                        timeout=5.0)
+        assert got == b"payload-ok"
+    finally:
+        srv.shutdown()

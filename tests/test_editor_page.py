@@ -107,6 +107,42 @@ def test_editor_script_delimiters_balance():
     _scan(_script_of(EDITOR_PAGE))
 
 
+def test_editor_script_passes_js_gate():
+    """Tokenizer-level JS syntax gate (VERDICT r4 item 6): strict
+    tokenization + bracket nesting + adjacent-identifier checks over
+    BOTH served pages' inline scripts.  CI fails on the parse-time
+    error classes a browser would throw."""
+    import cyberether_tpu.remote.server as srv
+    from cyberether_tpu.remote.jscheck import check_js
+
+    assert check_js(_script_of(EDITOR_PAGE)) > 5000
+    # the /simple page's script too
+    page = getattr(srv, "_PAGE", "")
+    if "<script>" in page:
+        assert check_js(_script_of(page)) > 0
+
+
+def test_js_gate_catches_breakage():
+    """The gate actually fails on the mistakes it claims to catch."""
+    import pytest
+
+    from cyberether_tpu.remote.jscheck import JsSyntaxError, check_js
+
+    check_js("const a = {b: [1, 2], c: `x${1 + 2}`}; f(/re[/]x/g);")
+    for bad in (
+            "const a = 'unterminated",            # string
+            "let t = `oops ${1 + 2};",            # template
+            "function f() { return 1; ",          # unclosed brace
+            "f(a, b));",                          # extra paren
+            "const x = [1, 2};",                  # mismatched pair
+            "conts x = 1;",                       # dropped keyword
+            "let y = 3foo;",                      # malformed number
+            "let z = 'lit' name;",                # literal-then-word
+            "/* never closed"):                   # comment
+        with pytest.raises(JsSyntaxError):
+            check_js(bad)
+
+
 def test_editor_page_has_ui_entry_points():
     for needle in ("benchbtn", "yamlbtn", "themebtn", "helpbtn",
                    "exsel", "modalbg", "serverHighlight",

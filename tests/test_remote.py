@@ -607,3 +607,139 @@ def test_audio_streams_pcm_over_ws(served_instance):
                                   * np.hanning(4096)))
         peak_hz = np.argmax(spec[1:]) * 8000.0 / 4096
         assert abs(peak_hz - 440.0) < 10.0, peak_hz
+
+
+def test_undo_redo_protocol(served_instance):
+    """Server-side undo/redo journal (VERDICT r4 item 7): every
+    mutating endpoint snapshots the flowgraph; POST undo/redo restore
+    across create, reconfigure, connect, destroy and layout."""
+    # no history yet -> undo reports nothing
+    res = _post("/api/v1/flowgraph/main/undo", {})
+    assert res["ok"] is False
+
+    # create -> undo removes it -> redo restores it
+    _post("/api/v1/flowgraph/main/block",
+          {"name": "und1", "type": "amplitude"})
+    assert "und1" in _get("/api/v1/flowgraphs")["main"]["blocks"]
+    assert _post("/api/v1/flowgraph/main/undo", {})["ok"]
+    assert "und1" not in _get("/api/v1/flowgraphs")["main"]["blocks"]
+    res = _post("/api/v1/flowgraph/main/redo", {})
+    assert res["ok"] and "und1" in res["blocks"]
+
+    # reconfigure -> undo restores the old config
+    _post("/api/v1/flowgraph/main/block/gen",
+          {"config": {"signalType": "cosine",
+                      "signalDataType": "CF32", "sampleRate": 1e6,
+                      "frequency": 99e3, "bufferSize": 1024}},
+          method="PATCH")
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["gen"]["config"]["frequency"] == 99e3
+    assert _post("/api/v1/flowgraph/main/undo", {})["ok"]
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["gen"]["config"]["frequency"] == 125e3
+
+    # connect + destroy undo: wire und1 then destroy it; two undos
+    # bring the graph back through both states
+    _post("/api/v1/flowgraph/main/connect",
+          {"name": "und1", "port": "signal",
+           "link": "${graph.spec.output.buffer}"})
+    _post("/api/v1/flowgraph/main/block/und1", {}, method="DELETE")
+    assert "und1" not in _get("/api/v1/flowgraphs")["main"]["blocks"]
+    assert _post("/api/v1/flowgraph/main/undo", {})["ok"]   # undo del
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["und1"]["inputs"]["signal"] \
+        == "${graph.spec.output.buffer}"
+    # a NEW mutation clears the redo stack
+    _post("/api/v1/flowgraph/main/layout", {"und1": [10, 20]})
+    res = _post("/api/v1/flowgraph/main/redo", {})
+    assert res["ok"] is False
+
+
+def test_note_markdown_editing_protocol(served_instance):
+    """The Sakura markdown editor+view pair at the protocol level:
+    create a note block, edit its markdown through reconfigure, and
+    render the preview via the server-side highlight endpoint (the
+    exact calls the live editor textarea makes)."""
+    _post("/api/v1/flowgraph/main/block",
+          {"name": "nb", "type": "note",
+           "config": {"content": "# Title\n\n*hello*"}})
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert view["blocks"]["nb"]["config"]["content"].startswith("#")
+
+    # live edit: PATCH with new markdown (editor textarea -> apply)
+    _post("/api/v1/flowgraph/main/block/nb",
+          {"config": {"content": "# Edited\n\n- a\n- b"}},
+          method="PATCH")
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert "Edited" in view["blocks"]["nb"]["config"]["content"]
+
+    # preview render: the mdprev path POSTs /highlight kind=markdown
+    res = _post("/api/v1/highlight",
+                {"code": "# Edited\n\n- a\n- b", "kind": "md"})
+    html = res["html"]
+    assert "<h1>" in html and "<li>" in html
+
+    # undo the edit restores the original markdown
+    assert _post("/api/v1/flowgraph/main/undo", {})["ok"]
+    view = _get("/api/v1/flowgraphs")["main"]
+    assert "Title" in view["blocks"]["nb"]["config"]["content"]
+
+
+def test_codec_seam():
+    """Pluggable frame-encoder seam (VERDICT r4 item 8): built-ins
+    selected by config, unknown names error with the available list,
+    and a plugin-registered encoder flows through _encode_binary."""
+    import io as _io
+
+    from PIL import Image
+
+    from cyberether_tpu.remote.codecs import (
+        FrameEncoder, get_encoder, list_encoders, register_encoder)
+    from cyberether_tpu.remote.server import _encode_binary
+
+    assert {"jpeg", "png"} <= set(list_encoders())
+    frame = (np.random.default_rng(0).integers(
+        0, 255, (32, 48, 4))).astype(np.uint8)
+
+    # jpeg keyframe / png delta (the production pair)
+    hdr, payload = _encode_binary("s", {"frame": frame},
+                                  codec=get_encoder("jpeg"))
+    h = json.loads(hdr)
+    assert h["enc"] == "jpeg"
+    assert Image.open(_io.BytesIO(payload)).size == (48, 32)
+    hdr, payload = _encode_binary(
+        "s", {"frame": frame, "scroll_seq": 3}, delta_rows=8,
+        codec=get_encoder("jpeg"))
+    h = json.loads(hdr)
+    assert h["enc"] == "png" and h["mode"] == "delta" and h["rows"] == 8
+
+    # all-png codec
+    hdr, _ = _encode_binary("s", {"frame": frame},
+                            codec=get_encoder("png"))
+    assert json.loads(hdr)["enc"] == "png"
+
+    # unknown codec errors helpfully
+    with pytest.raises(ValueError, match="unknown frame codec"):
+        get_encoder("h264")
+
+    # plugin registration
+    class RawEncoder(FrameEncoder):
+        name = "raw"
+
+        def encode(self, arr, lossless):
+            a = np.ascontiguousarray(arr)
+            return "raw", a.tobytes(), a.shape[1], a.shape[0]
+
+    register_encoder("raw", RawEncoder)
+    hdr, payload = _encode_binary("s", {"frame": frame},
+                                  codec=get_encoder("raw"))
+    assert json.loads(hdr)["enc"] == "raw"
+    assert payload == frame.tobytes()
+
+    # RemoteServer resolves the codec by name
+    from cyberether_tpu.core.instance import Instance
+    from cyberether_tpu.remote.server import RemoteServer
+
+    inst = Instance(headless=True)
+    srv = RemoteServer(inst, port=0, codec="png")
+    assert srv.codec.name == "png"
