@@ -389,7 +389,51 @@ graph:
 """
 
 
+def _ml_inference_yaml() -> str:
+    """ML inference example (reference: the onnx_inference domain,
+    include/jetstream/domains/ml/onnx_inference/module.hh): a live
+    signal patch feeds the bundled convnet
+    (cyberether_tpu/data/mlp.onnx, the committed test fixture's twin)
+    and the class scores render as a lineplot."""
+    import os
+
+    model = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "mlp.onnx")
+    return f"""
+version: 2
+title: ML Inference
+summary: ONNX convnet over a live signal patch (pure-JAX executor).
+graph:
+  - name: gen
+    module: signal_generator
+    config:
+      signalType: sine
+      signalDataType: F32
+      sampleRate: 64000
+      frequency: 2000
+      bufferSize: 64
+  - name: rs
+    module: reshape
+    config: {{shape: [1, 1, 8, 8]}}
+    input: {{buffer: '${{graph.gen.output.signal}}'}}
+  - name: net
+    module: onnx_inference
+    config:
+      modelPath: '{model}'
+    input: {{input: '${{graph.rs.output.buffer}}'}}
+  - name: rs2
+    module: reshape
+    config: {{shape: [10]}}
+    input: {{buffer: '${{graph.net.output.output}}'}}
+  - name: plot
+    module: lineplot
+    input: {{signal: '${{graph.rs2.output.buffer}}'}}
+"""
+
+
 def register_examples() -> None:
+    registry.register_example("ml-inference", "ML Inference",
+                              _ml_inference_yaml())
     registry.register_example("flight-tracker", "Flight Tracker",
                               FLIGHT_TRACKER)
     registry.register_example("multi-fm", "Multi FM", MULTI_FM)

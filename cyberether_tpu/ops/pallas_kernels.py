@@ -1475,19 +1475,21 @@ def _bit_reverse(n: int):
     return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
 
 
-def _chunk_fft(xr_ref, xi_ref, win_ref, m: int):
+def _chunk_fft(xr_ref, xi_ref, win_ref, m: int, rows=None):
     """In-kernel m-point FFT over the CHUNK axis: butterflies combine
     whole (tile_b, 128) chunk values with scalar twiddles — static
     indices, full vreg width, no lane movement.  ``win_ref`` (1, n)
-    multiplies per chunk when given (None: pure transform).  Returns
+    multiplies per chunk when given (None: pure transform).  ``rows``
+    optionally restricts to a static row slice (r0, r1).  Returns
     (re, im): m full-width values in natural k1 order."""
     f32 = jnp.float32
     rev = _bit_reverse(m)
     re = [None] * m
     im = [None] * m
+    r0, r1 = rows if rows is not None else (0, xr_ref.shape[0])
     for pos, n1 in enumerate(rev):
-        xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128]
-        xci = xi_ref[:, n1 * 128:(n1 + 1) * 128]
+        xcr = xr_ref[r0:r1, n1 * 128:(n1 + 1) * 128]
+        xci = xi_ref[r0:r1, n1 * 128:(n1 + 1) * 128]
         if win_ref is not None:
             w = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
             xcr = xcr * w
@@ -1640,6 +1642,42 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
         if stage2 == "x4":
             acc = acc + jnp.dot(xl, ml, preferred_element_type=f32)
         return acc
+
+    if stage2.startswith("hsplit"):
+        # exact tier, overlap experiment: process the batch tile in S
+        # independent row slices, emitting each slice's stage-1 VPU
+        # butterflies and stage-2 HIGHEST matmuls as separate chains —
+        # the slices share no data, so the scheduler MAY overlap slice
+        # i+1's VPU stage 1 under slice i's exposed MXU stage 2.
+        S = int(stage2[6:] or 2)
+        hi = jax.lax.Precision.HIGHEST
+        step = tile_b // S
+        for s in range(S):
+            r0, r1 = s * step, (s + 1) * step
+            re_s, im_s = _chunk_fft(xr_ref, xi_ref, win_ref, m,
+                                    rows=(r0, r1))
+            for k1 in range(m):
+                tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
+                ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
+                br = re_s[k1] * tr - im_s[k1] * ti
+                bi = re_s[k1] * ti + im_s[k1] * tr
+                cmt = mhi_ref[0:128, :]
+                smt = mhi_ref[128:256, :]
+
+                def d(x, mm_):
+                    return jnp.dot(x, mm_,
+                                   preferred_element_type=f32,
+                                   precision=hi)
+
+                yr = d(br, cmt) + d(bi, smt)
+                yi = d(bi, cmt) - d(br, smt)
+                mag2 = yr * yr + yi * yi
+                db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) \
+                    + f32(coeff)
+                norm = db * f32(scale) + f32(offset)
+                out_ref[r0:r1, k1 * 128:(k1 + 1) * 128] = \
+                    0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+        return
 
     re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m)
 
