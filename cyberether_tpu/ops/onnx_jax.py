@@ -457,6 +457,9 @@ def _resize(node: OnnxNode, env: Dict[str, Any],
                     else nearest_mode)
     if mode not in ("nearest", "linear"):
         raise UnsupportedOnnxOp(f"Resize mode {mode!r}")
+    if a.get("axes"):
+        # opset-18 per-axis form changes how scales/sizes are indexed
+        raise UnsupportedOnnxOp("Resize with 'axes' attribute")
     if ct not in ("half_pixel", "pytorch_half_pixel", "asymmetric",
                   "align_corners"):
         raise UnsupportedOnnxOp(
@@ -530,8 +533,21 @@ def _recurrent(op: str, node: OnnxNode, env: Dict[str, Any],
     raise UnsupportedOnnxOp."""
     if a.get("layout", 0):
         raise UnsupportedOnnxOp(f"{op} layout=1")
-    if a.get("clip") or a.get("activations"):
-        raise UnsupportedOnnxOp(f"{op} custom clip/activations")
+    if a.get("clip"):
+        raise UnsupportedOnnxOp(f"{op} clip")
+    acts = a.get("activations")
+    if acts:
+        # exporters often write the spec defaults explicitly; only a
+        # genuinely custom set is unsupported
+        names = [x.decode().lower() if isinstance(x, bytes)
+                 else str(x).lower() for x in acts]
+        per_dir = (["sigmoid", "tanh"] if op == "GRU"
+                   else ["sigmoid", "tanh", "tanh"])
+        dirs_attr = 2 if a.get("direction") in (
+            b"bidirectional", "bidirectional") else 1
+        if names not in (per_dir, per_dir * dirs_attr):
+            raise UnsupportedOnnxOp(
+                f"{op} custom activations {names}")
     ngates = 3 if op == "GRU" else 4
     X = env[node.inputs[0]]            # (seq, batch, input)
     W = jnp.asarray(env[node.inputs[1]])   # (dirs, G*H, input)

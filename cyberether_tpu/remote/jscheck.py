@@ -211,12 +211,16 @@ def check_js(src: str) -> int:
                     f"'{text}'")
         if kind == "word" and idx:
             pk, pt, pln = toks[idx - 1]
-            if pk == "word" and pt not in _WORD_THEN_WORD \
+            # a newline between the tokens can be ASI — only adjacency
+            # ON THE SAME LINE is definitely a dropped operator/keyword
+            if pln == ln and pk == "word" \
+                    and pt not in _WORD_THEN_WORD \
                     and text not in _WORD_AFTER_EXPR:
                 raise JsSyntaxError(
                     f"line {ln}: identifier {text!r} directly after "
                     f"{pt!r} — missing operator/keyword?")
-            if pk in ("str", "template", "num", "regex") \
+            if pln == ln and pk in ("str", "template", "num",
+                                    "regex") \
                     and text not in _WORD_AFTER_EXPR:
                 raise JsSyntaxError(
                     f"line {ln}: identifier {text!r} directly after "

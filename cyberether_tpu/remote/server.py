@@ -349,13 +349,14 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        self._snapshot(request, fg)
         body = await self._body(request)
+        snap = self._snapshot(request, fg)
         for name, node in body.items():
             try:
                 fg.block_set_meta(name, {"node": node})
             except Exception as e:
                 raise web.HTTPBadRequest(text=str(e))
+        self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _flowgraphs(self, request):
@@ -393,10 +394,16 @@ class RemoteServer:
     # request pushes the pre-state here — VERDICT r4 item 7)
     _UNDO_DEPTH = 50
 
-    def _snapshot(self, request, fg) -> None:
+    def _snapshot(self, request, fg) -> str:
+        """Capture pre-mutation state; handlers commit it with
+        :meth:`_push_undo` only after the mutation SUCCEEDS (a
+        rejected request must not spend an undo level)."""
+        return fg.to_yaml()
+
+    def _push_undo(self, request, snap: str) -> None:
         name = request.match_info.get("fg", "main")
         stack = self._undo.setdefault(name, [])
-        stack.append(fg.to_yaml())
+        stack.append(snap)
         del stack[:-self._UNDO_DEPTH]
         self._redo.pop(name, None)
 
@@ -456,8 +463,8 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        self._snapshot(request, fg)
         body = await self._body(request)
+        snap = self._snapshot(request, fg)
         try:
             fg.block_create(
                 name=body["name"], type=body["type"],
@@ -466,6 +473,7 @@ class RemoteServer:
                 provider=body.get("provider", "generic"))
         except Exception as e:
             raise web.HTTPBadRequest(text=str(e))
+        self._push_undo(request, snap)
         return web.json_response(fg.view()["blocks"][body["name"]])
 
     async def _block_reconfigure(self, request):
@@ -475,13 +483,14 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        self._snapshot(request, fg)
         name = request.match_info["name"]
         body = await self._body(request)
+        snap = self._snapshot(request, fg)
         try:
             fg.block_reconfigure(name, body.get("config", {}))
         except Exception as e:
             raise web.HTTPBadRequest(text=str(e))
+        self._push_undo(request, snap)
         return web.json_response(fg.view()["blocks"][name])
 
     async def _block_destroy(self, request):
@@ -491,11 +500,12 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        self._snapshot(request, fg)
+        snap = self._snapshot(request, fg)
         try:
             fg.block_destroy(request.match_info["name"])
         except Exception as e:
             raise web.HTTPBadRequest(text=str(e))
+        self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _connect(self, request):
@@ -505,13 +515,14 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        self._snapshot(request, fg)
         body = await self._body(request)
+        snap = self._snapshot(request, fg)
         try:
             fg.block_connect(body["name"], body["port"],
                              body.get("link", ""))
         except Exception as e:
             raise web.HTTPBadRequest(text=str(e))
+        self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _benchmark(self, request):

@@ -832,3 +832,33 @@ def test_squeezenet_through_module():
     ctx.run()
     out = np.asarray(ctx.output("output"))
     assert out.shape == (1, 1000) and np.isfinite(out).all()
+
+
+def test_onnx_gru_accepts_default_activation_attr():
+    """Exporters often write the spec-default activations explicitly;
+    that must not be rejected — only genuinely custom sets are."""
+    import pytest
+
+    from cyberether_tpu.ops.onnx_jax import (UnsupportedOnnxOp,
+                                             build_fn, parse_model)
+
+    rng = np.random.default_rng(2)
+    H, I, seq, batch = 3, 2, 4, 1
+    W = rng.standard_normal((1, 3 * H, I)).astype(np.float32)
+    R = rng.standard_normal((1, 3 * H, H)).astype(np.float32)
+
+    def make(acts):
+        g = graph([node("GRU", ["x", "W", "R"], ["Y", "Yh"],
+                        {"hidden_size": H, "activations": acts})],
+                  "g", inputs=[value_info("x", 1, [seq, batch, I])],
+                  outputs=[value_info("Y", 1, [seq, 1, batch, H]),
+                           value_info("Yh", 1, [1, batch, H])],
+                  initializers=[tensor_proto("W", W),
+                                tensor_proto("R", R)])
+        return parse_model(model(g))
+
+    x = rng.standard_normal((seq, batch, I)).astype(np.float32)
+    out = build_fn(make(["Sigmoid", "Tanh"]))({"x": x})
+    assert np.asarray(out["Y"]).shape == (seq, 1, batch, H)
+    with pytest.raises(UnsupportedOnnxOp):
+        build_fn(make(["Relu", "Tanh"]))({"x": x})

@@ -172,3 +172,11 @@ def test_editor_has_aircraft_table_widget():
     for needle in ("aircraftTable", "acgrid", "altitude_ft",
                    "speed_kt", "heading_deg", "messages"):
         assert needle in EDITOR_PAGE, needle
+
+
+def test_js_gate_allows_asi():
+    """Newline-separated statements (ASI style) must not false-
+    positive the adjacent-identifier check."""
+    from cyberether_tpu.remote.jscheck import check_js
+
+    check_js("const a = b\nconsole.log(a)\nlet c = 'x'\nfoo(c)")
