@@ -419,6 +419,12 @@ def _auto_pad(attrs: Dict[str, Any], spatial: int,
             for i in range(spatial)]
 
 
+def _conv_dims(spatial: int):
+    dims = ("NCHW"[:2 + spatial] if spatial <= 2
+            else "NCDHW"[:2 + spatial])
+    return (dims, dims.replace("N", "O").replace("C", "I", 1), dims)
+
+
 def _const_of(env: Dict[str, Any], name: str, what: str) -> np.ndarray:
     """Shape-ish operands (Reshape target, Slice starts, ...) must be
     compile-time constants for XLA static shapes."""
@@ -655,7 +661,12 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
              "Sin": jnp.sin, "Cos": jnp.cos,
              "Relu": lambda x: jnp.maximum(x, 0),
              "Sigmoid": jax.nn.sigmoid, "Tanh": jnp.tanh,
-             "Identity": lambda x: x}
+             "Identity": lambda x: x,
+             "Floor": jnp.floor, "Ceil": jnp.ceil,
+             "Round": jnp.round, "Reciprocal": lambda x: 1.0 / x,
+             "Softplus": jax.nn.softplus,
+             "HardSwish": lambda x: x * jnp.clip(
+                 x / 6.0 + 0.5, 0.0, 1.0)}
     cmpops = {"Equal": jnp.equal, "Greater": jnp.greater,
               "Less": jnp.less}
 
@@ -781,6 +792,77 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         x = inp(0)
         set_out(0, jnp.mean(x, axis=tuple(range(2, x.ndim)),
                             keepdims=True))
+    elif op == "GlobalMaxPool":
+        x = inp(0)
+        set_out(0, jnp.max(x, axis=tuple(range(2, x.ndim)),
+                           keepdims=True))
+    elif op == "HardSigmoid":
+        alpha = a.get("alpha", 0.2)
+        beta = a.get("beta", 0.5)
+        set_out(0, jnp.clip(alpha * inp(0) + beta, 0.0, 1.0))
+    elif op == "Elu":
+        alpha = a.get("alpha", 1.0)
+        x = inp(0)
+        set_out(0, jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0)))
+    elif op == "PRelu":
+        x, slope = inp(0), inp(1)
+        slope = jnp.asarray(slope)
+        if slope.ndim == 1 and x.ndim > 2 \
+                and slope.shape[0] == x.shape[1]:
+            # unidirectional broadcast along the channel axis
+            slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
+        set_out(0, jnp.where(x >= 0, x, slope * x))
+    elif op == "ReduceProd":
+        x = inp(0)
+        axes = a.get("axes")
+        if axes is None and len(node.inputs) > 1 and node.inputs[1]:
+            axes = [int(d) for d in _const_of(env, node.inputs[1],
+                                              op)]
+        set_out(0, jnp.prod(
+            x, axis=tuple(int(v) for v in axes) if axes else None,
+            keepdims=bool(a.get("keepdims", 1))))
+    elif op == "ConvTranspose":
+        x, w = inp(0), inp(1)
+        spatial = x.ndim - 2
+        if a.get("auto_pad", b"NOTSET") not in (b"NOTSET", "NOTSET"):
+            raise UnsupportedOnnxOp("ConvTranspose auto_pad")
+        strides = [int(s) for s in (a.get("strides")
+                                    or [1] * spatial)]
+        dil = [int(d) for d in (a.get("dilations") or [1] * spatial)]
+        groups = int(a.get("group", 1))
+        kshape = w.shape[2:]
+        pads = a.get("pads") or [0] * (2 * spatial)
+        opad = [int(v) for v in (a.get("output_pads")
+                                 or a.get("output_padding")
+                                 or [0] * spatial)]
+        if a.get("output_shape"):
+            raise UnsupportedOnnxOp("ConvTranspose output_shape")
+        # ONNX weight (Cin, Cout/g, k...) -> conv kernel
+        # (Cout, Cin/g, k...), spatially flipped; the transpose conv
+        # is a stride-1 conv over the lhs-dilated input
+        cin = w.shape[0]
+        coutg = w.shape[1]
+        wk = jnp.reshape(w, (groups, cin // groups, coutg)
+                         + tuple(kshape))
+        wk = jnp.moveaxis(wk, 2, 1)            # (g, Cout/g, Cin/g, k)
+        wk = jnp.reshape(wk, (groups * coutg, cin // groups)
+                         + tuple(kshape))
+        wk = jnp.flip(wk, axis=tuple(range(2, wk.ndim)))
+        pad = []
+        for i in range(spatial):
+            keff = (int(kshape[i]) - 1) * dil[i] + 1
+            pad.append((keff - 1 - int(pads[i]),
+                        keff - 1 - int(pads[spatial + i]) + opad[i]))
+        y = jax.lax.conv_general_dilated(
+            x, wk, window_strides=[1] * spatial, padding=pad,
+            lhs_dilation=strides, rhs_dilation=dil,
+            dimension_numbers=_conv_dims(spatial),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32, precision=precision)
+        b = inp(2)
+        if b is not None:
+            y = y + jnp.reshape(b, (1, -1) + (1,) * spatial)
+        set_out(0, y)
     elif op == "BatchNormalization":
         x, scale, bias, mean, var = (inp(0), inp(1), inp(2), inp(3),
                                      inp(4))
@@ -1041,6 +1123,9 @@ KNOWN_OPS = frozenset({
     "Constant", "Cast", "Shape",
     "Dropout",
     "InstanceNormalization", "Resize", "GRU", "LSTM",
+    "Floor", "Ceil", "Round", "Reciprocal", "Softplus",
+    "HardSwish", "HardSigmoid", "Elu", "PRelu",
+    "GlobalMaxPool", "ReduceProd", "ConvTranspose",
 })
 
 

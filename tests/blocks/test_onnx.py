@@ -862,3 +862,67 @@ def test_onnx_gru_accepts_default_activation_attr():
     assert np.asarray(out["Y"]).shape == (seq, 1, batch, H)
     with pytest.raises(UnsupportedOnnxOp):
         build_fn(make(["Relu", "Tanh"]))({"x": x})
+
+
+def test_onnx_mobile_ops_vs_torch():
+    """Round-5 op widening (HardSwish/HardSigmoid/Elu/PRelu/Softplus/
+    GlobalMaxPool/ConvTranspose) against torch goldens."""
+    import torch
+    import torch.nn.functional as F
+
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((2, 3, 6, 5)).astype(np.float32)
+
+    def run1(op, attrs=None, extra_inits=(), inputs=("x",)):
+        g = graph([node(op, list(inputs), ["out"], attrs or {})],
+                  "t", inputs=[value_info("x", 1, list(x.shape))],
+                  outputs=[value_info("out", 1, [1])],
+                  initializers=list(extra_inits))
+        return np.asarray(
+            build_fn(parse_model(model(g)))({"x": x})["out"])
+
+    tx = torch.from_numpy(x)
+    np.testing.assert_allclose(run1("HardSwish"),
+                               F.hardswish(tx).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        run1("HardSigmoid", {"alpha": 1 / 6, "beta": 0.5}),
+        F.hardsigmoid(tx).numpy(), atol=1e-6)
+    np.testing.assert_allclose(run1("Elu", {"alpha": 1.0}),
+                               F.elu(tx).numpy(), atol=1e-6)
+    np.testing.assert_allclose(run1("Softplus"),
+                               F.softplus(tx).numpy(), atol=1e-5)
+    slope = rng.standard_normal(3).astype(np.float32)
+    got = run1("PRelu", inputs=("x", "s"),
+               extra_inits=[tensor_proto("s", slope)])
+    ref = F.prelu(tx, torch.from_numpy(slope)).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    np.testing.assert_allclose(
+        run1("GlobalMaxPool"),
+        F.adaptive_max_pool2d(tx, 1).numpy(), atol=1e-6)
+
+    # ConvTranspose: strided, padded, grouped, with output_padding
+    for (g_, stride, padv, opad) in ((1, 2, 1, 1), (3, 2, 0, 0),
+                                     (1, 1, 1, 0)):
+        m = torch.nn.ConvTranspose2d(3, 6, 3, stride=stride,
+                                     padding=padv,
+                                     output_padding=opad, groups=g_)
+        W = m.weight.detach().numpy()      # (Cin, Cout/g, kH, kW)
+        B = m.bias.detach().numpy()
+        gph = graph(
+            [node("ConvTranspose", ["x", "W", "B"], ["out"],
+                  {"strides": [stride, stride],
+                   "pads": [padv, padv, padv, padv],
+                   "output_padding": [opad, opad],
+                   "group": g_, "kernel_shape": [3, 3]})],
+            "ct", inputs=[value_info("x", 1, list(x.shape))],
+            outputs=[value_info("out", 1, [1])],
+            initializers=[tensor_proto("W", W),
+                          tensor_proto("B", B)])
+        got = np.asarray(build_fn(parse_model(model(gph)))
+                         ({"x": x})["out"])
+        with torch.no_grad():
+            ref = m(tx).numpy()
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
