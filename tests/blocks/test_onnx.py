@@ -926,3 +926,53 @@ def test_onnx_mobile_ops_vs_torch():
             ref = m(tx).numpy()
         assert got.shape == ref.shape, (got.shape, ref.shape)
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_mobilenetv3_small_matches_torch():
+    """Second real published architecture: MobileNetV3-Small (Howard
+    et al. 2019) — inverted residuals, depthwise convs, squeeze-
+    excite, HardSwish/HardSigmoid, BatchNorm — built from the same
+    seeded weights as a torch model and an ONNX proto, executed
+    exactly by the pure-JAX route."""
+    import torch
+
+    from mobilenetv3 import build_onnx, make_weights, torch_model
+
+    from cyberether_tpu.ops.onnx_jax import (build_fn, op_census,
+                                             parse_model)
+
+    w = make_weights()
+    data = build_onnx(w, size=96)
+    g = parse_model(data)
+    census = op_census(g)
+    assert census["runnable"], census["unsupported"]
+    assert census["ops"]["HardSwish"] >= 9
+    assert census["ops"]["HardSigmoid"] == 9   # SE blocks
+
+    x = np.random.default_rng(3).standard_normal(
+        (1, 3, 96, 96)).astype(np.float32)
+    got = np.asarray(build_fn(g)({"input": x})["output"])
+    with torch.no_grad():
+        ref = torch_model(w)(torch.from_numpy(x)).numpy()
+    assert got.shape == (1, 1000)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_onnx_dynamic_batch_via_retrace():
+    """Dynamic shapes in the XLA world = one retrace per shape: the
+    executor's fn is shape-generic python, so the SAME parsed model
+    runs at different batch sizes (models without hard Reshapes)."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    from onnx_build import reference_mlp
+
+    fn = build_fn(parse_model(
+        (FIXTURES / "mlp.onnx").read_bytes()))
+    rng = np.random.default_rng(9)
+    for batch in (1, 3):
+        x = rng.standard_normal((batch, 1, 8, 8)).astype(np.float32)
+        got = np.asarray(fn({"input": x})["output"])
+        assert got.shape == (batch, 10)
+        for b in range(batch):     # golden is batch-1
+            np.testing.assert_allclose(
+                got[b:b + 1], reference_mlp(x[b:b + 1]), atol=1e-5)
