@@ -174,7 +174,7 @@ def bench_channelizer_pallas() -> float:
     C, D, Pt = model.channels, model.audio_decim, model.taps_per_branch
 
     tiles = [int(t) for t in os.environ.get(
-        "CYB_BENCH_TILES", "4096,2048").split(",")]
+        "CYB_BENCH_TILES", "8192,4096").split(",")]
     best, best_tile, best_compile = 0.0, tiles[0], None
     for tile in tiles:
         def mk(n, tile=tile):
@@ -480,7 +480,7 @@ def bench_flowgraph_channelizer(raw_rate: float) -> float:
                                    "dataType": "F32"})
     fg.records["src"].build.modules["src/m"].attach_buffer(buf)
     tile_m = int(os.environ.get("CYB_BENCH_TILES",
-                                 "4096,2048").split(",")[0])
+                                 "8192,4096").split(",")[0])
     fg.block_create("rs", "reshape", {"shape": [frames, 64, 2]},
                     {"buffer": "${graph.src.output.buffer}"})
     fg.block_create("chan", "channelizer", {"tileM": tile_m},

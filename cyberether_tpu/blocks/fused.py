@@ -75,7 +75,7 @@ class ChannelizerFusedModule(Module):
                     Field("audioDecim", "int", 16),
                     Field("sampleRate", "float", 128e6),
                     Field("deviation", "float", 75e3),
-                    Field("tileM", "int", 4096),
+                    Field("tileM", "int", 8192),
                     # classic: per-sample discriminator then boxcar
                     # (reference parity).  coherent: average the
                     # complex lag products, ONE angle per audio

@@ -101,7 +101,7 @@ class Channelizer:
 
     def step_pallas_v4(self, state, iq: jnp.ndarray,
                        tile_m: int = 512, interpret: bool = False,
-                       kernel: str = "v5", decim_mode: str = "sel",
+                       kernel: str = "v5", decim_mode: str = "chunk",
                        atan_mode: str = "ypack",
                        demod_mode: str = "classic"
                        ) -> Tuple[jnp.ndarray, dict]:
@@ -119,6 +119,8 @@ class Channelizer:
         M = iq.shape[0]
         x2 = iq.reshape(M, 2 * C)          # free: minor dims collapse
         if demod_mode == "coherent":
+            if decim_mode == "chunk":     # chunk pairs with ypack only
+                decim_mode = "sel"
             if kernel != "v5" or decim_mode != "sel":
                 raise ValueError(
                     "demod_mode='coherent' requires the v5 kernel "
@@ -178,7 +180,7 @@ class Channelizer:
     def jitted_step_pallas_v4(self, tile_m: int = 512,
                               interpret: bool = False,
                               kernel: str = "v5",
-                              decim_mode: str = "sel"):
+                              decim_mode: str = "chunk"):
         # no donation: the 4 KB hist state is not worth aliasing, and
         # donating a buffer the output views (hist = x2 slice) trips
         # INVALID_ARGUMENT on the axon backend

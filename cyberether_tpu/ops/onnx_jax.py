@@ -466,6 +466,12 @@ def _resize(node: OnnxNode, env: Dict[str, Any],
     if a.get("axes"):
         # opset-18 per-axis form changes how scales/sizes are indexed
         raise UnsupportedOnnxOp("Resize with 'axes' attribute")
+    if a.get("antialias"):
+        # silently running plain separable resampling would return
+        # wrong values for antialiased downscales
+        raise UnsupportedOnnxOp("Resize antialias=1")
+    if a.get("exclude_outside"):
+        raise UnsupportedOnnxOp("Resize exclude_outside=1")
     if ct not in ("half_pixel", "pytorch_half_pixel", "asymmetric",
                   "align_corners"):
         raise UnsupportedOnnxOp(
@@ -739,13 +745,10 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         groups = int(a.get("group", 1))
         pads = _auto_pad(a, spatial, kshape, x.shape[2:], strides,
                          dil)
-        dims = ("NCHW"[:2 + spatial] if spatial <= 2
-                else "NCDHW"[:2 + spatial])
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=[int(s) for s in strides],
             padding=pads, rhs_dilation=[int(d) for d in dil],
-            dimension_numbers=(dims, dims.replace("N", "O")
-                               .replace("C", "I", 1), dims),
+            dimension_numbers=_conv_dims(spatial),
             feature_group_count=groups,
             preferred_element_type=jnp.float32,
             precision=precision)

@@ -381,7 +381,7 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         return
     if "atan" not in stages:
         demod = (di + dr) * g
-    elif atan_mode == "ypack" and decim == "sel" \
+    elif atan_mode == "ypack" and decim in ("sel", "chunk") \
             and sel_ref is not None and fir != "direct":
         # like spack below, but the PACKING happens one stage earlier,
         # on the filterbank output y itself: the lag products AND the
@@ -405,9 +405,21 @@ def _channelize_body_v5(body_ref, halo_ref, hp_ref, b_ref, sel_ref,
         dip = prp * yip - pip * yrp
         dp = _atan2(dip, drp, recip=True, newton=newt,
                     poly3=True) * g
+        hd = tile_m // (2 * D)
+        if decim == "chunk":
+            # per-128-row-chunk selector (4 KB) instead of the
+            # (h/D, h) matrix whose VMEM footprint blocks tile 8192
+            gq = 128 // D
+            for q in range(h // 128):
+                ap = jnp.dot(sel_ref[:, :],
+                             dp[q * 128:(q + 1) * 128, :],
+                             preferred_element_type=jnp.float32)
+                out_ref[q * gq:(q + 1) * gq, :] = ap[:, 0:C]
+                out_ref[hd + q * gq:hd + (q + 1) * gq, :] = \
+                    ap[:, C:n]
+            return
         ap = jnp.dot(sel_ref[:, :], dp,
                      preferred_element_type=jnp.float32)
-        hd = tile_m // (2 * D)
         out_ref[0:hd, :] = ap[:, 0:C]
         out_ref[hd:2 * hd, :] = ap[:, C:n]
         return
@@ -638,7 +650,7 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
     tile_m = min(tile_m, M)
     assert M % tile_m == 0 and tile_m % decim == 0, (M, tile_m, decim)
     grid_n = M // tile_m
-    has_sel = decim_mode == "sel" and "sel" in stages
+    has_sel = decim_mode in ("sel", "chunk") and "sel" in stages
     out_rows = tile_m if decim_mode == "none" else tile_m // decim
 
     def kernel(*refs):
@@ -677,9 +689,16 @@ def channelize_demod_decim_v5(x2: jnp.ndarray, halos: jnp.ndarray,
              and (atan_mode != "ypack" or P >= 2))
     if atan_mode in ("spack", "ypack") and not spack:
         atan_mode = "fast3"          # alignment fallback
+    # chunked decimation only pairs with the ypack layout (its 4 KB
+    # selector is what makes tile 8192 fit in scoped vmem)
+    chunk = (decim_mode == "chunk" and spack
+             and atan_mode == "ypack" and 128 % decim == 0
+             and (tile_m // 2) % 128 == 0)
+    if decim_mode == "chunk" and not chunk:
+        decim_mode = "sel"
     if has_sel:
         gain = float(ref_gain) if gain_in_sel else 1.0
-        srows = tile_m // (2 if spack else 1)
+        srows = 128 if chunk else tile_m // (2 if spack else 1)
         sel = np.kron(np.eye(srows // decim, dtype=np.float32),
                       np.full((1, decim), gain / decim, np.float32))
         in_specs.append(pl.BlockSpec((srows // decim, srows),

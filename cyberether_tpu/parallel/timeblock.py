@@ -208,8 +208,11 @@ def measure_device_scaling(n_devices: int = 0, frames: int = 4096,
     Two efficiency numbers come out, and which one is probative
     depends on the hardware:
 
-    - ``efficiency`` (strong scaling): t_1 / (n * t_n) at the largest
-      block.  TRUE scaling on real multi-chip hardware, where each
+    - ``efficiency`` (strong scaling): t_1 / (n * t_n) at the BEST-
+      measured block size — ``proxy_frames_per_cycle`` names which,
+      and ``proxy_efficiency_sweep`` publishes every size so the pick
+      is auditable.  TRUE scaling on real multi-chip hardware, where
+      each
       device adds compute.  On a CPU-virtual mesh it is structurally
       capped near 1/n — the n "devices" share ONE physical CPU whose
       single-device XLA run already uses every core — so the 0.07
@@ -228,6 +231,10 @@ def measure_device_scaling(n_devices: int = 0, frames: int = 4096,
     from cyberether_tpu.parallel.mesh import make_mesh
 
     n = n_devices or len(jax.devices())
+    if list(sweep) != sorted(sweep):
+        # samples_per_s / frames_per_cycle / compute_fraction_n are
+        # taken from the LAST (largest) sweep entry
+        raise ValueError("sweep must be ascending")
     model = Channelizer(channels=64, taps_per_branch=8,
                         audio_decim=16)
     C = model.channels

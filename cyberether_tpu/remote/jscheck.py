@@ -121,6 +121,19 @@ def tokenize(src: str) -> List[Tuple[str, str, int]]:
                     i += 1
                 elif ch == "\n":
                     line += 1
+                elif depth and ch in "'\"":
+                    # strings INSIDE a ${} interpolation may contain
+                    # '}' or '`' — skip them wholesale
+                    q2, ln2 = ch, line
+                    i += 1
+                    while i < n and src[i] != q2:
+                        if src[i] == "\\":
+                            i += 1
+                        elif src[i] == "\n":
+                            err(f"unterminated {q2}-string", ln2)
+                        i += 1
+                    if i >= n:
+                        err(f"unterminated {q2}-string", ln2)
                 elif ch == "$" and i + 1 < n and src[i + 1] == "{":
                     depth += 1
                     i += 1

@@ -430,11 +430,20 @@ class RemoteServer:
         if not stack:
             return web.json_response({"ok": False, "depth": 0})
         snapshot = stack.pop()
-        push_to.setdefault(name, []).append(fg.to_yaml())
+        current = fg.to_yaml()
         try:
             fg = await self._restore(name, snapshot)
         except Exception as e:
+            # the restore destroys before importing; bring the graph
+            # back from the pre-undo snapshot rather than leaving a
+            # 404ing hole, and re-arm the journal level we popped
+            stack.append(snapshot)
+            try:
+                await self._restore(name, current)
+            except Exception:
+                log.exception("undo recovery failed for %s", name)
             raise web.HTTPBadRequest(text=f"restore failed: {e}")
+        push_to.setdefault(name, []).append(current)
         return web.json_response({"ok": True, "depth": len(stack),
                                   "blocks": list(fg.records)})
 

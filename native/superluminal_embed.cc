@@ -7,6 +7,7 @@
 #include <Python.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <mutex>
 
 namespace superluminal {
@@ -66,10 +67,19 @@ bool call0(const char* name, std::string* err,
 bool initialize(std::string* err) {
     std::lock_guard<std::mutex> lk(g_mu);
     if (g_inited) return true;
-    if (!Py_IsInitialized()) Py_InitializeEx(0);
+    // Force the CPU backend BEFORE the interpreter starts: site
+    // customization hooks may register accelerator PJRT plugins at
+    // Py_Initialize time, and an embedded plotting session must never
+    // contend for a TPU claim.  Must be setenv (not Python-side
+    // setdefault — the ambient env typically already sets these).
+    // CYBERETHER_EMBED_PLATFORM overrides for accelerator use.
+    if (!Py_IsInitialized()) {
+        const char* plat = std::getenv("CYBERETHER_EMBED_PLATFORM");
+        setenv("JAX_PLATFORMS", plat ? plat : "cpu", 1);
+        if (!plat) setenv("PALLAS_AXON_POOL_IPS", "", 1);
+        Py_InitializeEx(0);
+    }
     PyGILState_STATE gil = PyGILState_Ensure();
-    // force the CPU backend: an embedded plotting session must never
-    // contend for the TPU claim (CLAUDE.md claim discipline)
     PyRun_SimpleString(
         "import os\n"
         "os.environ.setdefault('JAX_PLATFORMS', 'cpu')\n"

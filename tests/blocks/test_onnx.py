@@ -976,3 +976,49 @@ def test_onnx_dynamic_batch_via_retrace():
         for b in range(batch):     # golden is batch-1
             np.testing.assert_allclose(
                 got[b:b + 1], reference_mlp(x[b:b + 1]), atol=1e-5)
+
+
+def test_onnx_gru_lbr0_numpy_golden():
+    """ONNX-default linear_before_reset=0 against an independent
+    numpy implementation of the spec recurrence (torch only covers
+    lbr=1)."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(13)
+    seq, batch, I, H = 5, 2, 3, 4
+    W = rng.standard_normal((1, 3 * H, I)).astype(np.float32)
+    R = rng.standard_normal((1, 3 * H, H)).astype(np.float32)
+    B = rng.standard_normal((1, 6 * H)).astype(np.float32)
+    x = rng.standard_normal((seq, batch, I)).astype(np.float32)
+
+    g = graph([node("GRU", ["x", "W", "R", "B"], ["Y", "Yh"],
+                    {"hidden_size": H, "linear_before_reset": 0})],
+              "g", inputs=[value_info("x", 1, [seq, batch, I])],
+              outputs=[value_info("Y", 1, [seq, 1, batch, H]),
+                       value_info("Yh", 1, [1, batch, H])])
+    gr = parse_model(model(g))
+    gr.initializers.update(
+        {"W": W, "R": R, "B": B})
+    out = build_fn(gr)({"x": x})
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    Wd, Rd = W[0].astype(np.float64), R[0].astype(np.float64)
+    wb, rb = B[0, :3 * H].astype(np.float64), \
+        B[0, 3 * H:].astype(np.float64)
+    h = np.zeros((batch, H))
+    ys = []
+    for t in range(seq):
+        xt = x[t].astype(np.float64)
+        xz = xt @ Wd[:H].T + wb[:H]
+        xr = xt @ Wd[H:2 * H].T + wb[H:2 * H]
+        xh = xt @ Wd[2 * H:].T + wb[2 * H:]
+        z = sig(xz + h @ Rd[:H].T + rb[:H])
+        r = sig(xr + h @ Rd[H:2 * H].T + rb[H:2 * H])
+        # lbr=0: reset applies to the STATE before the R matmul
+        hh = np.tanh(xh + (r * h) @ Rd[2 * H:].T + rb[2 * H:])
+        h = (1 - z) * hh + z * h
+        ys.append(h.copy())
+    ref = np.stack(ys)[:, None, :, :]
+    np.testing.assert_allclose(np.asarray(out["Y"]), ref, atol=2e-5)

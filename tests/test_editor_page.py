@@ -180,3 +180,16 @@ def test_js_gate_allows_asi():
     from cyberether_tpu.remote.jscheck import check_js
 
     check_js("const a = b\nconsole.log(a)\nlet c = 'x'\nfoo(c)")
+
+
+def test_js_gate_template_interpolation_strings():
+    """Strings inside ${} may contain '}' and '`' (review finding):
+    valid JS must pass; the unterminated cases must still fail."""
+    import pytest
+
+    from cyberether_tpu.remote.jscheck import JsSyntaxError, check_js
+
+    check_js('const s = `${"}`"}`;')
+    check_js("const t = `a${x ? '}' : '`'}b`;")
+    with pytest.raises(JsSyntaxError):
+        check_js('const s = `${"unterminated}`;')
