@@ -221,6 +221,7 @@ class Scheduler:
         self._surfaces: List[str] = []
         self._throttled: List[str] = []
         self._gate_last_fire: Dict[str, float] = {}
+        self._poll_pending: Dict[str, Any] = {}
         self._watched: Set[str] = set()
         # versioned h2d cache for host-source outputs: sources that
         # advertise host_output_version() skip the upload when the
@@ -370,6 +371,25 @@ class Scheduler:
                         if p != PASS_FLAG
                         and not p.startswith(METRIC_PREFIX)}
 
+            # a module that emits PASS_FLAG or metrics must NOT settle:
+            # settled outputs are unconditionally valid and metric-free,
+            # which would silently defeat a data-dependent gate (e.g.
+            # squelch) — probe the output KEYS abstractly first
+            def _probe(tagged_ins, state, _mod=mod):
+                outs, _ = _mod.apply(
+                    {p: _untag(v) for p, v in tagged_ins.items()},
+                    state)
+                return outs
+
+            try:
+                probe = jax.eval_shape(_probe, inputs,
+                                       mod.init_state())
+            except Exception:
+                continue               # dynamic-only module
+            if PASS_FLAG in probe or any(
+                    p.startswith(METRIC_PREFIX) for p in probe):
+                continue
+
             outputs = jax.jit(_settle_apply)(inputs, mod.init_state())
             for port, val in outputs.items():
                 # settled values are stored HOST-side (numpy) so they
@@ -438,7 +458,6 @@ class Scheduler:
         items.sort(key=lambda t: (t[0], 0 if t[1][0] == "device" else 1))
 
         # which keys are consumed where
-        consumed_outside: Dict[str, Set[str]] = {}
         seg_of_module: Dict[str, int] = {}
         idx = 0
         built: List[Any] = []
@@ -544,6 +563,13 @@ class Scheduler:
             for k, v in ext_vals.items():
                 if k in split_keys:
                     v = (v[0] + 1j * v[1]).astype(jnp.complex64)
+                else:
+                    # complex outputs of an UPSTREAM device segment
+                    # arrive as tagged planes (the boundary codec) —
+                    # recombine them here, exactly like split host
+                    # inputs (r5 review finding: a dict reaching
+                    # mod.apply traced to a TypeError)
+                    v = _untag(v)
                 produced[k] = v
             valid: Dict[str, Any] = {k: jnp.asarray(True)
                                      for k in statics}
@@ -678,12 +704,31 @@ class Scheduler:
 
     @staticmethod
     def _state_compatible(old: Any, mod: Module) -> bool:
+        """Shape/dtype compatibility against the module's state
+        template, computed HOST-side: uploading the whole template
+        (MB-scale histories, plus a _split dispatch per complex leaf)
+        just to compare signatures cost real per-rebuild latency on
+        the tunneled backend (r5 review finding)."""
         try:
             tmpl = mod.init_state()
+
+            def sig(v):
+                # mirror _upload_state's realification: a complex leaf
+                # crosses as (2,)+shape float32 planes
+                dt = np.dtype(getattr(v, "dtype", None)
+                              or np.asarray(v).dtype)
+                shape = tuple(getattr(v, "shape",
+                                      np.shape(np.asarray(v))))
+                if np.issubdtype(dt, np.complexfloating):
+                    return (2,) + shape, np.dtype(np.float32)
+                return shape, dt
+
             ol, od = jax.tree_util.tree_flatten(old)
-            tl, td = jax.tree_util.tree_flatten(_upload_state(tmpl))
-            return od == td and all(
-                a.shape == b.shape and a.dtype == b.dtype
+            tl, td = jax.tree_util.tree_flatten(tmpl)
+            if od != td:
+                return False
+            return all(
+                (tuple(a.shape), np.dtype(a.dtype)) == sig(b)
                 for a, b in zip(ol, tl))
         except Exception:
             return False
@@ -715,7 +760,14 @@ class Scheduler:
         """Wait for all host sources to have data (the Phase-2 source
         pacing of the reference).  Returns name -> outputs or None."""
         deadline = None if timeout is None else time.monotonic() + timeout
-        pending = {name: None for name in self._sources}
+        # buffers polled on a PREVIOUS timed-out attempt are kept —
+        # host_poll is destructive (ring/file reads), so dropping an
+        # already-polled peer's buffer when another source times out
+        # would silently lose its samples (r5 review finding)
+        pending = self._poll_pending
+        if set(pending) != set(self._sources):
+            pending = {name: None for name in self._sources}
+        self._poll_pending = pending
         wait = 0.0005
         while True:
             all_ready = True
@@ -729,6 +781,7 @@ class Scheduler:
                     else:
                         pending[name] = out
             if all_ready:
+                self._poll_pending = {}
                 return {k: v for k, v in pending.items()}
             if deadline is not None and time.monotonic() >= deadline:
                 return None
@@ -910,6 +963,7 @@ class Scheduler:
                            k: int, burst_outs: Dict[str, Any],
                            burst_valid: Dict[str, Any]) -> None:
         if any(key not in stacks and key not in self._latest
+               and key not in burst_outs
                for key in seg.ext_inputs):
             for key in seg.out_keys:
                 self._valid[key] = False
@@ -918,6 +972,15 @@ class Scheduler:
         ext_const: Dict[str, Any] = {}
         valid_stack: Dict[str, Any] = {}
         for key in seg.ext_inputs:
+            if key in burst_outs:
+                # produced by an UPSTREAM device segment this burst:
+                # feed its full (k, ...) stacked output (possibly
+                # tagged planes) and per-cycle validity — falling back
+                # to self._latest here broadcast the upstream LAST
+                # cycle across all k (r5 review finding)
+                ext_stack[key] = burst_outs[key]
+                valid_stack[key] = burst_valid[key]
+                continue
             vers = versions.get(key)
             same_ver = (vers is not None and vers[0] is not None
                         and all(v == vers[0] for v in vers))
@@ -966,8 +1029,22 @@ class Scheduler:
                 (k,), 1.0 if np.all(np.asarray(vv)) else 0.0,
                 np.float32)
         flags = self._gate_flags_for(seg, host=True)
-        gate_stack = {n: np.full((k,), f, np.float32)
-                      for n, f in flags.items()}
+        # a fired throttle gate passes ONE cycle of the burst (cycle 0)
+        # — broadcasting the flag would run the throttled module k
+        # times per period instead of once (r5 review finding).
+        # period <= 0 means "every evaluation": all cycles pass.
+        gate_stack = {}
+        for n, f in flags.items():
+            gmod = self._modules[n]
+            period = float(gmod.config.get("intervalMs")
+                           or gmod.config.get("periodMs", 100.0))
+            if f and period <= 0:
+                arr = np.ones((k,), np.float32)
+            else:
+                arr = np.zeros((k,), np.float32)
+                if f:
+                    arr[0] = 1.0
+            gate_stack[n] = arr
         state_sub = {m: self._state[m] for m in seg.state_modules
                      if m in self._state}
         if seg.device0 is not None:
@@ -1155,17 +1232,31 @@ class Scheduler:
         out: Dict[str, Any] = {}
         if self._dirty:
             return out
-        for name in self._surfaces:
-            mod = self._modules[name]
-            outs = {}
-            for port in mod.output_specs:
-                k = f"{name}:{port}"
-                if k in self._latest:
-                    v = self._latest[k]
-                    outs[port] = _fetch(v) if _is_tagged(v) else v
-            if not outs and mod.output_specs:
-                continue   # outputs exist but nothing computed yet
-            data = mod.present_data(outs, self._state.get(name))
+        # present runs on ITS OWN thread and must never block compute
+        # (nor die when a rebuild on the compute thread swaps the
+        # module tables mid-iteration) — snapshot, .get, and isolate
+        # per-surface failures (r5 review finding)
+        surfaces = list(self._surfaces)
+        modules = self._modules
+        for name in surfaces:
+            mod = modules.get(name)
+            if mod is None:
+                continue
+            try:
+                outs = {}
+                for port in mod.output_specs:
+                    k = f"{name}:{port}"
+                    if k in self._latest:
+                        v = self._latest[k]
+                        outs[port] = _fetch(v) if _is_tagged(v) else v
+                if not outs and mod.output_specs:
+                    continue   # outputs exist but nothing computed yet
+                data = mod.present_data(outs, self._state.get(name))
+            except KeyError:
+                continue       # concurrent rebuild; next frame catches up
+            except Exception:
+                log.exception("present failed for %s", name)
+                continue
             if data is not None:
                 # display under the owning block's name (flat module
                 # names are '<block>/<local>')

@@ -92,3 +92,77 @@ def test_single_device_graph_stays_fused(rng):
         assert len(segs) == 1
     finally:
         fg.stop()
+
+
+def test_burst_feeds_per_cycle_values_across_segments(rng):
+    """compute_burst across a device-segment boundary: a STATEFUL
+    upstream accel segment produces different values each cycle; the
+    downstream `device: cpu` segment must see each cycle's value, not
+    the upstream's pre-burst output broadcast k times (r5 review
+    finding)."""
+    def build():
+        fg = Flowgraph()
+        # device-side stateful source: the phase accumulator makes
+        # every cycle's output genuinely different
+        fg.block_create("gen", "signal_generator",
+                        {"signalType": "cosine",
+                         "signalDataType": "F32",
+                         "sampleRate": 1e6, "frequency": 12345.0,
+                         "bufferSize": 256}, device="tpu")
+        fg.block_create("c", "multiply_constant", {"constant": 2.0},
+                        {"factor": "${graph.gen.output.signal}"},
+                        device="cpu")
+        return fg
+
+    fg_seq, fg_burst = build(), build()
+    try:
+        # sequential truth: 4 cycles
+        for _ in range(4):
+            assert fg_seq.compute(timeout=30.0)
+        ref = np.asarray(fg_seq.scheduler.output("c.product"))
+
+        assert fg_burst.compute(timeout=30.0)      # cycle 1
+        assert fg_burst.scheduler.compute_burst(3, timeout=60.0) == 3
+        got = np.asarray(fg_burst.scheduler.output("c.product"))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        # non-vacuous: the source really changes between cycles
+        fg2 = build()
+        try:
+            assert fg2.compute(timeout=30.0)
+            first = np.asarray(fg2.scheduler.output("c.product"))
+        finally:
+            fg2.stop()
+        assert not np.allclose(first, ref, rtol=1e-6, atol=1e-6)
+    finally:
+        fg_seq.stop()
+        fg_burst.stop()
+
+
+def test_complex_link_across_device_segments(rng):
+    """A complex link from an accel segment into a `device: cpu`
+    segment crosses as tagged planes and must recombine on entry (r5
+    review finding: the consumer traced over a raw dict)."""
+    buf = (rng.standard_normal(64)
+           + 1j * rng.standard_normal(64)).astype(np.complex64)
+    fg = Flowgraph()
+    fg.block_create("src", "dti", {"shape": [64],
+                                   "dataType": "CF32"})
+    fg.records["src"].build.modules["src/m"].attach_buffer(buf)
+    fg.block_create("g", "agc", {},
+                    {"signal": "${graph.src.output.buffer}"},
+                    device="tpu")
+    fg.block_create("c", "amplitude", {},
+                    {"signal": "${graph.g.output.signal}"},
+                    device="cpu")
+    try:
+        assert fg.compute(timeout=30.0)
+        bad = {b: fg.block_error(b) for b in fg.records
+               if fg.block_state(b).value != "complete"}
+        assert not bad, bad
+        out = np.asarray(fg.scheduler.output("c.signal"))
+        assert out.dtype == np.float32 and out.shape == (64,)
+        assert np.isfinite(out).all()
+        # burst path too
+        assert fg.scheduler.compute_burst(2, timeout=60.0) == 2
+    finally:
+        fg.stop()

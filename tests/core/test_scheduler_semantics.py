@@ -338,3 +338,24 @@ def test_profile_keeps_device_arrays_on_device(monkeypatch):
         assert fg.scheduler.profile(iters=1)
     finally:
         fg.stop()
+
+
+def test_gated_stateless_module_not_settled(flowgraph):
+    """A STATELESS module that emits PASS_FLAG (squelch) must NOT be
+    settled even over static inputs — settlement drops the gate and
+    forces downstream validity True (r5 review finding)."""
+    fg = flowgraph
+    fg.block_create("win", "window", {"size": 64})
+    # window amplitudes are <= 1; threshold far above -> gate FAILS
+    fg.block_create("sq", "squelch", {"threshold": 1e6},
+                    {"signal": "${graph.win.output.window}"})
+    sched = fg.scheduler
+    sched._ensure_built()
+    assert "win/m" in sched._settled
+    assert "sq/m" not in sched._settled
+    assert fg.compute(timeout=30.0)
+    # the gate evaluated False: squelch output is INVALID
+    v = sched._valid.get("sq/m:signal")
+    assert v is not None and not bool(np.asarray(v))
+    # and the squelch's power metric is still published
+    assert "sq/m" in sched.metrics()
