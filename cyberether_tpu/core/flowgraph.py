@@ -41,6 +41,7 @@ from cyberether_tpu.utils.logging import get_logger
 log = get_logger("flowgraph")
 
 _LINK_RE = re.compile(r"\$\{graph\.([^.]+)\.output\.([^.]+)\}$")
+_NAME_RE = re.compile(r"^[A-Za-z0-9_-]+$")
 
 
 @dataclass
@@ -114,9 +115,15 @@ class Flowgraph:
         self.environment.subscribe(self._on_env_change)
 
     def _on_env_change(self, key: str, value: Any) -> None:
-        if any(rec.state == BlockState.INCOMPLETE
-               for rec in self.records.values()):
-            self.retry_incomplete_blocks()
+        # the records check must run under the mutation lock: env.set
+        # is thread-safe and server-fed, and iterating records while
+        # another thread is inside block_create/destroy is a
+        # dict-changed-size crash (r5 review finding)
+        with self._lock:
+            if any(rec.state == BlockState.INCOMPLETE
+                   for rec in self.records.values()):
+                self._retry_incomplete()
+                self._invalidate()
 
     # ------------------------------------------------------------------
     # block lifecycle
@@ -131,6 +138,14 @@ class Flowgraph:
         with self._lock:
             if name in self.records:
                 raise GraphError(f"block '{name}' already exists")
+            if not _NAME_RE.match(name):
+                # '/' collides with the flat module namespace (error
+                # isolation derives the owner from the first '/'),
+                # '.'/'$'/'{' can never be matched by the link regex —
+                # both silently break the graph later (r5 review)
+                raise GraphError(
+                    f"invalid block name '{name}' (allowed: letters, "
+                    "digits, _ and -)")
             if not registry.has_block(type):
                 raise GraphError(f"unknown block type '{type}'")
             rec = BlockRecord(
@@ -228,6 +243,14 @@ class Flowgraph:
         with self._lock:
             rec = self._require(name)
             old = dict(rec.raw_config)
+            if dict(config) == old and \
+                    rec.state == BlockState.COMPLETE:
+                # change detection (the reference hashes configs for
+                # exactly this): an identical config on a WORKING
+                # block must not tear down downstream blocks and
+                # force a recompile; broken blocks still rebuild
+                # (retry-via-reconfigure)
+                return
             was_complete = rec.state == BlockState.COMPLETE
             rec.raw_config = dict(config)
             try:
@@ -236,8 +259,10 @@ class Flowgraph:
                 rec.raw_config = old
                 self._recreate_with_downstream(name)
                 raise
-            if was_complete and rec.state == BlockState.ERRORED:
-                # rollback: restore the previous working config
+            if was_complete and rec.state != BlockState.COMPLETE:
+                # rollback: restore the previous working config — both
+                # ERRORED and a silent fall to INCOMPLETE count as
+                # failure for a previously-working block
                 # (flowgraph.cc:933-1045)
                 error = rec.error
                 rec.raw_config = old
@@ -332,6 +357,16 @@ class Flowgraph:
             rec.block = None
             rec.build = None
             log.warning("block '%s' errored: %s", rec.name, e)
+        except Exception as e:       # noqa: BLE001 — isolation contract
+            # ANY construction failure must isolate to this block
+            # (flowgraph.cc:1059-1176) — an escaping exception leaves
+            # the graph half-mutated and crashes unrelated callers
+            # (e.g. a thread inside environment.set) — r5 review
+            rec.state = BlockState.ERRORED
+            rec.error = f"{type(e).__name__}: {e}"
+            rec.block = None
+            rec.build = None
+            log.exception("block '%s' errored (unexpected)", rec.name)
 
     def _downstream(self, name: str) -> List[str]:
         """All transitive consumers of ``name`` in insertion order
@@ -355,7 +390,36 @@ class Flowgraph:
     def _recreate_with_downstream(self, name: str) -> None:
         rec = self._require(name)
         self._try_create(rec)
-        for dn in self._downstream(name):
+        # rebuild transitive consumers PRODUCER-FIRST: insertion order
+        # can place a consumer before an intermediate producer, which
+        # would re-resolve it against the producer's stale build and
+        # leave it COMPLETE with stale specs (r5 review finding,
+        # confirmed by repro)
+        affected = self._downstream(name)
+        aset = set(affected)
+        deps = {}
+        for n in affected:
+            d = set()
+            for raw in self.records[n].raw_inputs.values():
+                m = _LINK_RE.match(raw.strip())
+                if m and m.group(1) in aset:
+                    d.add(m.group(1))
+            deps[n] = d
+        ordered: List[str] = []
+        remaining = dict(deps)
+        pos = {n: i for i, n in enumerate(self.order)}
+        while remaining:
+            ready = sorted((n for n, d in remaining.items() if not d),
+                           key=pos.get)
+            if not ready:          # cycle: fall back to insertion order
+                ordered.extend(sorted(remaining, key=pos.get))
+                break
+            for n in ready:
+                ordered.append(n)
+                del remaining[n]
+            for d in remaining.values():
+                d.difference_update(ready)
+        for dn in ordered:
             self._try_create(self.records[dn])
         self._retry_incomplete()
 
@@ -450,7 +514,9 @@ class Flowgraph:
         from cyberether_tpu.core.scheduler import Scheduler
 
         if self._scheduler is None:
-            self._scheduler = Scheduler(self)
+            with self._lock:           # first-use race (r5 review)
+                if self._scheduler is None:
+                    self._scheduler = Scheduler(self)
         return self._scheduler
 
     def set_mesh(self, mesh) -> None:
@@ -629,9 +695,10 @@ class Flowgraph:
         return fg
 
     def _create_from_entry(self, e: Dict[str, Any]) -> None:
+        name = str(e.get("name", ""))
         try:
             self.block_create(
-                name=str(e["name"]),
+                name=name,
                 type=str(e.get("module") or e.get("type")),
                 config=e.get("config") or {},
                 inputs={k: str(v) for k, v in (e.get("input") or {}).items()},
@@ -639,11 +706,36 @@ class Flowgraph:
                 runtime=e.get("runtime"),
                 provider=str(e.get("provider", "generic")),
                 meta=e.get("meta") or {})
-        except GraphError as exc:
-            # Unknown block types shouldn't kill the whole import; record
-            # an errored placeholder the way incomplete blocks are kept.
-            log.warning("import: skipping block '%s': %s",
-                        e.get("name"), exc)
+        except Exception as exc:      # noqa: BLE001 — import isolation
+            # One bad entry (unknown type/device, malformed config)
+            # must not kill the whole import OR be silently dropped:
+            # an ERRORED placeholder keeps the user's node through a
+            # load -> save roundtrip, like the reference's parked
+            # errored blocks (r5 review finding, confirmed by repro).
+            log.warning("import: block '%s' kept as errored "
+                        "placeholder: %s", name, exc)
+            if name and name not in self.records:
+                with self._lock:
+                    dev = self.default_device
+                    try:
+                        if e.get("device") is not None:
+                            dev = Device.parse(e["device"])
+                    except Exception:
+                        pass
+                    rec = BlockRecord(
+                        name=name,
+                        type=str(e.get("module") or e.get("type")),
+                        device=dev, runtime=Runtime.JAX,
+                        provider=str(e.get("provider", "generic")),
+                        raw_config=dict(e.get("config") or {}),
+                        raw_inputs={k: str(v) for k, v in
+                                    (e.get("input") or {}).items()},
+                        meta=dict(e.get("meta") or {}))
+                    rec.state = BlockState.ERRORED
+                    rec.error = str(exc)
+                    self.records[name] = rec
+                    self.order.append(name)
+                    self._invalidate()
 
     def to_yaml(self) -> str:
         with self._lock:
@@ -688,7 +780,13 @@ def _normalize_link(link: str) -> str:
         return link
     if "." in link and "${" not in link:
         block, port = link.split(".", 1)
-        return f"${{graph.{block}.output.{port}}}"
+        out = f"${{graph.{block}.output.{port}}}"
+        if not _LINK_RE.match(out):
+            # a dotted port in the shorthand produces a string the
+            # link regex can never match — fail at connect time, not
+            # as a permanently-retried INCOMPLETE (r5 review finding)
+            raise GraphError(f"invalid link syntax '{link}'")
+        return out
     raise GraphError(f"invalid link syntax '{link}'")
 
 

@@ -232,3 +232,94 @@ def test_view_params_persist_through_yaml():
     assert fg2.records["wf"].raw_config["zoom"] == 8.0
     assert fg2.records["wf"].raw_config["offset"] == 32
     fg2.stop()
+
+
+def test_downstream_recreate_is_topological(flowgraph):
+    """Reconfiguring a producer rebuilds transitive consumers
+    producer-first — insertion order would re-resolve a consumer
+    against an intermediate producer's STALE build and leave it
+    COMPLETE with stale specs (r5 review finding, repro-confirmed)."""
+    fg = flowgraph
+    # create the SINK first so insertion order is [sink, p, src]
+    fg.block_create("sink", "synth_pass", {},
+                    {"in": "${graph.p.output.out}"})
+    fg.block_create("p", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    fg.block_create("src", "synth_source", {"size": 4})
+    assert fg.block_state("sink") is BlockState.COMPLETE
+
+    fg.block_reconfigure("src", {"size": 8})
+    assert fg.block_state("sink") is BlockState.COMPLETE
+    sink_spec = fg.records["sink"].build.modules["sink/m"] \
+        .input_specs["in"]
+    assert sink_spec.shape == (8,), sink_spec.shape
+
+
+def test_unexpected_exception_isolates_to_block(flowgraph):
+    """A non-Validation exception from block construction must mark
+    the block ERRORED, not escape (r5 review finding)."""
+    from cyberether_tpu.core.module import Module
+    from cyberether_tpu.core.registry import (register_block,
+                                              register_module,
+                                              registry)
+    from cyberether_tpu.core.block import simple_block
+    from cyberether_tpu.core.params import Schema
+    from cyberether_tpu.core.tensor import TensorSpec
+    from cyberether_tpu.core.types import DataType
+
+    if not registry.has_block("boom"):
+        @register_module
+        class BoomModule(Module):
+            module_type = "boom"
+            input_ports = ()
+            output_ports = ("out",)
+            schema = Schema()
+
+            def create(self):
+                raise ZeroDivisionError("kapow")
+                return {"out": TensorSpec((4,), DataType.F32)}
+
+            def apply(self, inputs, state):
+                return {"out": None}, state
+
+        register_block(simple_block("boom"))
+
+    fg = flowgraph
+    rec = fg.block_create("b", "boom", {})
+    assert rec.state is BlockState.ERRORED
+    assert "ZeroDivisionError" in rec.error
+
+
+def test_block_name_validation(flowgraph):
+    """Names with '/' or '.' silently break error isolation and link
+    resolution — rejected at create (r5 review finding)."""
+    fg = flowgraph
+    for bad in ("iq/src", "my.src", "a b", "x${y}"):
+        with pytest.raises(GraphError, match="invalid block name"):
+            fg.block_create(bad, "synth_source", {"size": 4})
+
+
+def test_bad_link_shorthand_raises_at_connect(flowgraph):
+    """A dotted port in the 'X.Y' shorthand can never match the link
+    regex — block_connect must fail loudly instead of leaving the
+    consumer permanently INCOMPLETE (r5 review finding)."""
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("c", "synth_pass", {})
+    with pytest.raises(GraphError, match="invalid link"):
+        fg.block_connect("c", "in", "src.out.x")
+
+
+def test_reconfigure_noop_skips_rebuild(flowgraph):
+    """Re-sending an identical config to a COMPLETE block must not
+    tear down and rebuild it (r5 review finding: a spammy UI client
+    forced multi-second recompiles for no-ops)."""
+    fg = flowgraph
+    fg.block_create("src", "synth_source", {"size": 4})
+    fg.block_create("p1", "synth_pass", {},
+                    {"in": "${graph.src.output.out}"})
+    build_before = fg.records["p1"].build
+    fg.block_reconfigure("src", {"size": 4})     # identical
+    assert fg.records["p1"].build is build_before
+    fg.block_reconfigure("src", {"size": 8})     # real change
+    assert fg.records["p1"].build is not build_before

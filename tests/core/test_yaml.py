@@ -128,7 +128,29 @@ graph:
 """
     fg = Flowgraph.from_yaml(text)
     assert "gen" in fg.records
-    assert "mystery" not in fg.records
+    # r5: the unknown-type block survives as an ERRORED placeholder
+    # (the reference parks errored blocks) so a load->save roundtrip
+    # does not delete the user's node
+    assert "mystery" in fg.records
+    from cyberether_tpu.core.types import BlockState
+    assert fg.records["mystery"].state == BlockState.ERRORED
+    assert "unknown block type" in fg.records["mystery"].error
+    out = fg.to_yaml()
+    assert "mystery" in out and "not_a_real_block" in out
+    # and a bad device value is likewise isolated, not fatal
+    fg2 = Flowgraph.from_yaml("""
+version: 2
+graph:
+  - name: odd
+    module: signal_generator
+    device: npu
+  - name: gen
+    module: signal_generator
+    config: {bufferSize: 16}
+""")
+    assert "gen" in fg2.records and "odd" in fg2.records
+    assert fg2.records["odd"].state == BlockState.ERRORED
+    fg2.stop()
     fg.stop()
 
 
