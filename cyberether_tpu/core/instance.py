@@ -107,9 +107,16 @@ class Instance:
             while self._presenting:
                 t0 = time.monotonic()
                 try:
-                    frames = self.present()
-                    if self._present_cb is not None and frames:
-                        self._present_cb(frames)
+                    # present_data is DESTRUCTIVE for streaming
+                    # surfaces (the audio ring drains on read): only
+                    # pump frames when someone consumes them — a
+                    # serving RemoteServer runs its own pump (r5
+                    # review finding: the no-op pump stole ~2/3 of
+                    # every WS client's PCM chunks)
+                    if self._present_cb is not None:
+                        frames = self.present()
+                        if frames:
+                            self._present_cb(frames)
                 except Exception:  # present must never kill compute
                     log.exception("present loop error")
                 dt = time.monotonic() - t0

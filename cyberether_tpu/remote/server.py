@@ -36,6 +36,7 @@ import io
 import json
 import struct
 import threading
+import time
 import zlib
 from typing import Any, Dict, Optional, Tuple
 
@@ -98,8 +99,6 @@ def _frame_to_png_b64(data: Dict[str, Any]) -> Optional[str]:
         else:
             return None
     elif "line" in data:
-        from cyberether_tpu.viz.colormaps import apply_colormap
-
         line = np.asarray(data["line"])
         h, w = 160, len(line)
         img_arr = np.zeros((h, w, 4), np.uint8)
@@ -123,6 +122,14 @@ def _fingerprint(data: Dict[str, Any]) -> int:
         # counter is the fingerprint (a content CRC could collide on
         # periodic tones and silently stall the stream)
         return int(data.get("seq", 0))
+    if data.get("kind") == "map":
+        # aircraft/stats updates must mark the surface dirty even when
+        # the rendered pixels are unchanged (no-position aircraft draw
+        # nothing) — r5 review finding
+        return zlib.crc32(json.dumps(
+            {"a": data.get("aircraft", []),
+             "s": data.get("stats", {})},
+            sort_keys=True, default=str).encode())
     arr = data.get("frame")
     if arr is None:
         arr = data.get("line")
@@ -186,6 +193,16 @@ def _encode_binary(name: str, data: Dict[str, Any],
             out = enc.encode(arr, lossless=delta_rows is not None)
         except ImportError:   # pragma: no cover (no PIL)
             return None
+        if out is None and codec is not None and \
+                not isinstance(enc, JpegPngEncoder):
+            # a plugin codec may decline a frame shape — fall back to
+            # the default encoder rather than dropping the frame (the
+            # codec seam's documented contract)
+            try:
+                out = JpegPngEncoder().encode(
+                    arr, lossless=delta_rows is not None)
+            except ImportError:   # pragma: no cover
+                return None
         if out is None:
             return None
         tag, payload, w, h = out
@@ -223,6 +240,17 @@ class RemoteServer:
         # per-flowgraph undo/redo YAML-snapshot stacks
         self._undo: Dict[str, list] = {}
         self._redo: Dict[str, list] = {}
+        # shared present pump: present_data is DESTRUCTIVE (the audio
+        # ring drains on read), so ALL WS clients share one
+        # fg.present() sweep per frame period
+        self._present_frames: Dict[str, Any] = {}
+        self._present_t: float = 0.0
+        self._present_lock = threading.Lock()
+        # serializes structural mutations against undo/redo/import
+        # restores (which destroy+reimport in an executor thread) —
+        # without it a concurrent POST could mutate an already-popped
+        # Flowgraph object (r5 review finding)
+        self._mutate_lock = asyncio.Lock()
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
@@ -232,8 +260,12 @@ class RemoteServer:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._loop is not None:
-            self._loop.call_soon_threadsafe(lambda: None)
+        loop = self._loop
+        if loop is not None and not loop.is_closed():
+            try:
+                loop.call_soon_threadsafe(lambda: None)
+            except RuntimeError:
+                pass       # loop died (e.g. bind failure) — nothing to wake
         if self._thread is not None:
             self._thread.join(timeout=3.0)
 
@@ -350,13 +382,21 @@ class RemoteServer:
         if fg is None:
             raise web.HTTPNotFound
         body = await self._body(request)
-        snap = self._snapshot(request, fg)
-        for name, node in body.items():
-            try:
-                fg.block_set_meta(name, {"node": node})
-            except Exception as e:
-                raise web.HTTPBadRequest(text=str(e))
-        self._push_undo(request, snap)
+        # all-or-nothing: validate every name before mutating any (a
+        # stale block name mid-body must not leave a partial,
+        # unjournaled layout — r5 review finding)
+        missing = [n for n in body if n not in fg.records]
+        if missing:
+            raise web.HTTPBadRequest(
+                text=f"unknown block(s): {missing}")
+        async with self._mutate_lock:
+            snap = self._snapshot(fg)
+            for name, node in body.items():
+                try:
+                    fg.block_set_meta(name, {"node": node})
+                except Exception as e:
+                    raise web.HTTPBadRequest(text=str(e))
+            self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _flowgraphs(self, request):
@@ -394,7 +434,8 @@ class RemoteServer:
     # request pushes the pre-state here — VERDICT r4 item 7)
     _UNDO_DEPTH = 50
 
-    def _snapshot(self, request, fg) -> str:
+    @staticmethod
+    def _snapshot(fg) -> str:
         """Capture pre-mutation state; handlers commit it with
         :meth:`_push_undo` only after the mutation SUCCEEDS (a
         rejected request must not spend an undo level)."""
@@ -426,6 +467,16 @@ class RemoteServer:
         fg = self.instance.flowgraphs.get(name)
         if fg is None:
             raise web.HTTPNotFound
+        await self._mutate_lock.acquire()
+        try:
+            return await self._undo_redo_locked(
+                name, fg, pop_from, push_to)
+        finally:
+            self._mutate_lock.release()
+
+    async def _undo_redo_locked(self, name, fg, pop_from, push_to):
+        from aiohttp import web
+
         stack = pop_from.setdefault(name, [])
         if not stack:
             return web.json_response({"ok": False, "depth": 0})
@@ -473,16 +524,19 @@ class RemoteServer:
         if fg is None:
             raise web.HTTPNotFound
         body = await self._body(request)
-        snap = self._snapshot(request, fg)
-        try:
-            fg.block_create(
-                name=body["name"], type=body["type"],
-                config=body.get("config"), inputs=body.get("inputs"),
-                device=body.get("device"), runtime=body.get("runtime"),
-                provider=body.get("provider", "generic"))
-        except Exception as e:
-            raise web.HTTPBadRequest(text=str(e))
-        self._push_undo(request, snap)
+        async with self._mutate_lock:
+            snap = self._snapshot(fg)
+            try:
+                fg.block_create(
+                    name=body["name"], type=body["type"],
+                    config=body.get("config"),
+                    inputs=body.get("inputs"),
+                    device=body.get("device"),
+                    runtime=body.get("runtime"),
+                    provider=body.get("provider", "generic"))
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+            self._push_undo(request, snap)
         return web.json_response(fg.view()["blocks"][body["name"]])
 
     async def _block_reconfigure(self, request):
@@ -494,12 +548,13 @@ class RemoteServer:
             raise web.HTTPNotFound
         name = request.match_info["name"]
         body = await self._body(request)
-        snap = self._snapshot(request, fg)
-        try:
-            fg.block_reconfigure(name, body.get("config", {}))
-        except Exception as e:
-            raise web.HTTPBadRequest(text=str(e))
-        self._push_undo(request, snap)
+        async with self._mutate_lock:
+            snap = self._snapshot(fg)
+            try:
+                fg.block_reconfigure(name, body.get("config", {}))
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+            self._push_undo(request, snap)
         return web.json_response(fg.view()["blocks"][name])
 
     async def _block_destroy(self, request):
@@ -509,12 +564,13 @@ class RemoteServer:
         fg = self._fg(request)
         if fg is None:
             raise web.HTTPNotFound
-        snap = self._snapshot(request, fg)
-        try:
-            fg.block_destroy(request.match_info["name"])
-        except Exception as e:
-            raise web.HTTPBadRequest(text=str(e))
-        self._push_undo(request, snap)
+        async with self._mutate_lock:
+            snap = self._snapshot(fg)
+            try:
+                fg.block_destroy(request.match_info["name"])
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+            self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _connect(self, request):
@@ -525,13 +581,14 @@ class RemoteServer:
         if fg is None:
             raise web.HTTPNotFound
         body = await self._body(request)
-        snap = self._snapshot(request, fg)
-        try:
-            fg.block_connect(body["name"], body["port"],
-                             body.get("link", ""))
-        except Exception as e:
-            raise web.HTTPBadRequest(text=str(e))
-        self._push_undo(request, snap)
+        async with self._mutate_lock:
+            snap = self._snapshot(fg)
+            try:
+                fg.block_connect(body["name"], body["port"],
+                                 body.get("link", ""))
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+            self._push_undo(request, snap)
         return web.json_response({"ok": True})
 
     async def _benchmark(self, request):
@@ -653,6 +710,25 @@ class RemoteServer:
     # mirroring the reference encoder's periodic IDR)
     _KEYFRAME_EVERY = 120
 
+    def _present_snapshot(self) -> Dict[str, Any]:
+        """One shared fg.present() sweep per frame period for ALL
+        clients: present_data is DESTRUCTIVE (the audio ring drains on
+        read), so per-client sweeps stole each other's PCM chunks and
+        re-rendered every surface per client (r5 review finding)."""
+        now = time.monotonic()
+        with self._present_lock:
+            if now - self._present_t < 0.5 / self.fps:
+                return self._present_frames
+            frames: Dict[str, Any] = {}
+            for fg in list(self.instance.flowgraphs.values()):
+                try:
+                    frames.update(fg.present())
+                except Exception:
+                    log.exception("present sweep failed")
+            self._present_frames = frames
+            self._present_t = now
+            return frames
+
     async def _stream(self, request):
         self._check_token(request)
         from aiohttp import web
@@ -666,43 +742,54 @@ class RemoteServer:
         # per-surface delta-codec state: (seq, view, frames since key)
         scroll: Dict[str, Tuple[int, Any, int]] = {}
 
+        async def send_surface(name, data):
+            fp = _fingerprint(data)
+            if last_fp.get(name) == fp:
+                return               # dirty tracking: unchanged
+            delta, commit = self._delta_rows(name, data, scroll)
+            enc = await loop.run_in_executor(
+                None, _encode_binary, name, data, delta, self.codec)
+            if enc is None:
+                # do NOT commit the fingerprint: an undeliverable
+                # frame must stay dirty so a later encoder/codec can
+                # pick it up (r5 review finding)
+                return
+            header, payload = enc
+            await ws.send_bytes(
+                struct.pack("<I", len(header)) + header + payload)
+            last_fp[name] = fp
+            if commit is not None:
+                scroll[name] = commit
+
         async def sender():
             period = 1.0 / self.fps
             tick = 0
             while not ws.closed and not self._stop.is_set():
+                frames_all = self._present_snapshot()
                 if legacy:
                     frames: Dict[str, Any] = {}
-                    for fg in list(self.instance.flowgraphs.values()):
-                        for name, data in fg.present().items():
-                            png = await loop.run_in_executor(
-                                None, _frame_to_png_b64, data)
-                            if png:
-                                frames[name] = {"png": png,
-                                                "kind": data.get("kind")}
+                    for name, data in frames_all.items():
+                        png = await loop.run_in_executor(
+                            None, _frame_to_png_b64, data)
+                        if png:
+                            frames[name] = {"png": png,
+                                            "kind": data.get("kind")}
                     if frames:
                         await ws.send_str(json.dumps(
                             {"type": "frames", "frames": frames}))
                 else:
-                    for fg in list(self.instance.flowgraphs.values()):
-                        for name, data in fg.present().items():
-                            fp = _fingerprint(data)
-                            if last_fp.get(name) == fp:
-                                continue   # dirty tracking: unchanged
-                            last_fp[name] = fp
-                            delta, commit = self._delta_rows(
-                                name, data, scroll)
-                            enc = await loop.run_in_executor(
-                                None, _encode_binary, name, data,
-                                delta, self.codec)
-                            if enc is None:
-                                continue   # state uncommitted: the
-                                # next frame falls back to a keyframe
-                            header, payload = enc
-                            await ws.send_bytes(
-                                struct.pack("<I", len(header))
-                                + header + payload)
-                            if commit is not None:
-                                scroll[name] = commit
+                    for name, data in frames_all.items():
+                        try:
+                            await send_surface(name, data)
+                        except (asyncio.CancelledError,
+                                ConnectionResetError):
+                            raise
+                        except Exception:
+                            # one bad surface must not kill the whole
+                            # stream (r5 review finding); mark it
+                            # clean to avoid per-frame log spam
+                            log.exception("surface '%s' failed", name)
+                            last_fp[name] = _fingerprint(data)
                 if tick % (10 if legacy else 30) == 0:
                     views = {n: fg.view() for n, fg in
                              self.instance.flowgraphs.items()}
