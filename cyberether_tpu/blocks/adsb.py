@@ -57,7 +57,7 @@ class AdsbModule(Module):
     def create(self) -> Dict[str, TensorSpec]:
         return {}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self.decoder = ModeSDecoder(
             expire_s=float(self.config["expireSeconds"]))
 

@@ -709,7 +709,7 @@ class PythonModule(Module):
 
     # host-side execution path: the scheduler calls host_consume-like flow
     # via host_poll with inputs stashed by the segment runner
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self._pending_inputs: Optional[Dict[str, np.ndarray]] = None
         self.metrics: Dict[str, Any] = {}
 

@@ -73,7 +73,7 @@ class DtiModule(Module):
         self._dirty = True
         self._ver = getattr(self, "_ver", 0) + 1
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self._dirty = True
 
     def host_output_version(self) -> int:

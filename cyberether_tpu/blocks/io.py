@@ -72,7 +72,7 @@ class FileReaderModule(Module):
             DataType.parse(self.config["dataType"]), Device.CPU,
             SignalAxes(sample=0), attrs)}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self._np_dtype = DataType.parse(self.config["dataType"]).np_dtype
         self._batch = int(self.config["batchSize"])
         self._bytes_per_batch = self._batch * self._np_dtype.itemsize
@@ -151,7 +151,7 @@ class FileWriterModule(Module):
     def create(self) -> Dict[str, TensorSpec]:
         return {}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self._file = None
         self.bytes_written = 0
         if self.config["recording"] and self.config["filepath"]:
@@ -221,7 +221,7 @@ class SoapyModule(Module):
             {"sampleRate": float(self.config["sampleRate"]),
              "frequency": float(self.config["frequency"])})}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         nb = int(self.config["numberOfBatches"])
         ns = int(self.config["numberOfTimeSamples"])
         mult = max(int(self.config["bufferMultiplier"]), 2)
@@ -353,7 +353,7 @@ class WebsocketModule(Module):
             (nb, ns), DataType.parse(self.config["dataType"]), Device.CPU,
             SignalAxes(batch=0, sample=1))}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         nb = int(self.config["numberOfBatches"])
         ns = int(self.config["numberOfTimeSamples"])
         self._block = nb * ns
@@ -444,7 +444,7 @@ class AudioModule(Module):
     def create(self) -> Dict[str, TensorSpec]:
         return {}
 
-    def host_start(self, ctx: Any = None) -> None:
+    def host_start(self) -> None:
         self._resample = None
         fin = float(self.config["inSampleRate"])
         fout = float(self.config["outSampleRate"])

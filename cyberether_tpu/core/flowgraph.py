@@ -222,6 +222,9 @@ class Flowgraph:
             for mod, keys, decoded in plan:
                 for k in keys:
                     mod.config[k] = decoded[k]
+                # keep the hash honest for any change-detection reader
+                from cyberether_tpu.core.params import config_hash
+                mod.config_hash = config_hash(mod.config)
             rec.raw_config.update({k: config[k] for k in applied})
 
     def block_connect(self, name: str, port: str, link: str) -> None:

@@ -51,8 +51,6 @@ class Module:
     #: declared port names; () means "derived in define()"
     input_ports: Tuple[str, ...] = ()
     output_ports: Tuple[str, ...] = ()
-    #: names of scalar metrics published per cycle (read from state)
-    metric_ports: Tuple[str, ...] = ()
     #: config fields that only affect present_data (live view params:
     #: zoom/offset...) — updatable in place via
     #: ``Flowgraph.block_set_view`` without recreating the module (the
@@ -70,12 +68,25 @@ class Module:
         self.input_specs: Dict[str, TensorSpec] = dict(input_specs)
         # 2. define (ports / taints may depend on config)
         self.define()
-        # 3. framework input checks (module.cc:108-150)
-        self._check_inputs()
-        # 4. validate + create -> output specs
+        # 3a. missing-port check first: an unwired input is WAITING
+        #     (INCOMPLETE + retry), and validate() implementations
+        #     index input_specs directly
+        self._check_ports_present()
+        # 3b. validate BEFORE the remaining framework checks so a
+        #     definite config error surfaces as its own diagnostic
         self.validate()
+        # 3c. remaining framework input checks (module.cc:108-150)
+        self._check_inputs()
+        # 4. create -> output specs
         self.output_specs: Dict[str, TensorSpec] = self.create()
         for port, spec in self.output_specs.items():
+            if port == PASS_FLAG or port.startswith("metric:"):
+                # reserved names: the scheduler strips these keys from
+                # apply() outputs, so a wired consumer would KeyError
+                # deep inside jit tracing (r5 review finding)
+                raise ValidationError(
+                    f"module '{name}' declares reserved output "
+                    f"name '{port}'")
             if not spec.valid():
                 raise ValidationError(
                     f"module '{name}' produced invalid output spec "
@@ -93,28 +104,34 @@ class Module:
         raise NotImplementedError
 
     def reconfigure(self, new_raw_config: Dict[str, Any]) -> bool:
-        """Return True if the module can absorb the new config in place;
-        False requests recreation (Result::RECREATE — the default for
-        nearly all reference modules)."""
+        """Reserved for an in-place reconfigure fast path.  The graph
+        layer currently ALWAYS tears down and recreates on
+        reconfigure (Flowgraph.block_reconfigure — matching
+        Result::RECREATE, the default for nearly all reference
+        modules), so overriding this has no effect today; streaming
+        state survives recreation via the scheduler's
+        state-compatibility carry-over instead."""
         return False
 
     # -- framework checks --------------------------------------------------
-    def _check_inputs(self) -> None:
+    def _check_ports_present(self) -> None:
         for port in self.input_ports:
             if port not in self.input_specs:
                 raise MissingInputError(
                     f"module '{self.name}' missing input '{port}'")
+
+    def _check_inputs(self) -> None:
+        # NOTE on the reference's device-match check (module.cc:108-150
+        # + Taint.CROSS_DEVICE): cross-device links are a first-class
+        # capability here — the segment compiler partitions by device
+        # key and device_puts boundary values onto the consumer's
+        # backend — so there is nothing to reject at build time.
+        for port in self.input_ports:
             spec = self.input_specs[port]
             if not spec.valid():
                 raise ValidationError(
                     f"module '{self.name}' input '{port}' has empty shape "
                     f"{spec.shape}")
-            if (spec.device != self.device
-                    and not (self.taints & Taint.CROSS_DEVICE)
-                    and self.runtime is not Runtime.HOST):
-                # Device transfer is implicit on TPU (device_put); only
-                # flag it for modules that explicitly forbid it.
-                pass
         extra = set(self.input_specs) - set(self.input_ports)
         if extra and self.input_ports:
             raise ValidationError(
@@ -131,7 +148,7 @@ class Module:
         raise NotImplementedError
 
     # -- host path (sources / sinks / python modules) ----------------------
-    def host_start(self, ctx: "Any" = None) -> None:
+    def host_start(self) -> None:
         """Called once when the graph starts (open files/devices)."""
 
     def host_stop(self) -> None:
