@@ -127,8 +127,7 @@ class WbfmReceiver:
             demod = wbfm_fused(x, self._taps, state["fir_hist"],
                                self._ref, interpret=interpret)
         if demod is not None:
-            audio = demod.reshape(n // self.audio_decim,
-                                  self.audio_decim).mean(-1)
+            audio = self._decimate(demod, n)
         new_hist = (iq[n - K:, :].T if x is None else x[:, n - K:]) \
             if K else state["fir_hist"]
         # last filtered sample (the lag-1 carry other impls thread)
@@ -138,6 +137,26 @@ class WbfmReceiver:
                                 axis=-1)[:, -self.taps:] \
             @ self._taps[::-1]
         return audio, {"fir_hist": new_hist, "prev": ylast}
+
+    def _decimate(self, demod: jnp.ndarray, n: int) -> jnp.ndarray:
+        """Boxcar audio decimation.  The obvious
+        ``reshape(n/D, D).mean(-1)`` puts D on the minor dim — a
+        pathological relayout on TPU measured at ~0.19 ms of a
+        0.35 ms step (r5 decomposition).  Decimating on the kernel's
+        128-lane row layout instead — group lcm(D, 128) samples as
+        whole rows and apply a small selector matmul — runs at
+        ~0.016 ms: 0.366 -> 0.177 ms for the full step."""
+        import math as _math
+
+        D = self.audio_decim
+        g = _math.lcm(D, 128)
+        rows = g // 128                 # rows per group
+        if n % g == 0:
+            sel = np.kron(np.eye(g // D, dtype=np.float32),
+                          np.full((1, D), 1.0 / D, np.float32))
+            d3 = demod.reshape(n // g, g)
+            return (d3 @ jnp.asarray(sel).T).reshape(-1)
+        return demod.reshape(n // D, D).mean(-1)
 
     def jitted_step(self):
         return jax.jit(self.step, donate_argnums=(0,))

@@ -97,7 +97,7 @@ for tile_r in (256, 512, 1024, 2048, 4096):
                     hp = h * (1 + acc * jnp.float32(1e-30))
                     demod = wbfm_fused_v2(x, rx._taps, hp, rx._ref,
                                           tile_r=tile_r)
-                    return acc + demod[0, 0], None
+                    return acc + demod.reshape(-1)[0], None
                 acc, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=k)
                 return acc
