@@ -337,6 +337,97 @@ class FrameModule(Module):
 
 
 # ---------------------------------------------------------------------------
+# canvas — retained drawing surface (Sakura Retained::Canvas)
+# ---------------------------------------------------------------------------
+@register_module
+class CanvasModule(Module):
+    """App-owned drawing surface (reference retained canvas widget,
+    include/jetstream/render/sakura/components/retained/canvas.hh:13-43:
+    id/size/clearColor config + an onLayout callback receiving
+    framebufferSize/pixelRatio).  The reference records into GPU draw
+    lists; here drawing happens host-side through
+    :class:`cyberether_tpu.viz.draw.DrawList` at present time and the
+    RGBA frame rides the normal surface stream.
+
+    Two drive modes: a Python callback (``set_draw_callback``; the
+    superluminal ``canvas()`` API attaches one — gets the DrawList and
+    the layout dict each present cycle) or declarative JSON draw commands
+    in the ``commands`` config/view field (YAML- and REST-editable:
+    ``[{"op": "line", "args": [0, 0, 50, 50], "color": "#00ff88"}]``),
+    replayed each frame.
+    """
+
+    module_type = "canvas"
+    taints = Taint.SURFACE
+    input_ports = ()
+    output_ports = ()
+    schema = Schema(
+        Field("width", "int", 512),
+        Field("height", "int", 256),
+        Field("clearColor", "str", "#101018ff"),
+        Field("commands", "str", "[]"))
+    view_fields = ("clearColor", "commands")
+
+    def validate(self) -> None:
+        w, h = int(self.config["width"]), int(self.config["height"])
+        if not (8 <= w <= 4096 and 8 <= h <= 4096):
+            raise ValidationError(
+                f"canvas size must be 8..4096 (got {w}x{h})")
+        self._draw_cb = None
+
+    def create(self) -> Dict[str, TensorSpec]:
+        return {}
+
+    def apply(self, inputs, state):
+        return {}, state        # no device compute; present-only
+
+    def set_draw_callback(self, cb) -> None:
+        """``cb(drawlist, layout)`` invoked every present cycle."""
+        self._draw_cb = cb
+
+    def _replay(self, dl) -> None:
+        import json
+
+        try:
+            cmds = json.loads(str(self.config["commands"]) or "[]")
+        except Exception:
+            return
+        if not isinstance(cmds, list):
+            return
+        allowed = {"clear", "rect", "line", "polyline", "circle",
+                   "text", "image"}
+        for cmd in cmds[:4096]:
+            if not isinstance(cmd, dict):
+                continue
+            op = cmd.get("op")
+            if op not in allowed:
+                continue
+            args = list(cmd.get("args", []))
+            kw = {k: v for k, v in cmd.items()
+                  if k not in ("op", "args")}
+            try:
+                getattr(dl, op)(*args, **kw)
+            except Exception:
+                continue          # skip malformed commands, keep rest
+
+    def present_data(self, outputs, state):
+        from cyberether_tpu.viz.draw import DrawList
+
+        dl = DrawList(int(self.config["width"]),
+                      int(self.config["height"]),
+                      clear_color=str(self.config["clearColor"]))
+        if self._draw_cb is not None:
+            try:
+                self._draw_cb(dl, dl.layout)
+            except Exception:
+                pass              # a bad callback must not kill present
+        else:
+            self._replay(dl)
+        return {"frame": dl.rgba, "kind": "frame",
+                "layout": dl.layout}
+
+
+# ---------------------------------------------------------------------------
 # note (visualization/note) — markdown annotation, no compute
 # ---------------------------------------------------------------------------
 class NoteBlock(Block):
@@ -353,5 +444,5 @@ class NoteBlock(Block):
 register_block(NoteBlock)
 
 for _type in ("lineplot", "waterfall", "spectrogram", "constellation",
-              "frame"):
+              "frame", "canvas"):
     register_block(simple_block(_type))

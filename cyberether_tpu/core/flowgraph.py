@@ -538,6 +538,13 @@ class Flowgraph:
         return self.scheduler.compute_burst(cycles, timeout=timeout)
 
     def present(self) -> Dict[str, Any]:
+        # surface-only graphs (canvas/note panels) never compute; make
+        # sure the scheduler classified surfaces before presenting
+        # (cheap no-op when the build is clean)
+        try:
+            self.scheduler._ensure_built()
+        except Exception:
+            pass        # build errors surface through compute paths
         return self.scheduler.present()
 
     def start(self) -> None:

@@ -27,6 +27,7 @@ Typical use::
 from cyberether_tpu.superluminal.api import (  # noqa: F401
     amplitude,
     box,
+    canvas,
     configure,
     cpu,
     frequency,

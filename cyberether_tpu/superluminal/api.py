@@ -145,6 +145,22 @@ def box(title: str, mosaic: List[List[int]], callback) -> None:
     _state.widgets.append(_Widget("box", title, mosaic, callback))
 
 
+def canvas(title: str, size: Tuple[int, int] = (512, 256),
+           draw=None, mosaic: Optional[List[List[int]]] = None,
+           clear_color: str = "#101018ff") -> None:
+    """Retained drawing surface (reference Canvas widget,
+    include/jetstream/render/sakura/components/retained/canvas.hh:13-43
+    and the C++ superluminal canvas surface).  ``draw(drawlist,
+    layout)`` runs host-side every present cycle with a
+    :class:`cyberether_tpu.viz.draw.DrawList` bound to the panel
+    framebuffer; ``layout`` carries framebufferSize/pixelRatio (the
+    onLayout cognate).  The rasterized RGBA frame streams like any
+    other surface."""
+    _state.widgets.append(_Widget(
+        "canvas", title, mosaic or [[1]],
+        (tuple(int(v) for v in size), draw, clear_color)))
+
+
 def text(label: str, value: str = "") -> None:
     _state.widgets.append(_Widget("text", label, [[1]], value))
 
@@ -355,6 +371,18 @@ def _build() -> None:
         else:
             fg.block_create(f"plot{i}", "lineplot", {},
                             {"signal": feed})
+
+    for i, w in enumerate(_state.widgets):
+        if w.kind != "canvas":
+            continue
+        (cw, ch), draw_cb, clear = w.payload
+        name = f"canvas{i}"
+        fg.block_create(name, "canvas",
+                        {"width": cw, "height": ch,
+                         "clearColor": clear})
+        if draw_cb is not None:
+            fg.records[name].build.modules[f"{name}/m"] \
+                .set_draw_callback(draw_cb)
 
     if _state.config.get("remote"):
         from cyberether_tpu.remote.server import RemoteServer
