@@ -64,6 +64,9 @@ svg{width:100%;height:100%;display:block}
 .acgrid th{color:var(--dim);font-weight:normal;text-align:left;
  padding:0 6px;border-bottom:1px solid var(--edge)}
 .acgrid td{padding:0 6px;text-align:left}
+.textgrid .tg-err{color:#f66}.textgrid .tg-warn{color:#fb5}
+.textgrid .tg-info{color:var(--dim)}
+.textgrid .tg-active{background:#ffffff14}
 #toast{position:absolute;bottom:12px;left:50%;
  transform:translateX(-50%);background:var(--panel);color:var(--txt);
  border:1px solid var(--edge);border-radius:6px;padding:6px 14px;
@@ -218,6 +221,7 @@ function paletteCommands() {
       document.getElementById("benchbtn").click()},
     {label: "show: help", run: () =>
       document.getElementById("helpbtn").click()},
+    {label: "show: logs", run: showLogs},
     {label: "toggle theme", run: () =>
       document.getElementById("themebtn").click()},
     {label: "save layout", run: () =>
@@ -225,6 +229,22 @@ function paletteCommands() {
     {label: "undo", run: () => doUndoRedo("undo")},
     {label: "redo", run: () => doUndoRedo("redo")});
   return cmds;
+}
+
+// ---- log panel (retained TextGrid widget, server-rendered) --------
+async function showLogs() {
+  try {
+    const res = await api("logs");
+    showModal("logs",
+      `<div id="logbody" style="max-height:420px;overflow:auto;` +
+      `min-width:520px">` +
+      (res.count ? res.html :
+       `<span style="color:var(--dim)">no records yet</span>`) +
+      `</div>`);
+    const el = document.getElementById("logbody");
+    if (res.metrics && res.metrics.stickToBottom)
+      el.scrollTop = el.scrollHeight;
+  } catch (e) { toast("logs failed: " + e.message, true); }
 }
 
 // ---- undo/redo: server-side snapshot journal (Sakura action queue

@@ -303,6 +303,7 @@ class RemoteServer:
         app.router.add_get("/api/v1/flowgraph/{fg}/yaml", self._yaml_export)
         app.router.add_post("/api/v1/flowgraph/import", self._yaml_import)
         app.router.add_post("/api/v1/highlight", self._highlight)
+        app.router.add_get("/api/v1/logs", self._logs)
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, self.host, self.port)
@@ -642,6 +643,46 @@ class RemoteServer:
         return web.json_response({
             name: registry.example(name).title
             for name in registry.list_examples()})
+
+    async def _logs(self, request):
+        """Recent runtime log records rendered through the retained
+        TextGrid widget (reference debug-window scrollback,
+        render/sakura/components/retained/text_grid.hh) — line
+        numbers, per-level styled spans, stick-to-bottom."""
+        self._check_token(request)
+        import time as _t
+
+        from aiohttp import web
+
+        from cyberether_tpu.remote.textgrid import TextGrid
+        from cyberether_tpu.utils.logging import recent_records
+
+        try:
+            n = min(max(int(request.query.get("n", 200)), 1), 500)
+        except ValueError:
+            raise web.HTTPBadRequest(text="n must be an int")
+        grid = TextGrid(line_numbers=True, stick_to_bottom=True,
+                        wrap="word", font_size=12.0,
+                        show_active_line=False,
+                        style_color_keys=["err", "warn", "info"])
+        recs = recent_records(n)
+        for r in recs:
+            ts = _t.strftime("%H:%M:%S", _t.localtime(r["ts"]))
+            lvl = r["level"][:1]
+            line = f"{ts} {lvl} [{r['name']}] {r['msg']}"
+            sid = {"E": 0, "C": 0, "W": 1}.get(lvl, 2)
+            grid.append_line(line, spans=[(9, 10 + len(lvl) - 1
+                                           + 3 + len(r["name"]),
+                                           sid)])
+        try:
+            width = min(max(int(request.query.get("width", 0)), 0),
+                        500)
+        except ValueError:
+            width = 0
+        return web.json_response({
+            "html": grid.render_html(width_cols=width),
+            "count": len(recs),
+            "metrics": grid.metrics(width_cols=width)})
 
     async def _yaml_export(self, request):
         """Flowgraph -> YAML v2 text (the compositor's export action,

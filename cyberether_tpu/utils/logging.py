@@ -6,18 +6,28 @@ block diagnostics in UIs.
 
 from __future__ import annotations
 
+import collections
 import logging
 import os
 import sys
 import threading
-from typing import Optional
+import time as _time
+from typing import Dict, List, Optional
 
 _LAST = {"warning": "", "error": ""}
 _LAST_LOCK = threading.Lock()
+#: ring of recent records for the editor's log panel (the reference
+#: keeps a scrollback sink the debug window renders)
+_RING: "collections.deque" = collections.deque(maxlen=500)
 
 
 class _CaptureHandler(logging.Handler):
     def emit(self, record: logging.LogRecord) -> None:
+        with _LAST_LOCK:
+            _RING.append({"ts": _time.time(),
+                          "level": record.levelname,
+                          "name": record.name,
+                          "msg": record.getMessage()})
         if record.levelno >= logging.ERROR:
             key = "error"
         elif record.levelno >= logging.WARNING:
@@ -54,3 +64,11 @@ def last_warning() -> str:
 def last_error() -> str:
     with _LAST_LOCK:
         return _LAST["error"]
+
+
+def recent_records(n: int = 200) -> List[Dict]:
+    """Last ``n`` captured records (oldest first) — feeds the editor's
+    log panel text grid."""
+    with _LAST_LOCK:
+        items = list(_RING)
+    return items[-n:]

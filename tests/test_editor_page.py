@@ -158,7 +158,7 @@ def test_editor_ids_referenced_exist():
     ids = set(re.findall(r'id="([^"]+)"', html))
     dynamic = {"cfgextra", "apply", "del", "benchsel", "benchrun",
                "benchout", "yamltext", "yamlimport", "yamlcopy",
-               "palin", "pallist", "mdprev"}
+               "palin", "pallist", "mdprev", "logbody"}
     dynamic |= {i for i in re.findall(
         r'getElementById\("([a-z]+)_" ?\+', script)}
     for ref in re.findall(r'getElementById\("([^"]+)"\)', script):
