@@ -331,7 +331,13 @@ def bench_spectrum() -> float:
     ct_flops = (B // 128) * (n // 128) * 4 * 2 * 128 * 128 * 128
     best = 0.0
     for name, stepfn, extra in (
+            # default exact tier = cpack5 (round 5): half the stage-2
+            # MAC passes via the complex-packed DIF split
             ("pallas-ct", lambda x, w: pipe.step_pallas_ct(x, win=w),
+             dict(mxu_flops=ct_flops // 2)),
+            ("pallas-ct-h",
+             lambda x, w: pipe.step_pallas_ct(x, win=w,
+                                              stage2="highest"),
              dict(mxu_flops=ct_flops)),
             ("pallas-ct-x4",
              lambda x, w: pipe.step_pallas_ct(x, win=w,
@@ -668,6 +674,14 @@ def diff_previous_archive(arch_path, results, factor=1.4):
         if cur_ms > factor * old_ms:
             notes.append(f"{r['name']}: {old_ms:.3f} -> "
                          f"{cur_ms:.3f} ms")
+        # impossible SPEEDUPS are artifacts too (r5: a burst
+        # differential with t9 ~= t1 reported 568 Gsamp/s on the
+        # flowgraph spectrum row — 40x the kernel's own chain rate);
+        # a real optimization should land near a kernel-bench rate,
+        # never 3x past the previous record in one hop
+        elif old_ms > 3.0 * factor * cur_ms:
+            notes.append(f"{r['name']}: {old_ms:.3f} -> "
+                         f"{cur_ms:.3f} ms (implausible speedup)")
     return notes
 
 

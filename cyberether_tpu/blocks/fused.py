@@ -290,7 +290,7 @@ class SpectrumFusedModule(Module):
             raise ValidationError(
                 "precision must be exact/accurate/display "
                 f"(got {prec!r})")
-        self._ct_stage2 = {"": "", "exact": "highest",
+        self._ct_stage2 = {"": "", "exact": "cpack5",
                            "accurate": "x4",
                            "display": "default"}[prec]
         if prec and not self._use_ct:

@@ -96,19 +96,29 @@ class SpectrumPipeline:
         on the VPU (true-f32 ALUs), the 128-point stage on the MXU —
         ~16x fewer MXU flops than the full-DFT kernel at n=2048.
 
-        ``exact=True`` (reference grade: HIGHEST-precision stage 2,
-        measured 3.2e-5 of f64 truth on hardware at 19.6 Gsamp/s) or
-        False (display grade 1-pass stage 2, 34.6 G).  ``stage2``
-        overrides the mapping: "highest" | "x4" (manual 4-product bf16
-        compensation, ~3.2e-4 — the bf16 hi+lo representation limit;
-        23.4 G) | "default" | "dbatch" (display matmuls batched over
-        k1: 36.3 G, r5b — the fast-display production pick) | "k5" /
-        "k6" (hoisted 3-way-split K-stacked bf16: 1.4e-4 at 19.7 G /
-        3.4e-5 at 17.9 G, r5d) | "hfft64"/"fft64"/"hbatch" (measured
-        negative results, kept for A/B — see tools/ablation/r5*).
-        Five stage-2 restructures were measured on hardware in round
-        5; the HIGHEST 6-pass cost tracks MAC passes (not call count,
-        not VPU splitting), so "highest" remains the exact tier.
+        ``exact=True`` (reference grade, round-5 production: the
+        "cpack5" complex-packed DIF stage 2 — one exact VPU radix-2
+        level then 64-point complex sub-DFTs as full-tile (128,128)
+        real matmuls at HIGHEST, HALF the MAC passes of the direct
+        128-DFT; measured 2.35e-5 of f64 truth on hardware at
+        22.8-25.9 Gsamp/s across claim modes, vs 18.4-19.6 for the
+        old "highest") or False (display grade 1-pass stage 2,
+        34-40 G).  ``stage2`` overrides the mapping: "cpack5"
+        (production exact) | "cpack2"/"cpack4"/"cpack"/"cpack6"
+        (intermediate packing generations, r5h-r5m) | "highest"
+        (direct 6-pass) | "x4" (manual 4-product bf16 compensation,
+        ~3.2e-4 — the bf16 hi+lo representation limit) | "default" |
+        "dbatch" (display matmuls batched over k1: 36.3 G, r5b) |
+        "k5"/"k6" (hoisted 3-way-split K-stacked bf16) |
+        "hfft64"/"fft64"/"hbatch" (measured negative results, kept
+        for A/B — see tools/ablation/r5*).  The round-5 finding
+        chain: the 6-pass HIGHEST cost tracks MAC passes (not call
+        count, not VPU splitting), K=64/N=64 sub-DFT matmuls pad 4x
+        (fft64 lost 1.7x despite halved MACs) — complex-packing the
+        64-point sub-DFTs as [[C,-S],[S,C]] on [ur|ui] lanes keeps
+        full MXU tiles at half the MACs, and pltpu.roll+iota-select
+        packing (zero scratch trips) plus absorbing the W128 odd
+        twiddle into a k1-independent odd-bin matrix made it win.
         ``version``: "ct5" (production:
         FFT-structured stage 1, needs power-of-two n/128 — falls back
         to ct4 otherwise), "ct4" (direct stage-1 MACs, any m), or
@@ -121,7 +131,7 @@ class SpectrumPipeline:
             return spectrum_fused_ct(
                 iq, w, float(self._coeff), float(self._scale),
                 float(self._offset), interpret=interpret, exact=exact)
-        s2 = stage2 or ("highest" if exact else "default")
+        s2 = stage2 or ("cpack5" if exact else "default")
         m = self.fft_size // 128
         if version == "ct5" and m & (m - 1) == 0 and m <= 32:
             return spectrum_fused_ct5(

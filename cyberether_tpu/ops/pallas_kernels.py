@@ -22,7 +22,7 @@ TPU path compiles via Mosaic.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -1546,12 +1546,50 @@ def _fft_ct_kernel(xr_ref, xi_ref, twr_ref, twi_ref, c_ref, s_ref,
                    or_ref, oi_ref, *, m: int, exact: bool):
     """Generic n = m x 128 forward C2C FFT (no window, no epilogue):
     chunk-axis FFT stage 1 + per-k1 twiddle + 128-point MXU DFT.
-    Outputs re/im planes in PERMUTED order (k = k1 + m*k2 at column
-    128*k1 + k2); the caller un-permutes with a free-ish XLA
-    transpose."""
+    Outputs re/im planes in PERMUTED order; the caller un-permutes
+    with a free-ish XLA transpose.  ``exact=True`` uses the round-5
+    cpack5 structure (one exact VPU DIF level + complex-packed
+    64-point sub-DFT matmuls at HIGHEST — half the MAC passes, see
+    :func:`_spectrum_ct5_kernel`); the display tier keeps the direct
+    1-pass 128-DFT (the packing VPU ops would cost more than the
+    halved single pass saves)."""
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST if exact else None
     re, im = _chunk_fft(xr_ref, xi_ref, None, m)
+    if exact and m >= 2:
+        hi = jax.lax.Precision.HIGHEST
+        ME = c_ref[:, :]            # [[C64,-S64],[S64,C64]]
+        MO = s_ref[:, :]            # odd-bin matrix (W128 absorbed)
+        mask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1) < 64
+        tb = xr_ref.shape[0]
+        g = 4 if m % 4 == 0 else (2 if m % 2 == 0 else 1)
+        for k0 in range(0, m, g):
+            ues, uos = [], []
+            for kk in range(k0, k0 + g):
+                tr = twr_ref[kk * 8:kk * 8 + 1, :]
+                ti = twi_ref[kk * 8:kk * 8 + 1, :]
+                br = re[kk] * tr - im[kk] * ti
+                bi = re[kk] * ti + im[kk] * tr
+                P = jnp.where(mask, br, bi)
+                Q = jnp.where(mask, bi, br)
+                rQ = pltpu.roll(Q, 64, 1)
+                ues.append(P + rQ)
+                uos.append(P - rQ)
+            YE = jnp.dot(jnp.concatenate(ues, axis=0), ME,
+                         preferred_element_type=f32, precision=hi)
+            YO = jnp.dot(jnp.concatenate(uos, axis=0), MO,
+                         preferred_element_type=f32, precision=hi)
+            rYE = pltpu.roll(YE, 64, 1)
+            rYO = pltpu.roll(YO, 64, 1)
+            for p in range(g):
+                rows = slice(p * tb, (p + 1) * tb)
+                c0 = (k0 + p) * 128
+                or_ref[:, c0:c0 + 128] = \
+                    jnp.where(mask, YE[rows, :], rYO[rows, :])
+                oi_ref[:, c0:c0 + 128] = \
+                    jnp.where(mask, rYE[rows, :], YO[rows, :])
+        return
+    hi = jax.lax.Precision.HIGHEST if exact else None
     for k1 in range(m):
         tr = twr_ref[k1 * 8:k1 * 8 + 1, :]
         ti = twi_ref[k1 * 8:k1 * 8 + 1, :]
@@ -1593,6 +1631,19 @@ def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
     while tile_b > 1 and B % tile_b:
         tile_b //= 2
     _, _, twr, twi, cmat, smat = _ct_mats(n)
+    packed = exact and m >= 2
+    if packed:
+        # cpack5 matrices: even = complex-packed 64-DFT, odd = the
+        # same with the W128 twiddle absorbed (see spectrum cpack5)
+        jr = np.outer(np.arange(64), np.arange(64)) % 64
+        ang = 2.0 * np.pi * jr / 64
+        c64, s64 = np.cos(ang), np.sin(ang)
+        cmat = np.block([[c64, -s64], [s64, c64]]).astype(np.float32)
+        jj, tt = np.meshgrid(np.arange(64), np.arange(64),
+                             indexing="ij")
+        ango = 2.0 * np.pi * (jj * (2 * tt + 1) % 128) / 128
+        p1, p2 = np.cos(ango), np.sin(ango)
+        smat = np.block([[p1, -p2], [-p2, -p1]]).astype(np.float32)
 
     x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -1616,6 +1667,10 @@ def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
       jnp.asarray(np.repeat(twi, 8, axis=0)),
       jnp.asarray(cmat), jnp.asarray(smat))
     y = (yr + 1j * yi).astype(jnp.complex64)
+    if packed:
+        # perm[:, 128*k1 + 64*par + r] holds bin k1 + m*(2r + par)
+        return y.reshape(B, m, 2, 64).transpose(0, 3, 2, 1) \
+            .reshape(*lead, n)
     # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
     return y.reshape(B, m, 128).swapaxes(1, 2).reshape(*lead, n)
 
@@ -1700,11 +1755,13 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
 
     re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m)
 
-    def epilogue(yr, yi):
-        mag2 = yr * yr + yi * yi
+    def epilogue_mag2(mag2):
         db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
         norm = db * f32(scale) + f32(offset)
         return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
+
+    def epilogue(yr, yi):
+        return epilogue_mag2(yr * yr + yi * yi)
 
     if stage2 == "hfft64":
         # exact tier, round-5 production: one DIF radix-2 level splits
@@ -1753,6 +1810,199 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                 VR[e0:e0 + tb, :], VI[e0:e0 + tb, :])
             out_ref[:, k1 * 128 + 64:(k1 + 1) * 128] = epilogue(
                 VR[o0:o0 + tb, :], VI[o0:o0 + tb, :])
+        return
+
+    if stage2 in ("cpack", "cpack6"):
+        # exact tier, round-5 production candidate: the 6-pass HIGHEST
+        # stage 2 is AT the bf16 MXU roofline (4*B*m*128^2 MACs * 6
+        # passes ~= the measured 0.18-0.22 ms — k6/hbatch proved no
+        # same-MAC reformulation can win), so the MAC COUNT must drop.
+        # One DIF radix-2 level (exact f32 on the VPU) splits the
+        # 128-point lane DFT into even/odd 64-point COMPLEX sub-DFTs;
+        # each complex 64-DFT is one real (128,128) matrix
+        # [[C64,-S64],[S64,C64]] acting on [ur|ui] lane-packed rows —
+        # FULL MXU tiles (fft64's K=64/N=64 matmuls padded 4x and
+        # lost 1.7x despite the same MAC cut), half the MAC passes.
+        # k1 values are processed in PAIRS so the mag2/epilogue chain
+        # repacks onto full 128-lane vregs (the ypack lesson: half-
+        # width VPU chains cost ~2x issue slots).  All lane-offset
+        # moves ride the scratch ref (legal), never value concats.
+        tb = tile_b
+        hi = jax.lax.Precision.HIGHEST
+        M2 = mhi_ref[0:128, :]
+        if stage2 == "cpack6":
+            M2h = mlo_ref[130:130 + 768, :]
+        t64r = mlo_ref[128:129, 0:64]
+        t64i = mlo_ref[129:130, 0:64]
+        # sc (8tb, 128): [0:2tb] br/bi staging, [2tb:6tb] packed U
+        # then Y, [6tb:8tb] mag2 repack / epilogue staging
+        for k1 in range(0, m, 2):
+            for half, kk in enumerate((k1, k1 + 1)):
+                tr = twr_ref[kk * 8:kk * 8 + 1, :]
+                ti = twi_ref[kk * 8:kk * 8 + 1, :]
+                br = re[kk] * tr - im[kk] * ti
+                bi = re[kk] * ti + im[kk] * tr
+                sc[0:tb, :] = br
+                sc[tb:2 * tb, :] = bi
+                brL, brH = sc[0:tb, 0:64], sc[0:tb, 64:128]
+                biL, biH = sc[tb:2 * tb, 0:64], sc[tb:2 * tb, 64:128]
+                cR, cI = brL - brH, biL - biH
+                u0 = 2 * tb + half * 2 * tb
+                sc[u0:u0 + tb, 0:64] = brL + brH
+                sc[u0:u0 + tb, 64:128] = biL + biH
+                sc[u0 + tb:u0 + 2 * tb, 0:64] = \
+                    cR * t64r - cI * t64i
+                sc[u0 + tb:u0 + 2 * tb, 64:128] = \
+                    cI * t64r + cR * t64i
+            U = sc[2 * tb:6 * tb, :]
+            if stage2 == "cpack6":
+                uh = U.astype(jnp.bfloat16)
+                r1 = U - uh.astype(f32)
+                um = r1.astype(jnp.bfloat16)
+                ul = (r1 - um.astype(f32)).astype(jnp.bfloat16)
+                U6 = jnp.concatenate(
+                    [uh, uh, uh, um, um, ul], axis=1)
+                Y = jnp.dot(U6, M2h, preferred_element_type=f32)
+            else:
+                Y = jnp.dot(U, M2, preferred_element_type=f32,
+                            precision=hi)
+            sc[2 * tb:6 * tb, :] = Y
+            yr = sc[2 * tb:6 * tb, 0:64]
+            yi = sc[2 * tb:6 * tb, 64:128]
+            mag2 = yr * yr + yi * yi             # (4tb, 64)
+            sc[6 * tb:8 * tb, 0:64] = mag2[0:2 * tb, :]
+            sc[6 * tb:8 * tb, 64:128] = mag2[2 * tb:4 * tb, :]
+            ep = epilogue_mag2(sc[6 * tb:8 * tb, :])  # (2tb, 128)
+            sc[0:2 * tb, :] = ep
+            # lanes [0:64] = k1's bins, [64:128] = (k1+1)'s; rows
+            # [0:tb] = even sub-DFT, [tb:2tb] = odd — same permuted
+            # layout as fft64 (wrapper un-permutes)
+            out_ref[:, k1 * 128:k1 * 128 + 64] = sc[0:tb, 0:64]
+            out_ref[:, k1 * 128 + 64:(k1 + 1) * 128] = \
+                sc[tb:2 * tb, 0:64]
+            out_ref[:, (k1 + 1) * 128:(k1 + 1) * 128 + 64] = \
+                sc[0:tb, 64:128]
+            out_ref[:, (k1 + 1) * 128 + 64:(k1 + 2) * 128] = \
+                sc[tb:2 * tb, 64:128]
+        return
+
+    if stage2 in ("cpack2", "cpack4"):
+        # cpack with ZERO scratch round trips: the lane-half
+        # sums/differences ride pltpu.roll(·, 64) (both halves appear
+        # at full width, duplicated/negated), iota-selects build the
+        # [ur|ui] complex packing as pure value ops, and U stacks as
+        # a row-concat VALUE straight into the half-MAC matmul.  The
+        # scratch formulation above measured +0.08 ms of staging;
+        # this one's packing is ~13 full-width VPU ops per k1.
+        # cpack4 additionally packs k1-PAIRS onto lane halves for the
+        # epilogue (no duplicate-lane waste, ~9 fewer ops/k1).
+        tb = tile_b
+        hi = jax.lax.Precision.HIGHEST
+        M2 = mhi_ref[0:128, :]
+        cdup = mlo_ref[128:129, :]           # [cos | cos] W128^j
+        sdup = mlo_ref[129:130, :]           # [sin | sin]
+        mask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1) < 64
+
+        def pack_u(kk):
+            # trimmed packing algebra (bit-identical to the direct
+            # er/ei/ofr/ofi formulation — same operand order): with
+            # P = [brL|biH], Q = [biL|brH] (selects) and roll swapping
+            # halves, U_even = P + roll(Q) = [E_r|E_i] in ONE add, and
+            # A1 = P - roll(Q) = [D_r|-D_i], A2 = Q - roll(P) =
+            # [D_i|-D_r] combine with the SIGNED twiddle rows
+            # cneg = [cos|-cos], sdup = [sin|sin] to give
+            # U_odd = A1*cneg + A2*sdup = [O_r|O_i] directly — no
+            # final select/negate (17 ops/k1 vs 21 for the direct
+            # form).
+            tr = twr_ref[kk * 8:kk * 8 + 1, :]
+            ti = twi_ref[kk * 8:kk * 8 + 1, :]
+            br = re[kk] * tr - im[kk] * ti
+            bi = re[kk] * ti + im[kk] * tr
+            P = jnp.where(mask, br, bi)
+            Q = jnp.where(mask, bi, br)
+            rP = pltpu.roll(P, 64, 1)
+            rQ = pltpu.roll(Q, 64, 1)
+            return P + rQ, (P - rQ) * cdup + (Q - rP) * sdup
+
+        g = 4 if stage2 == "cpack4" and m % 4 == 0 else 2
+        for k0 in range(0, m, g):
+            us = []
+            for kk in range(k0, k0 + g):
+                us.extend(pack_u(kk))
+            U = jnp.concatenate(us, axis=0)  # (2g*tb, 128)
+            Y = jnp.dot(U, M2, preferred_element_type=f32,
+                        precision=hi)
+            ysq = Y * Y
+            mag2d = ysq + pltpu.roll(ysq, 64, 1)   # dup halves
+            if g == 2:
+                ep = epilogue_mag2(mag2d)
+                for p in range(2):
+                    out_ref[:, (k0 + p) * 128:(k0 + p + 1) * 128] = \
+                        jnp.where(mask,
+                                  ep[2 * p * tb:(2 * p + 1) * tb, :],
+                                  ep[(2 * p + 1) * tb:
+                                     (2 * p + 2) * tb, :])
+                continue
+            # cpack4: lanes L <- pair (k0, k0+1), lanes H <- pair
+            # (k0+2, k0+3); epilogue runs exactly once per element
+            c01 = jnp.where(mask, mag2d[0:2 * tb, :],
+                            mag2d[4 * tb:6 * tb, :])
+            c23 = jnp.where(mask, mag2d[2 * tb:4 * tb, :],
+                            mag2d[6 * tb:8 * tb, :])
+            epA = epilogue_mag2(c01)         # L: k0,   H: k0+2
+            epB = epilogue_mag2(c23)         # L: k0+1, H: k0+3
+            for p, ep in ((0, epA), (1, epB)):
+                ev, od = ep[0:tb, :], ep[tb:2 * tb, :]
+                out_ref[:, (k0 + p) * 128:(k0 + p + 1) * 128] = \
+                    jnp.where(mask, ev, pltpu.roll(od, 64, 1))
+                out_ref[:, (k0 + 2 + p) * 128:
+                        (k0 + 3 + p) * 128] = \
+                    jnp.where(mask, pltpu.roll(ev, 64, 1), od)
+        return
+
+    if stage2 == "cpack5":
+        # cpack with the W128 odd-branch twiddle ABSORBED into the odd
+        # sub-DFT matrix: the odd-bin DFT matrix
+        # P1[j,t] = cos(2*pi*j*(2t+1)/128), P2 = sin(...) is
+        # k1-independent, so M_odd = [[P1,-P2],[-P2,-P1]] consumes
+        # A1 = P - roll(Q) = [D_r|-D_i] DIRECTLY — the per-k1 pack
+        # drops to 11 ops (twiddle 6, selects 2, roll 1, add/sub 2),
+        # entries are rounded ONCE from f64 (more exact than the
+        # runtime f32 twiddle multiply), and with evens/odds in
+        # separate matmuls the epilogue pack is one select per k1.
+        tb = tile_b
+        hi = jax.lax.Precision.HIGHEST
+        ME = mhi_ref[0:128, :]
+        MO = mlo_ref[0:128, :]
+        mask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1) < 64
+
+        g = 4 if m % 4 == 0 else 2
+        for k0 in range(0, m, g):
+            ues, uos = [], []
+            for kk in range(k0, k0 + g):
+                tr = twr_ref[kk * 8:kk * 8 + 1, :]
+                ti = twi_ref[kk * 8:kk * 8 + 1, :]
+                br = re[kk] * tr - im[kk] * ti
+                bi = re[kk] * ti + im[kk] * tr
+                P = jnp.where(mask, br, bi)
+                Q = jnp.where(mask, bi, br)
+                rQ = pltpu.roll(Q, 64, 1)
+                ues.append(P + rQ)           # [E_r | E_i]
+                uos.append(P - rQ)           # [D_r | -D_i]
+            YE = jnp.dot(jnp.concatenate(ues, axis=0), ME,
+                         preferred_element_type=f32, precision=hi)
+            YO = jnp.dot(jnp.concatenate(uos, axis=0), MO,
+                         preferred_element_type=f32, precision=hi)
+            sqE, sqO = YE * YE, YO * YO
+            mE = sqE + pltpu.roll(sqE, 64, 1)    # dup mag2 halves
+            mO = sqO + pltpu.roll(sqO, 64, 1)
+            for p in range(g):
+                comb = jnp.where(mask, mE[p * tb:(p + 1) * tb, :],
+                                 mO[p * tb:(p + 1) * tb, :])
+                out_ref[:, (k0 + p) * 128:(k0 + p + 1) * 128] = \
+                    epilogue_mag2(comb)
         return
 
     if stage2 in ("k6", "k5"):
@@ -1895,7 +2145,8 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
 def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
                        scale: float, offset: float, tile_b: int = 0,
                        interpret: bool = False,
-                       stage2: str = "highest") -> jnp.ndarray:
+                       stage2: str = "highest",
+                       vmem_limit: Optional[int] = None) -> jnp.ndarray:
     """Fused CT spectrum with FFT-structured stage 1: (B, n, 2) f32 ->
     (B, n) f32 in [0, 1], natural bin order.  Requires m = n/128 to be
     a power of two (falls back to the caller's ct4 otherwise).  See
@@ -1908,8 +2159,11 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     if not tile_b:
         # measured (r4j/r5b): the 1-pass display tiers gain from the
         # bigger batch tile; the multi-pass tiers' extra stage-2
-        # operands put tile 256 over the scoped-vmem limit
-        tile_b = 256 if stage2 in ("default", "dbatch") else 128
+        # operands put tile 256 over the DEFAULT scoped-vmem limit —
+        # the cpack tiers raise it (r5j: vmem_limit_bytes) and run
+        # best at 256
+        tile_b = 256 if stage2 in ("default", "dbatch", "cpack2",
+                                   "cpack4", "cpack5") else 128
     tile_b = min(tile_b, B)
     while tile_b > 8 and B % tile_b:
         tile_b //= 2
@@ -1940,6 +2194,62 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
 
         mhi = stacked.astype(np.float32)
         mlo = np.concatenate([stack6(cmat), stack6(smat)], axis=0)
+    elif stage2 in ("cpack", "cpack6", "cpack2", "cpack4", "cpack5"):
+        if m < 2:
+            stage2 = "highest"
+            mhi = stacked.astype(np.float32)
+            mlo = np.zeros_like(stacked, dtype="bfloat16")
+        else:
+            # mhi = the complex-packed 64-DFT matrix
+            # [[C64, -S64], [S64, C64]]; mlo = W128 odd-branch
+            # twiddles at rows 128/129 (+ the k6-style K-stacked
+            # split planes for cpack6, stored as bf16-exact f32)
+            jr = np.outer(np.arange(64), np.arange(64)) % 64
+            ang = 2.0 * np.pi * jr / 64
+            c64 = np.cos(ang)
+            s64 = np.sin(ang)
+            M2 = np.block([[c64, -s64], [s64, c64]]) \
+                .astype(np.float32)
+            mhi = M2
+            if stage2 == "cpack5":
+                # mlo = the odd-bin sub-DFT matrix with the W128
+                # twiddle absorbed (entries rounded once from f64):
+                # P1[j,t] = cos(2 pi j (2t+1)/128), P2 = sin(...)
+                jj, tt = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                ango = 2.0 * np.pi * (jj * (2 * tt + 1) % 128) / 128
+                p1 = np.cos(ango)
+                p2 = np.sin(ango)
+                mlo = np.block([[p1, -p2], [-p2, -p1]]) \
+                    .astype(np.float32)
+            else:
+                rows = 898 if stage2 == "cpack6" else 130
+                tbl = np.zeros((rows, 128), np.float32)
+                j = np.arange(64)
+                if stage2 in ("cpack2", "cpack4"):
+                    # roll-based packing: signed full-width twiddle
+                    # rows — cneg = [cos|-cos] pairs with
+                    # A1 = [D_r|-D_i] and sdup = [sin|sin] with
+                    # A2 = [D_i|-D_r] so the odd sub-DFT input lands
+                    # as [O_r|O_i] with no select
+                    tbl[128, 0:64] = np.cos(2.0 * np.pi * j / 128)
+                    tbl[128, 64:128] = -tbl[128, 0:64]
+                    tbl[129, 0:64] = np.sin(2.0 * np.pi * j / 128)
+                    tbl[129, 64:128] = tbl[129, 0:64]
+                else:
+                    tbl[128, 0:64] = np.cos(2.0 * np.pi * j / 128)
+                    tbl[129, 0:64] = -np.sin(2.0 * np.pi * j / 128)
+                if stage2 == "cpack6":
+                    h1 = M2.astype("bfloat16")
+                    r1 = M2 - h1.astype(np.float32)
+                    h2 = r1.astype("bfloat16")
+                    h3 = (r1 - h2.astype(np.float32)) \
+                        .astype("bfloat16")
+                    blocks = [h1, h2, h3, h1, h2, h1]
+                    tbl[130:898, :] = np.concatenate(
+                        [b.astype(np.float32) for b in blocks],
+                        axis=0)
+                mlo = tbl
     elif stage2 in ("fft64", "hfft64"):
         # mlo repurposed as the DIF table: 64-point DFT matrices at
         # rows [0:64] (cos) / [64:128] (sin), the W128^j odd-branch
@@ -1958,6 +2268,13 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
         mhi = stacked.astype(np.float32)
         mlo = np.zeros_like(stacked, dtype="bfloat16")
 
+    if (vmem_limit is None and tile_b >= 256
+            and stage2.startswith("cpack")):
+        # the packed tiers' live values put tile>=256 ~1.4M over the
+        # default 16M scoped-vmem limit; 16M of headroom per extra
+        # 256 rows measured fastest (r5j/r5m)
+        vmem_limit = (16 + 16 * (tile_b // 256)) * 1024 * 1024
+
     x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -1973,16 +2290,20 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
         out_specs=pl.BlockSpec((tile_b, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2 * tile_b, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            ((8 if stage2 in ("cpack", "cpack6") else 2) * tile_b,
+             128), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(iq[:, :, 0], iq[:, :, 1],
       jnp.asarray(win, jnp.float32).reshape(1, n),
       jnp.asarray(np.repeat(twr, 8, axis=0)),
       jnp.asarray(np.repeat(twi, 8, axis=0)),
       jnp.asarray(mhi), jnp.asarray(mlo))
-    if stage2 in ("fft64", "hfft64"):
+    if stage2 in ("fft64", "hfft64", "cpack", "cpack6",
+                  "cpack2", "cpack4", "cpack5"):
         # perm[:, 128*k1 + 64*par + r] holds bin k1 + m*(2r + par)
         return perm.reshape(B, m, 2, 64).transpose(0, 3, 2, 1) \
             .reshape(B, n)

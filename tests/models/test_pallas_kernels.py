@@ -276,6 +276,63 @@ def test_spectrum_fused_kernel_bf16_display_grade():
     assert err.max() < 2e-2, err.max()
 
 
+def test_spectrum_ct_cpack_matches_f64_truth_and_order():
+    """Round-5 exact-tier restructure: one exact VPU DIF level + the
+    complex-packed 64-point sub-DFT matmul ([[C,-S],[S,C]] on [ur|ui]
+    lanes — half the stage-2 MAC passes at full MXU tiles).  Checks
+    BOTH the f64-truth accuracy at the sidelobe floor and the bin
+    order (cpack ships its own even/odd un-permute)."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=2048, batches=8, fast_math=False)
+    iq = pipe.make_input(seed=11)
+
+    x = (iq[..., 0].astype(np.float64)
+         + 1j * iq[..., 1].astype(np.float64))
+    x = x * np.asarray(pipe._win, np.float64)
+    spec = np.fft.fft(x, axis=-1)
+    mag2 = np.maximum(np.abs(spec) ** 2, 1e-60)
+    db = 10 * np.log10(mag2) + float(pipe._coeff)
+    norm = db * float(pipe._scale) + float(pipe._offset)
+    truth = 0.5 + 0.5 * np.tanh(4 * (norm - 0.5))
+
+    for s2, tol in (("cpack", 1e-3), ("cpack6", 1e-3),
+                    ("cpack2", 1e-3), ("cpack4", 1e-3),
+                    ("cpack5", 1e-3)):
+        got = np.asarray(pipe.step_pallas_ct(
+            jnp.asarray(iq), interpret=True, stage2=s2))
+        np.testing.assert_allclose(got, truth, atol=tol,
+                                   err_msg=s2)
+        assert (np.argmax(got, axis=-1)
+                == np.argmax(truth, axis=-1)).all(), s2
+
+
+def test_spectrum_ct_cpack_smallest_split():
+    """cpack at m=2 (n=256, a single k1 pair) and the m=1 fallback."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=256, batches=8,
+                            use_mxu_fft=False, fast_math=False)
+    rng = np.random.default_rng(12)
+    iq = (0.3 * rng.standard_normal((8, 256, 2))).astype(np.float32)
+    ref = np.asarray(pipe.jitted_step()(jnp.asarray(iq)))
+    got = np.asarray(pipe.step_pallas_ct(jnp.asarray(iq),
+                                         interpret=True,
+                                         stage2="cpack"))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    from cyberether_tpu.ops.pallas_kernels import spectrum_fused_ct5
+    p1 = SpectrumPipeline(fft_size=128, batches=8,
+                          use_mxu_fft=False, fast_math=False)
+    iq1 = (0.3 * rng.standard_normal((8, 128, 2))).astype(np.float32)
+    ref1 = np.asarray(p1.jitted_step()(jnp.asarray(iq1)))
+    got1 = np.asarray(spectrum_fused_ct5(
+        jnp.asarray(iq1), np.asarray(p1._win), float(p1._coeff),
+        float(p1._scale), float(p1._offset), interpret=True,
+        stage2="cpack"))
+    np.testing.assert_allclose(got1, ref1, atol=2e-3)
+
+
 def test_spectrum_dft_xla_path_matches():
     from cyberether_tpu.models.spectrum import SpectrumPipeline
 

@@ -20,6 +20,13 @@ def test_bench_outlier_guard(tmp_path):
         {"name": "c", "ms_per_step": 9.9}])   # new row — fine
     assert len(notes) == 1 and notes[0].startswith("a: 0.400")
 
+    # implausible SPEEDUPS are artifacts too (r5: a burst
+    # differential glitch reported 40x on one flowgraph row)
+    notes = bench.diff_previous_archive(str(arch), [
+        {"name": "a", "ms_per_step": 0.3},    # 1.3x faster — fine
+        {"name": "b", "ms_per_step": 0.02}])  # 50x faster — flag
+    assert len(notes) == 1 and "implausible speedup" in notes[0]
+
 
 def test_bench_outlier_guard_rows_without_ms(tmp_path):
     """Rows with no ms_per_step key (the timeblock-scaling proxy row)
