@@ -688,6 +688,61 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         for nm in node.inputs[1:]:
             out = red(out, env[nm])
         set_out(0, out)
+    elif op in ("Sum", "Mean"):         # variadic in ONNX
+        out = env[node.inputs[0]]
+        for nm in node.inputs[1:]:
+            out = out + env[nm]
+        if op == "Mean":
+            out = out / float(len(node.inputs))
+        set_out(0, out)
+    elif op in ("And", "Or", "Xor"):
+        lg = {"And": jnp.logical_and, "Or": jnp.logical_or,
+              "Xor": jnp.logical_xor}[op]
+        set_out(0, lg(inp(0), inp(1)))
+    elif op == "Not":
+        set_out(0, jnp.logical_not(inp(0)))
+    elif op == "Sign":
+        set_out(0, jnp.sign(inp(0)))
+    elif op == "Tile":
+        reps = [int(r) for r in _const_of(env, node.inputs[1],
+                                          "Tile")]
+        set_out(0, jnp.tile(inp(0), reps))
+    elif op == "GatherElements":
+        axis = int(a.get("axis", 0))
+        set_out(0, jnp.take_along_axis(inp(0), inp(1), axis=axis))
+    elif op in ("DepthToSpace", "SpaceToDepth"):
+        x = inp(0)
+        bs = int(a["blocksize"])
+        n, c, h, w = x.shape
+        if op == "SpaceToDepth":
+            y = x.reshape(n, c, h // bs, bs, w // bs, bs) \
+                 .transpose(0, 3, 5, 1, 2, 4) \
+                 .reshape(n, c * bs * bs, h // bs, w // bs)
+        else:
+            mode = a.get("mode", "DCR")
+            mode = mode.decode() if isinstance(mode, bytes) else mode
+            if mode == "DCR":
+                y = x.reshape(n, bs, bs, c // (bs * bs), h, w) \
+                     .transpose(0, 3, 4, 1, 5, 2)
+            else:                       # CRD
+                y = x.reshape(n, c // (bs * bs), bs, bs, h, w) \
+                     .transpose(0, 1, 4, 2, 5, 3)
+            y = y.reshape(n, c // (bs * bs), h * bs, w * bs)
+        set_out(0, y)
+    elif op == "TopK":
+        k = int(_const_of(env, node.inputs[1], "TopK")[0])
+        axis = int(a.get("axis", -1))
+        x = inp(0)
+        if a.get("largest", 1) == 0:
+            vals, idx = jax.lax.top_k(-jnp.moveaxis(x, axis, -1), k)
+            vals = -vals
+        else:
+            vals, idx = jax.lax.top_k(jnp.moveaxis(x, axis, -1), k)
+        set_out(0, jnp.moveaxis(vals, -1, axis))
+        if len(node.outputs) > 1:
+            # int32 indices: jax defaults to 32-bit ints (x64 off);
+            # downstream Gather/compare consumers are dtype-agnostic
+            set_out(1, jnp.moveaxis(idx.astype(jnp.int32), -1, axis))
     elif op == "Where":
         set_out(0, jnp.where(inp(0), inp(1), inp(2)))
     elif op == "Gelu":
@@ -979,7 +1034,9 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
         x, ind = inp(0), inp(1)
         set_out(0, jnp.take(x, jnp.asarray(ind),
                             axis=a.get("axis", 0)))
-    elif op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
+    elif op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin",
+                "ReduceL1", "ReduceL2", "ReduceSumSquare",
+                "ReduceLogSum", "ReduceLogSumExp"):
         x = inp(0)
         axes = a.get("axes")
         if axes is None and len(node.inputs) > 1 and node.inputs[1]:
@@ -987,8 +1044,21 @@ def _apply_node(node: OnnxNode, env: Dict[str, Any],
                                               op)]
         axes = tuple(int(v) for v in axes) if axes else None
         keep = bool(a.get("keepdims", 1))
-        red = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
-               "ReduceMax": jnp.max, "ReduceMin": jnp.min}[op]
+        red = {
+            "ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+            "ReduceMax": jnp.max, "ReduceMin": jnp.min,
+            "ReduceL1": lambda v, axis, keepdims: jnp.sum(
+                jnp.abs(v), axis=axis, keepdims=keepdims),
+            "ReduceL2": lambda v, axis, keepdims: jnp.sqrt(
+                jnp.sum(v * v, axis=axis, keepdims=keepdims)),
+            "ReduceSumSquare": lambda v, axis, keepdims: jnp.sum(
+                v * v, axis=axis, keepdims=keepdims),
+            "ReduceLogSum": lambda v, axis, keepdims: jnp.log(
+                jnp.sum(v, axis=axis, keepdims=keepdims)),
+            "ReduceLogSumExp": lambda v, axis, keepdims:
+                jax.scipy.special.logsumexp(
+                    v, axis=axis, keepdims=keepdims),
+        }[op]
         set_out(0, red(x, axis=axes, keepdims=keep))
     elif op == "ArgMax":
         x = inp(0)
@@ -1129,6 +1199,10 @@ KNOWN_OPS = frozenset({
     "Floor", "Ceil", "Round", "Reciprocal", "Softplus",
     "HardSwish", "HardSigmoid", "Elu", "PRelu",
     "GlobalMaxPool", "ReduceProd", "ConvTranspose",
+    "Sum", "Mean", "And", "Or", "Xor", "Not", "Sign", "Tile",
+    "GatherElements", "DepthToSpace", "SpaceToDepth", "TopK",
+    "ReduceL1", "ReduceL2", "ReduceSumSquare", "ReduceLogSum",
+    "ReduceLogSumExp",
 })
 
 

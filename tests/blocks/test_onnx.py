@@ -407,6 +407,85 @@ def test_onnx_jax_extended_op_subset():
                                np.full((2, 2), 2.5, np.float32))
 
 
+def test_onnx_jax_round5_op_batch():
+    """Round-5 op additions: variadic Sum/Mean, logical And/Or/Xor/
+    Not, Sign, Tile, GatherElements, DepthToSpace/SpaceToDepth
+    roundtrip, TopK (values + indices, largest and smallest), and the
+    ReduceL1/L2/SumSquare/LogSum/LogSumExp family — numpy goldens."""
+    from cyberether_tpu.ops.onnx_jax import build_fn, parse_model
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    y = rng.standard_normal((3, 4)).astype(np.float32)
+    img = rng.standard_normal((1, 8, 4, 6)).astype(np.float32)
+    idx = rng.integers(0, 3, (2, 4)).astype(np.int64)
+
+    g = graph(
+        [node("Sum", ["x", "y", "x"], ["sm"]),
+         node("Mean", ["x", "y"], ["mean"]),
+         node("Greater", ["x", "y"], ["gt"]),
+         node("Less", ["x", "y"], ["lt"]),
+         node("And", ["gt", "lt"], ["and_"]),
+         node("Or", ["gt", "lt"], ["or_"]),
+         node("Xor", ["gt", "lt"], ["xor_"]),
+         node("Not", ["gt"], ["not_"]),
+         node("Sign", ["x"], ["sg"]),
+         node("Tile", ["x", "reps"], ["tl"]),
+         node("GatherElements", ["x", "gidx"], ["ge"], {"axis": 0}),
+         node("SpaceToDepth", ["img"], ["s2d"], {"blocksize": 2}),
+         node("DepthToSpace", ["s2d"], ["d2s"],
+              {"blocksize": 2, "mode": "DCR"}),
+         node("TopK", ["x", "kk"], ["tv", "ti"], {"axis": 1}),
+         node("TopK", ["x", "kk"], ["bv", "bi"],
+              {"axis": 1, "largest": 0}),
+         node("ReduceL1", ["x"], ["l1"], {"keepdims": 0}),
+         node("ReduceL2", ["x"], ["l2"], {"keepdims": 0}),
+         node("ReduceSumSquare", ["x"], ["ss"], {"keepdims": 0}),
+         node("ReduceLogSumExp", ["x"], ["lse"], {"keepdims": 0})],
+        "r5ops",
+        inputs=[value_info("x", 1, [3, 4]),
+                value_info("y", 1, [3, 4]),
+                value_info("img", 1, [1, 8, 4, 6]),
+                value_info("gidx", 7, [2, 4])],
+        outputs=[value_info(n, 1, []) for n in
+                 ("sm", "mean", "and_", "or_", "xor_", "not_", "sg",
+                  "tl", "ge", "s2d", "d2s", "tv", "ti", "bv", "bi",
+                  "l1", "l2", "ss", "lse")],
+        initializers=[
+            tensor_proto("reps", np.asarray([2, 3], np.int64)),
+            tensor_proto("kk", np.asarray([2], np.int64))])
+    out = build_fn(parse_model(model(g)))(
+        {"x": x, "y": y, "img": img, "gidx": idx})
+
+    np.testing.assert_allclose(out["sm"], x + y + x, atol=1e-6)
+    np.testing.assert_allclose(out["mean"], (x + y) / 2, atol=1e-6)
+    gt, lt = x > y, x < y
+    np.testing.assert_array_equal(out["and_"], gt & lt)
+    np.testing.assert_array_equal(out["or_"], gt | lt)
+    np.testing.assert_array_equal(out["xor_"], gt ^ lt)
+    np.testing.assert_array_equal(out["not_"], ~gt)
+    np.testing.assert_allclose(out["sg"], np.sign(x))
+    np.testing.assert_allclose(out["tl"], np.tile(x, (2, 3)))
+    np.testing.assert_allclose(
+        out["ge"], np.take_along_axis(x, idx, axis=0))
+    # SpaceToDepth -> DepthToSpace(DCR) round-trips exactly
+    assert np.asarray(out["s2d"]).shape == (1, 32, 2, 3)
+    np.testing.assert_allclose(out["d2s"], img)
+    sv = np.sort(x, axis=1)
+    np.testing.assert_allclose(out["tv"], sv[:, ::-1][:, :2],
+                               atol=1e-6)
+    np.testing.assert_allclose(out["bv"], sv[:, :2], atol=1e-6)
+    np.testing.assert_array_equal(
+        np.take_along_axis(x, np.asarray(out["ti"]), axis=1),
+        np.asarray(out["tv"]))
+    np.testing.assert_allclose(out["l1"], np.abs(x).sum(), rtol=1e-6)
+    np.testing.assert_allclose(out["l2"], np.sqrt((x * x).sum()),
+                               rtol=1e-6)
+    np.testing.assert_allclose(out["ss"], (x * x).sum(), rtol=1e-6)
+    np.testing.assert_allclose(
+        out["lse"], np.log(np.exp(x).sum()), rtol=1e-5)
+
+
 def test_torch_exported_causal_block_both_opsets(monkeypatch):
     """A causal-masked attention block (tril buffer + masked_fill)
     exports with Where/Split at opset 13 and additionally native
