@@ -431,6 +431,41 @@ graph:
 """
 
 
+CANVAS_DASH = """
+version: 2
+title: Canvas Dashboard
+summary: Spectrum display beside a declarative retained-canvas panel.
+graph:
+  - name: gen
+    module: signal_generator
+    config:
+      signalType: cosine
+      signalDataType: CF32
+      sampleRate: 1000000
+      frequency: 125000
+      bufferSize: 2048
+  - name: spec
+    module: spectrum_engine
+    config: {enableScale: true, rangeMin: -100, rangeMax: 0}
+    input: {buffer: '${graph.gen.output.signal}'}
+  - name: plot
+    module: lineplot
+    input: {signal: '${graph.spec.output.buffer}'}
+  - name: panel
+    module: canvas
+    config:
+      width: 384
+      height: 160
+      clearColor: '#0b0b12'
+      commands: '[{"op": "rect", "args": [8, 8, 368, 144],
+        "color": "#223", "fill": false},
+        {"op": "line", "args": [8, 80, 376, 80], "color": "#334"},
+        {"op": "text", "args": [16, 16, "carrier: 125 kHz"],
+        "color": "#9ab"},
+        {"op": "circle", "args": [192, 80, 40], "color": "#4be"}]'
+"""
+
+
 def register_examples() -> None:
     registry.register_example("ml-inference", "ML Inference",
                               _ml_inference_yaml())
@@ -450,6 +485,8 @@ def register_examples() -> None:
                               OVERLAP_ADD_FOLD)
     registry.register_example("overlap-save", "Overlap-Save Filter",
                               OVERLAP_SAVE)
+    registry.register_example("canvas-dashboard", "Canvas Dashboard",
+                              CANVAS_DASH)
 
 
 register_examples()
