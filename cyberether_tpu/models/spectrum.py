@@ -137,6 +137,12 @@ class SpectrumPipeline:
             return spectrum_fused_ct5(
                 iq, w, float(self._coeff), float(self._scale),
                 float(self._offset), interpret=interpret, stage2=s2)
+        if s2.startswith("cpack"):
+            # the packed tiers are ct5-structure only; the ct4
+            # fallback's exact tier is the direct 6-pass HIGHEST
+            # (silently dropping to its x3 split branch would be a
+            # 4e-4-grade downgrade of an "exact" request)
+            s2 = "highest"
         return spectrum_fused_ct4(
             iq, w, float(self._coeff), float(self._scale),
             float(self._offset), interpret=interpret, stage2=s2,

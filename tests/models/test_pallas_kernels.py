@@ -307,6 +307,28 @@ def test_spectrum_ct_cpack_matches_f64_truth_and_order():
                 == np.argmax(truth, axis=-1)).all(), s2
 
 
+def test_spectrum_ct_cpack_nonpow2_falls_back_exact():
+    """fft sizes whose chunk count is not a power of two route to
+    ct4 — a cpack stage2 request must become ct4's HIGHEST there,
+    not silently drop to the 4e-4 x3 split tier."""
+    from cyberether_tpu.models.spectrum import SpectrumPipeline
+
+    pipe = SpectrumPipeline(fft_size=1536, batches=8,
+                            use_mxu_fft=False, fast_math=False)
+    iq = pipe.make_input(seed=13)
+    x = (iq[..., 0].astype(np.float64)
+         + 1j * iq[..., 1].astype(np.float64))
+    x = x * np.asarray(pipe._win, np.float64)
+    spec = np.fft.fft(x, axis=-1)
+    db = 10 * np.log10(np.maximum(np.abs(spec) ** 2, 1e-60)) \
+        + float(pipe._coeff)
+    truth = 0.5 + 0.5 * np.tanh(
+        4 * ((db * float(pipe._scale) + float(pipe._offset)) - 0.5))
+    got = np.asarray(pipe.step_pallas_ct(
+        jnp.asarray(iq), interpret=True, stage2="cpack5"))
+    np.testing.assert_allclose(got, truth, atol=1e-3)
+
+
 def test_spectrum_ct_cpack_smallest_split():
     """cpack at m=2 (n=256, a single k1 pair) and the m=1 fallback."""
     from cyberether_tpu.models.spectrum import SpectrumPipeline
