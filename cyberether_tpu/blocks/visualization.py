@@ -373,7 +373,9 @@ class CanvasModule(Module):
         if not (8 <= w <= 4096 and 8 <= h <= 4096):
             raise ValidationError(
                 f"canvas size must be 8..4096 (got {w}x{h})")
-        self._draw_cb = None
+        # keep an attached callback across reconfigure (validate
+        # re-runs on every rebuild; the owner attached once)
+        self._draw_cb = getattr(self, "_draw_cb", None)
 
     def create(self) -> Dict[str, TensorSpec]:
         return {}
@@ -382,7 +384,11 @@ class CanvasModule(Module):
         return {}, state        # no device compute; present-only
 
     def set_draw_callback(self, cb) -> None:
-        """``cb(drawlist, layout)`` invoked every present cycle."""
+        """``cb(drawlist, layout)`` invoked every present cycle.
+        Host attachment, dti convention: a reconfigure rebuilds the
+        module, so the owner re-attaches (DtiModule.attach_buffer
+        precedent); the declarative ``commands`` path rides config
+        and needs no re-attach."""
         self._draw_cb = cb
 
     def _replay(self, dl) -> None:

@@ -96,6 +96,28 @@ def test_canvas_alongside_compute_graph():
     fg.stop()
 
 
+def test_canvas_callback_reattach_after_reconfigure():
+    """Reconfigure rebuilds the module instance, so host attachments
+    follow the dti convention: the owner re-attaches (same as
+    DtiModule.attach_buffer).  The declarative `commands` config
+    path needs no re-attach."""
+    from cyberether_tpu import Flowgraph
+
+    fg = Flowgraph()
+    fg.block_create("cv", "canvas", {"width": 16, "height": 16})
+    cb = lambda dl, layout: dl.clear("#445566")   # noqa: E731
+    fg.records["cv"].build.modules["cv/m"].set_draw_callback(cb)
+    assert tuple(fg.present()["cv"]["frame"][3, 3, :3]) \
+        == (0x44, 0x55, 0x66)
+    fg.block_reconfigure("cv", {"width": 24, "height": 16})
+    mod = fg.records["cv"].build.modules["cv/m"]
+    mod.set_draw_callback(cb)                     # re-attach
+    f = fg.present()["cv"]
+    assert f["frame"].shape == (16, 24, 4)
+    assert tuple(f["frame"][3, 3, :3]) == (0x44, 0x55, 0x66)
+    fg.stop()
+
+
 def test_superluminal_canvas_callback():
     import cyberether_tpu.superluminal as lm
 
