@@ -25,7 +25,10 @@ from cyberether_tpu.core.params import Field, Schema
 from cyberether_tpu.core.registry import register_block, register_module
 from cyberether_tpu.core.tensor import SignalAxes, TensorSpec
 from cyberether_tpu.core.types import DataType, Taint, ValidationError
+from cyberether_tpu.utils.logging import get_logger
 from cyberether_tpu.viz.colormaps import apply_colormap
+
+log = get_logger("visualization")
 
 
 def _last_axis_view(spec: TensorSpec):
@@ -425,8 +428,16 @@ class CanvasModule(Module):
         if self._draw_cb is not None:
             try:
                 self._draw_cb(dl, dl.layout)
+                self._cb_error_logged = False
             except Exception:
-                pass              # a bad callback must not kill present
+                # a bad callback must not kill present, but the user
+                # must see WHY the panel is blank — log once per
+                # failure streak, not at the present-pump rate
+                if not getattr(self, "_cb_error_logged", False):
+                    self._cb_error_logged = True
+                    log.exception("canvas draw callback failed "
+                                  "(panel shows clear color until "
+                                  "the callback stops raising)")
         else:
             self._replay(dl)
         return {"frame": dl.rgba, "kind": "frame",

@@ -539,13 +539,24 @@ class Flowgraph:
 
     def present(self) -> Dict[str, Any]:
         # surface-only graphs (canvas/note panels) never compute; make
-        # sure the scheduler classified surfaces before presenting
-        # (cheap no-op when the build is clean)
-        try:
-            self.scheduler._ensure_built()
-        except Exception:
-            pass        # build errors surface through compute paths
-        return self.scheduler.present()
+        # sure the scheduler classified surfaces before presenting.
+        # Bounded to ONE attempt per graph generation: a failing build
+        # must not be silently retried at the present-pump rate (each
+        # attempt holds the run lock and, on axon, re-enters remote
+        # compilation), and the failure is logged, not swallowed
+        # (review finding, round 5).
+        sch = self.scheduler
+        if sch._dirty and \
+                getattr(sch, "_present_build_gen", None) \
+                != self._generation:
+            sch._present_build_gen = self._generation
+            try:
+                sch._ensure_built()
+            except Exception:
+                log.exception("present-time scheduler build failed "
+                              "(will retry on the next graph edit "
+                              "or compute())")
+        return sch.present()
 
     def start(self) -> None:
         self.scheduler.start_sources()

@@ -1633,17 +1633,8 @@ def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
     _, _, twr, twi, cmat, smat = _ct_mats(n)
     packed = exact and m >= 2
     if packed:
-        # cpack5 matrices: even = complex-packed 64-DFT, odd = the
-        # same with the W128 twiddle absorbed (see spectrum cpack5)
-        jr = np.outer(np.arange(64), np.arange(64)) % 64
-        ang = 2.0 * np.pi * jr / 64
-        c64, s64 = np.cos(ang), np.sin(ang)
-        cmat = np.block([[c64, -s64], [s64, c64]]).astype(np.float32)
-        jj, tt = np.meshgrid(np.arange(64), np.arange(64),
-                             indexing="ij")
-        ango = 2.0 * np.pi * (jj * (2 * tt + 1) % 128) / 128
-        p1, p2 = np.cos(ango), np.sin(ango)
-        smat = np.block([[p1, -p2], [-p2, -p1]]).astype(np.float32)
+        # cpack5 matrices (shared helper — see spectrum cpack5)
+        cmat, smat = _cpack5_mats()
 
     x_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -1673,6 +1664,25 @@ def fft_pallas(x: jnp.ndarray, tile_b: int = 128,
             .reshape(*lead, n)
     # un-permute: natural[k1 + m k2] = perm[128 k1 + k2]
     return y.reshape(B, m, 128).swapaxes(1, 2).reshape(*lead, n)
+
+
+@functools.lru_cache(maxsize=1)
+def _cpack5_mats():
+    """Complex-packed 64-point sub-DFT matrices shared by the cpack
+    tiers of :func:`spectrum_fused_ct5` and :func:`fft_pallas` —
+    even = [[C64,-S64],[S64,C64]] on [ur|ui] lanes; odd = the same
+    with the W128 twiddle ABSORBED (P1[j,t] = cos(2*pi*j*(2t+1)/128),
+    entries rounded once from f64): [[P1,-P2],[-P2,-P1]] consuming
+    A1 = [D_r|-D_i] directly."""
+    jr = np.outer(np.arange(64), np.arange(64)) % 64
+    ang = 2.0 * np.pi * jr / 64
+    c64, s64 = np.cos(ang), np.sin(ang)
+    me = np.block([[c64, -s64], [s64, c64]]).astype(np.float32)
+    jj, tt = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    ango = 2.0 * np.pi * (jj * (2 * tt + 1) % 128) / 128
+    p1, p2 = np.cos(ango), np.sin(ango)
+    mo = np.block([[p1, -p2], [-p2, -p1]]).astype(np.float32)
+    return me, mo
 
 
 def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
@@ -2200,28 +2210,14 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
             mhi = stacked.astype(np.float32)
             mlo = np.zeros_like(stacked, dtype="bfloat16")
         else:
-            # mhi = the complex-packed 64-DFT matrix
-            # [[C64, -S64], [S64, C64]]; mlo = W128 odd-branch
-            # twiddles at rows 128/129 (+ the k6-style K-stacked
-            # split planes for cpack6, stored as bf16-exact f32)
-            jr = np.outer(np.arange(64), np.arange(64)) % 64
-            ang = 2.0 * np.pi * jr / 64
-            c64 = np.cos(ang)
-            s64 = np.sin(ang)
-            M2 = np.block([[c64, -s64], [s64, c64]]) \
-                .astype(np.float32)
+            # mhi = the complex-packed 64-DFT matrix; for cpack5 mlo
+            # is the W128-absorbed odd-bin matrix (shared helper);
+            # other tiers pack W128 twiddle rows (+ the k6-style
+            # K-stacked split planes for cpack6) into mlo
+            M2, M_odd = _cpack5_mats()
             mhi = M2
             if stage2 == "cpack5":
-                # mlo = the odd-bin sub-DFT matrix with the W128
-                # twiddle absorbed (entries rounded once from f64):
-                # P1[j,t] = cos(2 pi j (2t+1)/128), P2 = sin(...)
-                jj, tt = np.meshgrid(np.arange(64), np.arange(64),
-                                     indexing="ij")
-                ango = 2.0 * np.pi * (jj * (2 * tt + 1) % 128) / 128
-                p1 = np.cos(ango)
-                p2 = np.sin(ango)
-                mlo = np.block([[p1, -p2], [-p2, -p1]]) \
-                    .astype(np.float32)
+                mlo = M_odd
             else:
                 rows = 898 if stage2 == "cpack6" else 130
                 tbl = np.zeros((rows, 128), np.float32)

@@ -59,9 +59,14 @@ class TextGrid:
     def append_line(self, line: str,
                     spans: Optional[Sequence[Span]] = None) -> None:
         v = self.config.value
+        # spans key on the FIRST physical line of the appended text —
+        # a record containing embedded newlines becomes several
+        # physical lines, and the caller's columns were computed
+        # against the text's start
+        first_idx = len(self.lines) if v else 0
         self.config.value = line if not v else v + "\n" + line
         if spans:
-            self._spans[len(self.lines) - 1] = list(spans)
+            self._spans[first_idx] = list(spans)
 
     def set_line_styles(self, line: int,
                         spans: Sequence[Span]) -> None:

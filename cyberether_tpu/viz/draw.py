@@ -28,9 +28,12 @@ Color = Tuple[int, int, int, int]
 
 
 def _color(c) -> Color:
-    """Accept (r,g,b), (r,g,b,a), '#rrggbb' or '#rrggbbaa'."""
+    """Accept (r,g,b), (r,g,b,a), '#rgb'/'#rgba' CSS shorthand, or
+    '#rrggbb'/'#rrggbbaa'."""
     if isinstance(c, str):
         s = c.lstrip("#")
+        if len(s) in (3, 4):             # CSS shorthand: #9ab = #99aabb
+            s = "".join(ch * 2 for ch in s)
         v = [int(s[i:i + 2], 16) for i in range(0, len(s), 2)]
         return tuple(v + [255] * (4 - len(v)))[:4]
     c = tuple(int(x) for x in c)

@@ -36,6 +36,17 @@ def test_drawlist_primitives():
     assert (dl.rgba[29, 61] == 255).all()
 
 
+def test_color_css_shorthand():
+    """#rgb / #rgba shorthand expands per CSS (#9ab = #99aabb) — the
+    shipped examples use shorthand colors (review finding)."""
+    from cyberether_tpu.viz.draw import _color
+
+    assert _color("#9ab") == (0x99, 0xAA, 0xBB, 255)
+    assert _color("#4be8") == (0x44, 0xBB, 0xEE, 0x88)
+    assert _color("#99aabb") == (0x99, 0xAA, 0xBB, 255)
+    assert _color((1, 2, 3)) == (1, 2, 3, 255)
+
+
 def test_drawlist_polyline_and_scaled_text():
     from cyberether_tpu.viz.draw import DrawList
 

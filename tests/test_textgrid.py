@@ -83,7 +83,21 @@ def test_append_line_with_spans():
     assert '<span class="tg-err">E</span>' in g.render_html()
 
 
-PORT = 8893
+def test_append_multiline_record_spans_first_physical_line():
+    """A record containing embedded newlines (tracebacks) becomes
+    several physical lines; the caller's spans were computed against
+    the record's start and must land on its FIRST physical line
+    (review finding)."""
+    g = TextGrid(style_color_keys=["err"])
+    g.append_line("ok line")
+    g.append_line("E boom\n  File x.py line 3", spans=[(0, 1, 0)])
+    rows = g.render_rows()
+    assert rows[1]["html"].startswith('<span class="tg-err">E</span>')
+    assert "File x.py" in rows[2]["html"]
+    assert "tg-err" not in rows[2]["html"]
+
+
+PORT = 8899          # 8893 belongs to test_highlight's server
 
 
 def test_logs_endpoint_textgrid():
