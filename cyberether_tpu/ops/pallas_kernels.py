@@ -1494,14 +1494,97 @@ def _bit_reverse(n: int):
     return [int(format(i, f"0{bits}b")[::-1], 2) for i in range(n)]
 
 
-def _chunk_fft(xr_ref, xi_ref, win_ref, m: int, rows=None):
+def _digit_reverse4(m: int):
+    """Base-4 digit-reversed index order (radix-4 DIT input order)."""
+    p = 0
+    mm = m
+    while mm > 1:
+        mm //= 4
+        p += 1
+    out = []
+    for i in range(m):
+        r, v = 0, i
+        for _ in range(p):
+            r = r * 4 + (v & 3)
+            v >>= 2
+        out.append(r)
+    return out
+
+
+def _chunk_fft4(xr_ref, xi_ref, win_ref, m: int):
+    """Radix-4 DIT variant of :func:`_chunk_fft` for m a power of 4:
+    ~15% fewer VPU flops (3 twiddle cmuls + 8 complex adds per 4
+    outputs per DOUBLE level vs 4 cmuls + 8 adds for two radix-2
+    levels) and half the level count.  Same contract: (re, im) in
+    natural k1 order, full-width values."""
+    f32 = jnp.float32
+    rev = _digit_reverse4(m)
+    re = [None] * m
+    im = [None] * m
+    for pos, n1 in enumerate(rev):
+        xcr = xr_ref[:, n1 * 128:(n1 + 1) * 128]
+        xci = xi_ref[:, n1 * 128:(n1 + 1) * 128]
+        if win_ref is not None:
+            w = win_ref[0, n1 * 128:(n1 + 1) * 128][None, :]
+            xcr = xcr * w
+            xci = xci * w
+        re[pos] = xcr
+        im[pos] = xci
+
+    size = 4
+    while size <= m:
+        q = size // 4
+        for start in range(0, m, size):
+            for j in range(q):
+                a, b, c, d = (start + j, start + j + q,
+                              start + j + 2 * q, start + j + 3 * q)
+
+                def tw(idx, k):
+                    # x[idx] * W_size^k (W = exp(-2 pi i / size))
+                    k %= size
+                    if k == 0:
+                        return re[idx], im[idx]
+                    if 4 * k == size:      # W^{size/4} = -i
+                        return im[idx], -re[idx]
+                    if 2 * k == size:      # W^{size/2} = -1
+                        return -re[idx], -im[idx]
+                    if 4 * k == 3 * size:  # W^{3size/4} = +i
+                        return -im[idx], re[idx]
+                    ang = -2.0 * np.pi * k / size
+                    wr_, wi_ = float(np.cos(ang)), float(np.sin(ang))
+                    return (re[idx] * f32(wr_) - im[idx] * f32(wi_),
+                            im[idx] * f32(wr_) + re[idx] * f32(wi_))
+
+                br_, bi_ = tw(b, j)
+                cr_, ci_ = tw(c, 2 * j)
+                dr_, di_ = tw(d, 3 * j)
+                t0r, t0i = re[a] + cr_, im[a] + ci_
+                t1r, t1i = re[a] - cr_, im[a] - ci_
+                t2r, t2i = br_ + dr_, bi_ + di_
+                t3r, t3i = br_ - dr_, bi_ - di_
+                re[a], im[a] = t0r + t2r, t0i + t2i
+                re[c], im[c] = t0r - t2r, t0i - t2i
+                # -i*t3 = (t3i, -t3r); +i*t3 = (-t3i, t3r)
+                re[b], im[b] = t1r + t3i, t1i - t3r
+                re[d], im[d] = t1r - t3i, t1i + t3r
+        size *= 4
+    return re, im
+
+
+def _chunk_fft(xr_ref, xi_ref, win_ref, m: int, rows=None,
+               radix4: bool = False):
     """In-kernel m-point FFT over the CHUNK axis: butterflies combine
     whole (tile_b, 128) chunk values with scalar twiddles — static
     indices, full vreg width, no lane movement.  ``win_ref`` (1, n)
     multiplies per chunk when given (None: pure transform).  ``rows``
     optionally restricts to a static row slice (r0, r1).  Returns
-    (re, im): m full-width values in natural k1 order."""
+    (re, im): m full-width values in natural k1 order.  ``radix4``
+    routes to :func:`_chunk_fft4` when m is a power of 4 (fewer VPU
+    flops; different summation order, same exact-f32 grade)."""
     f32 = jnp.float32
+    if radix4 and rows is None and m >= 4 and \
+            (m & (m - 1)) == 0 and (m.bit_length() - 1) % 2 == 0:
+        return _chunk_fft4(xr_ref, xi_ref, win_ref, m)
     rev = _bit_reverse(m)
     re = [None] * m
     im = [None] * m
@@ -1554,7 +1637,7 @@ def _fft_ct_kernel(xr_ref, xi_ref, twr_ref, twi_ref, c_ref, s_ref,
     1-pass 128-DFT (the packing VPU ops would cost more than the
     halved single pass saves)."""
     f32 = jnp.float32
-    re, im = _chunk_fft(xr_ref, xi_ref, None, m)
+    re, im = _chunk_fft(xr_ref, xi_ref, None, m, radix4=True)
     if exact and m >= 2:
         hi = jax.lax.Precision.HIGHEST
         ME = c_ref[:, :]            # [[C64,-S64],[S64,C64]]
@@ -1689,7 +1772,8 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                          mhi_ref, mlo_ref, out_ref, sc, *,
                          m: int, tile_b: int, coeff: float,
                          scale: float, offset: float,
-                         stage2: str = "highest"):
+                         stage2: str = "highest",
+                         stage1: str = "r4"):
     """Round-4 final CT spectrum: stage 1 as a RADIX-2 FFT over the
     chunk axis.
 
@@ -1763,7 +1847,8 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                     0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
         return
 
-    re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m)
+    re, im = _chunk_fft(xr_ref, xi_ref, win_ref, m,
+                        radix4=(stage1 == "r4"))
 
     def epilogue_mag2(mag2):
         db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
@@ -2156,7 +2241,8 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
                        scale: float, offset: float, tile_b: int = 0,
                        interpret: bool = False,
                        stage2: str = "highest",
-                       vmem_limit: Optional[int] = None) -> jnp.ndarray:
+                       vmem_limit: Optional[int] = None,
+                       stage1: str = "r4") -> jnp.ndarray:
     """Fused CT spectrum with FFT-structured stage 1: (B, n, 2) f32 ->
     (B, n) f32 in [0, 1], natural bin order.  Requires m = n/128 to be
     a power of two (falls back to the caller's ct4 otherwise).  See
@@ -2278,7 +2364,8 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
     perm = pl.pallas_call(
         functools.partial(_spectrum_ct5_kernel, m=m, tile_b=tile_b,
                           coeff=float(coeff), scale=float(scale),
-                          offset=float(offset), stage2=stage2),
+                          offset=float(offset), stage2=stage2,
+                          stage1=stage1),
         grid=(B // tile_b,),
         in_specs=[x_spec, x_spec, full(1, n),
                   full(m * 8, 128), full(m * 8, 128),
