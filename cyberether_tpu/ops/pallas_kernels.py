@@ -1773,7 +1773,8 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                          m: int, tile_b: int, coeff: float,
                          scale: float, offset: float,
                          stage2: str = "highest",
-                         stage1: str = "r4"):
+                         stage1: str = "r4",
+                         fastlog: bool = False):
     """Round-4 final CT spectrum: stage 1 as a RADIX-2 FFT over the
     chunk axis.
 
@@ -1851,7 +1852,11 @@ def _spectrum_ct5_kernel(xr_ref, xi_ref, win_ref, twr_ref, twi_ref,
                         radix4=(stage1 == "r4"))
 
     def epilogue_mag2(mag2):
-        db = f32(10.0) * _log10(jnp.maximum(mag2, 1e-60)) + f32(coeff)
+        # fastlog = the reference's own ApproxLog10
+        # (backend/devices/cpu/helpers.hh:61-74 port): ~1e-5 in final
+        # display units — below the exact tier's device error
+        lg = _alog10 if fastlog else _log10
+        db = f32(10.0) * lg(jnp.maximum(mag2, 1e-60)) + f32(coeff)
         norm = db * f32(scale) + f32(offset)
         return 0.5 + 0.5 * jnp.tanh(4.0 * (norm - 0.5))
 
@@ -2242,7 +2247,8 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
                        interpret: bool = False,
                        stage2: str = "highest",
                        vmem_limit: Optional[int] = None,
-                       stage1: str = "r4") -> jnp.ndarray:
+                       stage1: str = "r4",
+                       fastlog: bool = False) -> jnp.ndarray:
     """Fused CT spectrum with FFT-structured stage 1: (B, n, 2) f32 ->
     (B, n) f32 in [0, 1], natural bin order.  Requires m = n/128 to be
     a power of two (falls back to the caller's ct4 otherwise).  See
@@ -2365,7 +2371,7 @@ def spectrum_fused_ct5(iq: jnp.ndarray, win, coeff: float,
         functools.partial(_spectrum_ct5_kernel, m=m, tile_b=tile_b,
                           coeff=float(coeff), scale=float(scale),
                           offset=float(offset), stage2=stage2,
-                          stage1=stage1),
+                          stage1=stage1, fastlog=fastlog),
         grid=(B // tile_b,),
         in_specs=[x_spec, x_spec, full(1, n),
                   full(m * 8, 128), full(m * 8, 128),
