@@ -129,6 +129,70 @@ def test_canvas_callback_reattach_after_reconfigure():
     fg.stop()
 
 
+def test_canvas_streams_over_binary_ws():
+    """End-to-end: a canvas surface rides the remote binary WS like
+    any other frame (u32 header | JSON | encoded payload) and decodes
+    back to the drawn pixels."""
+    import asyncio
+    import io
+    import struct
+    import time
+
+    import pytest
+
+    websockets = pytest.importorskip("websockets")
+    from PIL import Image
+
+    from cyberether_tpu.core.instance import Instance
+    from cyberether_tpu.remote.server import RemoteServer
+
+    port = 8898
+    inst = Instance(headless=True)
+    fg = inst.flowgraph_create("main")
+    fg.block_create("cv", "canvas", {
+        "width": 64, "height": 32, "clearColor": "#000000ff",
+        "commands": json.dumps(
+            [{"op": "rect", "args": [0, 0, 64, 32],
+              "color": "#ff0000"}])})
+    srv = RemoteServer(inst, port=port, codec="png")
+    srv.start()
+    inst.start()
+    deadline = time.monotonic() + 10
+    import urllib.request
+    while time.monotonic() < deadline:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+
+    async def grab():
+        async with websockets.connect(
+                f"ws://127.0.0.1:{port}/api/v1/stream",
+                max_size=None) as ws:
+            for _ in range(40):
+                msg = await asyncio.wait_for(ws.recv(), timeout=5)
+                if isinstance(msg, str):
+                    continue
+                (hlen,) = struct.unpack_from("<I", msg, 0)
+                header = json.loads(msg[4:4 + hlen].decode())
+                if header["name"] == "cv":
+                    return header, msg[4 + hlen:]
+        return None, None
+
+    try:
+        header, payload = asyncio.run(grab())
+    finally:
+        srv.stop()
+        inst.stop()
+    assert header is not None, "canvas surface never streamed"
+    assert header["kind"] == "frame"
+    img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert img.shape == (32, 64, 3)
+    assert (img[5, 5] == (255, 0, 0)).all()
+
+
 def test_superluminal_canvas_callback():
     import cyberether_tpu.superluminal as lm
 
